@@ -1,0 +1,65 @@
+"""Pipeline configuration.
+
+Replaces apollo's per-command argparse flags (reference:
+``apollo/__main__.py:41-207``) with one frozen dataclass shared by every
+stage, so that a single config hash identifies a run for checkpoint
+lineage.  Defaults mirror the reference where one exists:
+
+- ``size=128``          -> ``apollo/__main__.py:52`` (``--size``)
+- ``threshold=0.8``     -> ``apollo/__main__.py:161-163`` (``--threshold``)
+- ``false_positive_weight=0.5`` / ``false_negative_weight=0.5``
+                        -> ``apollo/__main__.py:56-63``
+- seeded WMH params reused across runs -> ``doc/model/wmh.md:12-14``
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- feature extraction (webtext analog of apollo's UAST extractors) ---
+    shingle_k: int = 5            # token k-shingles (analog of --uast2seq-seq-len)
+    feature_dim_log2: int = 16    # feature-hash into D = 2**k columns (vocab cap analog)
+    tokenizer: str = "whitespace"  # "whitespace" | "words"
+    weighting: str = "logtf"      # "logtf" | "tf" | "logtf_logidf" (idf needs docfreq pass)
+    min_docfreq: int = 1          # drop features seen in fewer docs (--min-docfreq)
+
+    # --- Weighted MinHash (apollo `hash` command) ---
+    size: int = 128               # samples per signature (--size)
+    seed: int = 42                # WMH param seed (--seed; fixed => reusable params)
+
+    # --- LSH banding ---
+    threshold: float = 0.8        # Jaccard similarity threshold (--threshold)
+    false_positive_weight: float = 0.5
+    false_negative_weight: float = 0.5
+
+    # --- skew / shuffle handling (no analog in the reference; SURVEY §4) ---
+    bucket_salt: int = 8          # sub-buckets for the two-level salted bucket groupby
+    max_bucket_pairs: int = 4096  # cap on pairwise verification work per bucket
+
+    # --- verification (apollo query --precise, apollo/query.py:45-66) ---
+    verify: bool = False          # exact weighted-Jaccard check on candidate edges
+
+    # --- execution ---
+    batch_size: int = 1024        # docs per map_batches batch in the WMH stage
+    wmh_concurrency: int = 8      # actor-pool size for the hasher stage
+    cc_max_rounds: int = 50       # safety cap on the CC fixpoint iteration
+
+    # --- exact dedup (D2) ---
+    collapse_exact: bool = True   # collapse byte-identical texts before hashing
+
+    @property
+    def feature_dim(self) -> int:
+        return 1 << self.feature_dim_log2
+
+    def config_hash(self) -> str:
+        """Stable hash identifying this config for checkpoint lineage."""
+        blob = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.blake2b(blob, digest_size=8).hexdigest()
+
+    def with_(self, **kw) -> "DedupConfig":
+        return replace(self, **kw)

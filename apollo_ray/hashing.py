@@ -1,0 +1,114 @@
+"""Deterministic 64-bit hashing for tokens, shingles and documents.
+
+The reference keys documents by content sha1 computed upstream
+(``apollo/bags.py:15``) and uses raw band bytes as bucket keys
+(``apollo/hasher.py:97-99``).  Here every key is a stable uint64:
+
+- token -> blake2b-8 (stable across processes, unlike ``hash()``)
+- k-shingle -> splitmix64-style mix of the k token hashes (vectorized)
+- document text -> blake2b-8 of the utf-8 bytes (exact-dedup key, D2)
+- band bytes -> splitmix64 fold of the band's uint32 lanes (bucket key)
+
+No xxhash/scipy in this environment, so everything is hashlib + numpy.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_U64 = np.uint64
+_MASK64 = _U64(0xFFFFFFFFFFFFFFFF)
+
+# splitmix64 constants (public domain, Vigna 2015)
+_SM_GAMMA = _U64(0x9E3779B97F4A7C15)
+_SM_M1 = _U64(0xBF58476D1CE4E5B9)
+_SM_M2 = _U64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a uint64 array."""
+    x = (x + _SM_GAMMA) & _MASK64
+    x = ((x ^ (x >> _U64(30))) * _SM_M1) & _MASK64
+    x = ((x ^ (x >> _U64(27))) * _SM_M2) & _MASK64
+    return x ^ (x >> _U64(31))
+
+
+def hash_utf8(s: str, seed: int = 0) -> int:
+    """Stable 64-bit hash of a string (blake2b, 8-byte digest)."""
+    h = hashlib.blake2b(s.encode("utf-8", "surrogatepass"), digest_size=8,
+                        salt=seed.to_bytes(8, "little"))
+    return int.from_bytes(h.digest(), "little")
+
+
+def hash_bytes(b: bytes, seed: int = 0) -> int:
+    h = hashlib.blake2b(b, digest_size=8, salt=seed.to_bytes(8, "little"))
+    return int.from_bytes(h.digest(), "little")
+
+
+class TokenHasher:
+    """Memoizing token -> uint64 hasher.
+
+    Per-batch token vocabularies are tiny relative to token counts, so a
+    bounded memo turns the per-token blake2b cost into a dict lookup.
+    Held in actor state (stateful stage rule) — built once per worker.
+    """
+
+    def __init__(self, seed: int = 0, max_memo: int = 1 << 20):
+        self.seed = seed
+        self.max_memo = max_memo
+        self._memo: dict[str, int] = {}
+
+    def hash_tokens(self, tokens: list[str]) -> np.ndarray:
+        memo = self._memo
+        seed = self.seed
+        if len(memo) > self.max_memo:
+            memo.clear()
+        out = np.empty(len(tokens), dtype=np.uint64)
+        for i, t in enumerate(tokens):
+            v = memo.get(t)
+            if v is None:
+                v = hash_utf8(t, seed)
+                memo[t] = v
+            out[i] = v
+        return out
+
+
+def shingle_hashes(token_hashes: np.ndarray, k: int) -> np.ndarray:
+    """uint64 hashes of all k-shingles of a token-hash sequence.
+
+    Vectorized: positions i..i+k-1 are combined with per-offset odd
+    multipliers then splitmix64-finalized.  A doc with fewer than k
+    tokens yields a single shingle of its full (short) sequence, so no
+    document hashes to an empty bag (the reference errors on all-zero
+    bags, ``apollo/hasher.py:245-246``; we keep short docs hashable).
+    """
+    n = len(token_hashes)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n < k:
+        k = n
+    m = n - k + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        mult = splitmix64(np.array([_U64(j + 1)], dtype=np.uint64))[0] | _U64(1)
+        acc = (acc + token_hashes[j:j + m] * mult) & _MASK64
+        acc = splitmix64(acc)
+    return acc
+
+
+def fold_u32_rows(rows: np.ndarray) -> np.ndarray:
+    """Fold each row of a (n, w) uint32 array into one uint64 bucket key.
+
+    Replaces the reference's raw band bytes as the bucket identity
+    (``apollo/hasher.py:97-99`` uses the bytes verbatim as a Cassandra
+    clustering key); a 64-bit mix keeps the shuffle key fixed-width with
+    negligible collision probability at any realistic bucket count.
+    """
+    rows = np.ascontiguousarray(rows, dtype=np.uint32).astype(np.uint64)
+    acc = np.full(rows.shape[0], _U64(0x5851F42D4C957F2D), dtype=np.uint64)
+    for j in range(rows.shape[1]):
+        acc = (acc ^ rows[:, j]) & _MASK64
+        acc = splitmix64(acc)
+    return acc

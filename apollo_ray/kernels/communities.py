@@ -1,0 +1,141 @@
+"""Community detection inside a connected component.
+
+The reference runs any ``igraph.Graph.community_*`` algorithm per fat
+CC (``apollo/graph.py:272-297``; default walktrap
+``apollo/__main__.py:176-179``) over either a *linear* doc<->bucket
+bipartite graph (artificial bucket vertices offset by the total vertex
+count, ``apollo/graph.py:222-233``, ``doc/model/cmd.md:6-20``) or a
+*quadratic* all-pairs-within-bucket graph (``apollo/graph.py:234-249``).
+
+igraph is not installed in this environment, so the default algorithm
+is a pure-NumPy synchronous label propagation with min-label
+tie-breaking (deterministic); when igraph *is* importable the same
+reflection plugin surface as the reference is exposed
+(``detect(algorithm="walktrap")`` etc.).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:  # optional plugin, mirrors apollo/__main__.py:176-179 reflection
+    import igraph as _igraph
+except ImportError:  # pragma: no cover - not present in this container
+    _igraph = None
+
+
+def build_linear_edges(doc_ids: np.ndarray, bucket_ids: np.ndarray
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Doc<->bucket bipartite edges for one CC (linear mode).
+
+    ``doc_ids[i]`` is a member of ``bucket_ids[i]``.  Returns (edges_u,
+    edges_v, weights) with bucket vertices relabeled into a disjoint id
+    range (the reference offsets them by ``total_nvertices``,
+    ``apollo/graph.py:231``); weight = bucket size
+    (``apollo/graph.py:225,230``).
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.uint64)
+    bucket_ids = np.asarray(bucket_ids, dtype=np.uint64)
+    uniq_b, b_idx, b_counts = np.unique(bucket_ids, return_inverse=True,
+                                        return_counts=True)
+    offset = np.uint64(doc_ids.max()) + np.uint64(1) if len(doc_ids) else np.uint64(0)
+    edges_u = doc_ids
+    edges_v = offset + b_idx.astype(np.uint64)
+    weights = b_counts[b_idx].astype(np.float64)
+    return edges_u, edges_v, weights
+
+
+def label_propagation(edges_u: np.ndarray, edges_v: np.ndarray,
+                      weights: np.ndarray | None = None,
+                      max_rounds: int = 50) -> dict[int, int]:
+    """Deterministic synchronous weighted label propagation.
+
+    Each round every vertex adopts the label with maximum incident
+    weight among its neighbors' labels (ties -> smallest label).
+    Converges on these shallow LSH graphs in a few rounds; communities
+    are the final label partition.  Returns {vertex: community_label}.
+    """
+    edges_u = np.asarray(edges_u, dtype=np.uint64)
+    edges_v = np.asarray(edges_v, dtype=np.uint64)
+    if weights is None:
+        weights = np.ones(len(edges_u), dtype=np.float64)
+    verts = np.unique(np.concatenate([edges_u, edges_v]))
+    vmap = {int(v): i for i, v in enumerate(verts)}
+    n = len(verts)
+    u = np.fromiter((vmap[int(x)] for x in edges_u), dtype=np.int64, count=len(edges_u))
+    v = np.fromiter((vmap[int(x)] for x in edges_v), dtype=np.int64, count=len(edges_v))
+    labels = np.arange(n, dtype=np.int64)
+    # symmetric incidence
+    src = np.concatenate([u, v])
+    dst = np.concatenate([v, u])
+    w = np.concatenate([weights, weights]).astype(np.float64)
+    for _ in range(max_rounds):
+        new_labels = labels.copy()
+        # per (dst, label(src)) weight sums
+        lab_src = labels[src]
+        order = np.lexsort((lab_src, dst))
+        d_s, l_s, w_s = dst[order], lab_src[order], w[order]
+        # segment boundaries at (dst, label) change
+        change = np.empty(len(d_s), dtype=bool)
+        change[0] = True
+        change[1:] = (d_s[1:] != d_s[:-1]) | (l_s[1:] != l_s[:-1])
+        seg_id = np.cumsum(change) - 1
+        seg_w = np.zeros(seg_id[-1] + 1 if len(seg_id) else 0)
+        np.add.at(seg_w, seg_id, w_s)
+        seg_dst = d_s[change]
+        seg_lab = l_s[change]
+        # pick per dst the (max weight, min label): sort by (dst, -w, lab)
+        sel = np.lexsort((seg_lab, -seg_w, seg_dst))
+        sd = seg_dst[sel]
+        first = np.empty(len(sd), dtype=bool)
+        if len(sd):
+            first[0] = True
+            first[1:] = sd[1:] != sd[:-1]
+            new_labels[sd[first]] = seg_lab[sel][first]
+        if np.array_equal(new_labels, labels):
+            break
+        labels = new_labels
+    # normalize labels to the min original vertex id per community
+    out: dict[int, int] = {}
+    lab_to_min: dict[int, int] = {}
+    for i in range(n):
+        lab = int(labels[i])
+        vid = int(verts[i])
+        if lab not in lab_to_min or vid < lab_to_min[lab]:
+            lab_to_min[lab] = vid
+    for i in range(n):
+        out[int(verts[i])] = lab_to_min[int(labels[i])]
+    return out
+
+
+def detect(edges_u: np.ndarray, edges_v: np.ndarray,
+           weights: np.ndarray | None = None,
+           algorithm: str = "label_propagation", **kwargs) -> dict[int, int]:
+    """Community detection with the reference's plugin surface.
+
+    ``label_propagation`` (default) runs the NumPy implementation;
+    any other name requires igraph and resolves ``community_<name>``
+    by reflection exactly like ``apollo/graph.py:277-289``.
+    """
+    if algorithm == "label_propagation" or _igraph is None:
+        return label_propagation(edges_u, edges_v, weights)
+    verts = np.unique(np.concatenate([edges_u, edges_v]))
+    vmap = {int(x): i for i, x in enumerate(verts)}
+    g = _igraph.Graph(
+        n=len(verts),
+        edges=[(vmap[int(a)], vmap[int(b)]) for a, b in zip(edges_u, edges_v)],
+        directed=False)
+    action = getattr(g, "community_" + algorithm)
+    if algorithm == "infomap":
+        kwargs.setdefault("edge_weights", None if weights is None else list(weights))
+    elif algorithm != "leading_eigenvector_naive":
+        kwargs.setdefault("weights", None if weights is None else list(weights))
+    result = action(**kwargs)
+    if hasattr(result, "as_clustering"):
+        result = result.as_clustering()
+    out: dict[int, int] = {}
+    for comm_id, members in enumerate(result):
+        lo = min(int(verts[m]) for m in members)
+        for m in members:
+            out[int(verts[m])] = lo
+    return out
