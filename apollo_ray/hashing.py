@@ -28,23 +28,49 @@ _SM_M2 = _U64(0x94D049BB133111EB)
 
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 finalizer over a uint64 array."""
+    """Vectorized splitmix64 finalizer (any int array; coerced to uint64)."""
+    x = np.asarray(x)
+    if x.dtype != np.uint64:
+        x = x.astype(np.uint64)
     x = (x + _SM_GAMMA) & _MASK64
     x = ((x ^ (x >> _U64(30))) * _SM_M1) & _MASK64
     x = ((x ^ (x >> _U64(27))) * _SM_M2) & _MASK64
     return x ^ (x >> _U64(31))
 
 
+_MASK63 = (1 << 63) - 1
+
+
 def hash_utf8(s: str, seed: int = 0) -> int:
-    """Stable 64-bit hash of a string (blake2b, 8-byte digest)."""
+    """Stable 63-bit hash of a string (blake2b, 8-byte digest).
+
+    63 bits, not 64: every id/key column in the engine is Arrow
+    ``int64`` because Ray Data's sort/aggregate paths fall back to
+    pickled-object columns for uint64 values above 2**63.  At 10^12
+    docs a 63-bit key expects ~3e4 collisions — the production upgrade
+    path is a 128-bit key split across two int64 columns; the pipeline
+    semantics are key-width-agnostic.
+    """
     h = hashlib.blake2b(s.encode("utf-8", "surrogatepass"), digest_size=8,
                         salt=seed.to_bytes(8, "little"))
-    return int.from_bytes(h.digest(), "little")
+    return int.from_bytes(h.digest(), "little") & _MASK63
 
 
 def hash_bytes(b: bytes, seed: int = 0) -> int:
     h = hashlib.blake2b(b, digest_size=8, salt=seed.to_bytes(8, "little"))
-    return int.from_bytes(h.digest(), "little")
+    return int.from_bytes(h.digest(), "little") & _MASK63
+
+
+def mix_to_partition(ids: np.ndarray, num_partitions: int) -> np.ndarray:
+    """int64 id column -> int32 partition key via splitmix64."""
+    x = splitmix64(np.asarray(ids).astype(np.uint64))
+    return (x % np.uint64(num_partitions)).astype(np.int32)
+
+
+def pair_mix(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Order-sensitive uint64 mix of two int64 id columns (dedup keys)."""
+    return splitmix64(splitmix64(np.asarray(u).astype(np.uint64))
+                      ^ np.asarray(v).astype(np.uint64))
 
 
 class TokenHasher:
@@ -99,16 +125,17 @@ def shingle_hashes(token_hashes: np.ndarray, k: int) -> np.ndarray:
 
 
 def fold_u32_rows(rows: np.ndarray) -> np.ndarray:
-    """Fold each row of a (n, w) uint32 array into one uint64 bucket key.
+    """Fold each row of a (n, w) uint32 array into one int64 bucket key.
 
     Replaces the reference's raw band bytes as the bucket identity
     (``apollo/hasher.py:97-99`` uses the bytes verbatim as a Cassandra
-    clustering key); a 64-bit mix keeps the shuffle key fixed-width with
-    negligible collision probability at any realistic bucket count.
+    clustering key); a 63-bit mix keeps the shuffle key fixed-width with
+    negligible collision probability at any realistic bucket count
+    (int64 for the same Ray uint64 caveat as ``hash_utf8``).
     """
     rows = np.ascontiguousarray(rows, dtype=np.uint32).astype(np.uint64)
     acc = np.full(rows.shape[0], _U64(0x5851F42D4C957F2D), dtype=np.uint64)
     for j in range(rows.shape[1]):
         acc = (acc ^ rows[:, j]) & _MASK64
         acc = splitmix64(acc)
-    return acc
+    return (acc >> _U64(1)).astype(np.int64)

@@ -81,12 +81,12 @@ def find_connected_components(buckets: Sequence[Iterable[int]]) -> dict[int, set
 
 
 def star_edges(members: np.ndarray) -> np.ndarray:
-    """(n-1, 2) uint64 edges from each member to the bucket minimum."""
-    members = np.unique(np.asarray(members, dtype=np.uint64))
+    """(n-1, 2) int64 edges from each member to the bucket minimum."""
+    members = np.unique(np.asarray(members, dtype=np.int64))
     if len(members) < 2:
-        return np.empty((0, 2), dtype=np.uint64)
+        return np.empty((0, 2), dtype=np.int64)
     lo = members[0]
-    out = np.empty((len(members) - 1, 2), dtype=np.uint64)
+    out = np.empty((len(members) - 1, 2), dtype=np.int64)
     out[:, 0] = members[1:]
     out[:, 1] = lo
     return out

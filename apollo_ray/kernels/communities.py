@@ -34,13 +34,13 @@ def build_linear_edges(doc_ids: np.ndarray, bucket_ids: np.ndarray
     ``apollo/graph.py:231``); weight = bucket size
     (``apollo/graph.py:225,230``).
     """
-    doc_ids = np.asarray(doc_ids, dtype=np.uint64)
-    bucket_ids = np.asarray(bucket_ids, dtype=np.uint64)
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    bucket_ids = np.asarray(bucket_ids, dtype=np.int64)
     uniq_b, b_idx, b_counts = np.unique(bucket_ids, return_inverse=True,
                                         return_counts=True)
-    offset = np.uint64(doc_ids.max()) + np.uint64(1) if len(doc_ids) else np.uint64(0)
+    offset = np.int64(doc_ids.max()) + np.int64(1) if len(doc_ids) else np.int64(0)
     edges_u = doc_ids
-    edges_v = offset + b_idx.astype(np.uint64)
+    edges_v = offset + b_idx.astype(np.int64)
     weights = b_counts[b_idx].astype(np.float64)
     return edges_u, edges_v, weights
 
@@ -55,8 +55,8 @@ def label_propagation(edges_u: np.ndarray, edges_v: np.ndarray,
     Converges on these shallow LSH graphs in a few rounds; communities
     are the final label partition.  Returns {vertex: community_label}.
     """
-    edges_u = np.asarray(edges_u, dtype=np.uint64)
-    edges_v = np.asarray(edges_v, dtype=np.uint64)
+    edges_u = np.asarray(edges_u, dtype=np.int64)
+    edges_v = np.asarray(edges_v, dtype=np.int64)
     if weights is None:
         weights = np.ones(len(edges_u), dtype=np.float64)
     verts = np.unique(np.concatenate([edges_u, edges_v]))

@@ -1,0 +1,128 @@
+"""The flagship near-dedup pipeline (the whole reference system, D3).
+
+    pages ──extract──▶ docs ──collapse(text_hash)──▶ reps
+      ──bags──▶ bags ──wmh (actor pool)──▶ signatures
+      ──explode──▶ bands ──groupby(bucket)──▶ star edges
+      (∪ exact-member edges) ──[verify]──▶ edges
+      ──large★/small★ CC──▶ clusters ──[communities]──▶ communities
+
+Replaces apollo's command sequence ``bags`` -> ``hash`` -> ``cc`` ->
+``cmd`` -> ``dumpcmd`` (``apollo/__main__.py:72-207``) — a chain of
+batch jobs glued by Cassandra tables and asdf models — with one
+resident Ray Data driver program whose stage boundaries are Parquet
+checkpoints (``sources/io.py``): ``run()`` re-executes only stages
+whose checkpoint is missing or whose (config, input) lineage changed.
+
+Streaming discipline: nothing materializes the corpus on the driver;
+stages are lazy ``map_batches`` chains and the only all-to-all
+exchanges are the documented shuffles (text_hash collapse, bucket
+groupby, CC rounds, final label groupby).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any
+
+import ray.data
+
+from apollo_ray.config import DedupConfig
+from apollo_ray.sources import io as ckpt_io
+from apollo_ray.stages.bags import build_bags, collapse_exact, exact_member_edges
+from apollo_ray.stages.bands import explode_bands
+from apollo_ray.stages.cc_stage import assign_clusters, connected_components
+from apollo_ray.stages.communities_stage import detect_communities
+from apollo_ray.stages.edges import bucket_star_edges, bucket_stats
+from apollo_ray.stages.extract import extract_docs
+from apollo_ray.stages.verify import verify_edges
+from apollo_ray.stages.wmh_stage import compute_signatures
+
+log = logging.getLogger("apollo_ray.dedup")
+
+STAGES = ("docs", "reps", "bags", "signatures", "bands", "edges",
+          "clusters", "communities")
+
+
+def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
+              ckpt_root: str | None = None,
+              input_fingerprint: str = "",
+              with_communities: bool = False,
+              with_stats: bool = False,
+              num_partitions: int = 64) -> dict[str, Any]:
+    """Run the full pipeline; returns {"clusters": Dataset, ...}.
+
+    With ``ckpt_root`` every stage is checkpointed to Parquet and
+    completed stages (matching config hash + input fingerprint) are
+    skipped on re-run — resumability with per-stage lineage.  Without
+    it the pipeline runs fully streaming, checkpoint-free.
+    """
+    chash = cfg.config_hash()
+    metrics: dict[str, Any] = {}
+    t_start = time.monotonic()
+
+    def stage(name: str, build, *deps_ok):
+        """Build-or-load one checkpointed stage."""
+        if ckpt_root is not None:
+            if all(deps_ok) and ckpt_io.is_complete(ckpt_root, name, chash,
+                                                    input_fingerprint):
+                log.info("stage %s: checkpoint hit, skipping", name)
+                metrics[name + "_cached"] = True
+                return ckpt_io.read_stage(ckpt_root, name), True
+            t0 = time.monotonic()
+            ds = build()
+            ds = ckpt_io.write_stage(ds, ckpt_root, name, chash,
+                                     input_fingerprint)
+            metrics[name + "_sec"] = round(time.monotonic() - t0, 3)
+            return ds, False
+        return build(), False
+
+    docs, docs_hit = stage("docs", lambda: extract_docs(pages, cfg))
+    if cfg.collapse_exact:
+        reps, reps_hit = stage("reps", lambda: collapse_exact(docs), docs_hit)
+        member_edges = exact_member_edges(reps)
+    else:
+        reps, reps_hit = docs, docs_hit
+        member_edges = None
+    bags, bags_hit = stage("bags", lambda: build_bags(reps, cfg), reps_hit)
+    sigs, sigs_hit = stage("signatures", lambda: compute_signatures(bags, cfg),
+                           bags_hit)
+    bands, bands_hit = stage("bands", lambda: explode_bands(sigs, cfg), sigs_hit)
+    if with_stats:
+        metrics["bucket_stats"] = bucket_stats(bands)
+
+    def build_edges():
+        e = bucket_star_edges(bands, cfg, num_partitions=num_partitions)
+        if cfg.verify:
+            e = verify_edges(e, bags, cfg,
+                             num_partitions=num_partitions).select_columns(["u", "v"])
+        if member_edges is not None:
+            e = e.union(member_edges)
+        return e
+
+    edges, edges_hit = stage("edges", build_edges, bands_hit)
+
+    def build_clusters():
+        final_edges = connected_components(edges,
+                                           num_partitions=num_partitions,
+                                           max_rounds=cfg.cc_max_rounds)
+        return assign_clusters(docs.select_columns(["doc_id"]), final_edges)
+
+    clusters, clusters_hit = stage("clusters", build_clusters,
+                                   edges_hit, docs_hit)
+
+    out: dict[str, Any] = {
+        "docs": docs, "reps": reps, "bags": bags, "signatures": sigs,
+        "bands": bands, "edges": edges, "clusters": clusters,
+        "metrics": metrics,
+    }
+    if with_communities:
+        comms, _ = stage(
+            "communities",
+            lambda: detect_communities(
+                clusters, bands.select_columns(["doc_id", "bucket"]), cfg,
+                num_partitions=num_partitions),
+            clusters_hit, bands_hit)
+        out["communities"] = comms
+    metrics["total_sec"] = round(time.monotonic() - t_start, 3)
+    return out

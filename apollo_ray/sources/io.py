@@ -1,0 +1,118 @@
+"""Checkpointed Parquet stage boundaries.
+
+The reference persists every stage into Cassandra tables + asdf models
+(``apollo/cassandra_utils.py:74-86``, ``doc/GLOSSARY.md``); here each
+stage boundary is a Parquet directory under one checkpoint root:
+
+    <ckpt>/<stage>/part-*.parquet    the data (many files => resumable,
+                                     parallel read, never one giant file)
+    <ckpt>/<stage>/_SUCCESS.json     lineage manifest: config hash,
+                                     input fingerprint, row count,
+                                     wall time, stage metrics
+
+``run``-style orchestration re-executes a stage only when its manifest
+is missing or its (config_hash, input fingerprint) differs — the
+explicit resumability the north rule asks for.  ``reset`` is the
+analog of apollo's ``resetdb`` (``apollo/cassandra_utils.py:59-86``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Any
+
+import ray.data
+
+
+def stage_dir(ckpt_root: str, stage: str) -> str:
+    return os.path.join(ckpt_root, stage)
+
+
+def manifest_path(ckpt_root: str, stage: str) -> str:
+    return os.path.join(ckpt_root, stage, "_SUCCESS.json")
+
+
+def is_complete(ckpt_root: str, stage: str, config_hash: str,
+                input_fingerprint: str = "") -> bool:
+    try:
+        with open(manifest_path(ckpt_root, stage)) as f:
+            m = json.load(f)
+        return (m.get("config_hash") == config_hash
+                and m.get("input_fingerprint", "") == input_fingerprint)
+    except (OSError, ValueError):
+        return False
+
+
+def write_stage(ds: "ray.data.Dataset", ckpt_root: str, stage: str,
+                config_hash: str, input_fingerprint: str = "",
+                metrics: dict[str, Any] | None = None) -> "ray.data.Dataset":
+    """Write a stage checkpoint atomically and return a reader Dataset.
+
+    Writes into ``<stage>.tmp`` then renames, so a crashed run never
+    leaves a half-written directory that looks complete.
+    """
+    out = stage_dir(ckpt_root, stage)
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    t0 = time.monotonic()
+    ds.write_parquet(tmp)
+    wall = time.monotonic() - t0
+    n_files = len([f for f in os.listdir(tmp) if f.endswith(".parquet")])
+    man = {
+        "stage": stage,
+        "config_hash": config_hash,
+        "input_fingerprint": input_fingerprint,
+        "wall_sec": round(wall, 3),
+        "n_files": n_files,
+        "metrics": metrics or {},
+        "ts": time.time(),
+    }
+    with open(os.path.join(tmp, "_SUCCESS.json"), "w") as f:
+        json.dump(man, f, indent=1)
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(tmp, out)
+    return read_stage(ckpt_root, stage)
+
+
+def read_stage(ckpt_root: str, stage: str, columns: list[str] | None = None
+               ) -> "ray.data.Dataset":
+    d = stage_dir(ckpt_root, stage)
+    files = [os.path.join(d, f) for f in sorted(os.listdir(d))
+             if f.endswith(".parquet")]
+    return ray.data.read_parquet(files, columns=columns)
+
+
+def read_manifest(ckpt_root: str, stage: str) -> dict[str, Any]:
+    with open(manifest_path(ckpt_root, stage)) as f:
+        return json.load(f)
+
+
+def reset(ckpt_root: str, stages: list[str] | None = None) -> None:
+    """Drop stage checkpoints (all, or a subset — the ``--hashes-only``
+    analog of ``apollo/cassandra_utils.py:66-73``)."""
+    if stages is None:
+        shutil.rmtree(ckpt_root, ignore_errors=True)
+        return
+    for s in stages:
+        shutil.rmtree(stage_dir(ckpt_root, s), ignore_errors=True)
+
+
+def read_pages(path: str, columns: list[str] | None = None,
+               lang_filter: list[str] | None = None) -> "ray.data.Dataset":
+    """Read a Common-Crawl-style ``pages`` Parquet table.
+
+    Column pruning happens at the read; the language filter (the M1
+    analog of apollo's ``-l`` flag, ``doc/cmd/bags.md:8``) is pushed
+    down as a row filter so non-matching row groups never leave storage.
+    """
+    import pyarrow.compute as pc
+    kwargs: dict[str, Any] = {}
+    if columns:
+        kwargs["columns"] = columns
+    if lang_filter:
+        kwargs["filter"] = pc.field("lang").isin(lang_filter)
+    return ray.data.read_parquet(path, **kwargs)

@@ -1,0 +1,149 @@
+"""Bags stage: docs -> exact-dup collapse -> weighted shingle bags.
+
+Two sub-stages:
+
+1. **Exact collapse (D2)** — the reference keys documents by content
+   sha1 so byte-identical files collapse upstream (``apollo/bags.py:15``,
+   ``doc/cmd/query.md:14``).  Here: one ``groupby(text_hash)`` shuffle;
+   each group keeps the min-``doc_id`` row as representative and emits
+   (doc_id, rep_id) membership rows.  Members join their representative's
+   cluster later via (member -> rep) edges fed into the CC stage — no
+   join needed.  At webtext scale ~30% of pages are exact dups, so this
+   multiplies the throughput of every downstream stage.
+
+2. **Bag building (M3+M4)** — representative text -> token k-shingles ->
+   64-bit feature hash into ``2**feature_dim_log2`` columns -> log-TF
+   weights.  Stateful actor pool: the memoizing ``TokenHasher`` lives in
+   ``__init__`` (once per actor), replacing the reference's global
+   vocabulary + docfreq model (``apollo/hasher.py:116-117``) with
+   feature hashing (no global state at 10^12-doc scale).
+
+Output ``bags`` schema: ``doc_id:int64, indices:list<uint32>,
+weights:list<float32>, n_members:int64`` (sparse vector as Arrow lists,
+the columnar replacement for the per-(doc,feature) row explosion of the
+Cassandra ``bags`` table, ``apollo/cassandra_utils.py:74-75``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from apollo_ray.config import DedupConfig
+from apollo_ray.hashing import TokenHasher
+from apollo_ray.kernels.text import doc_to_bag
+
+
+def collapse_exact(docs: "ray.data.Dataset",
+                   num_partitions: int = 64) -> "ray.data.Dataset":
+    """One shuffle -> one row per distinct text.
+
+    Output: representative (min doc_id) rows carrying ``text`` plus
+    ``member_ids:list<int64>`` (the other doc_ids, usually empty).
+
+    Partitioned by ``hash(text_hash) % P`` (all rows of a text land in
+    one partition) with a fully vectorized per-partition body — lexsort
+    + segment-cut + ``ListArray.from_arrays`` — so there is no
+    per-distinct-text Python call (at webtext scale that would be
+    billions of them).
+    """
+    from apollo_ray.hashing import mix_to_partition
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        th = np.asarray(batch.column("text_hash"), dtype=np.int64)
+        pkey = mix_to_partition(th, num_partitions)
+        return batch.append_column("pkey", pa.array(pkey, type=pa.int32()))
+
+    def reduce_partition(group: pa.Table) -> pa.Table:
+        th = np.asarray(group.column("text_hash"), dtype=np.int64)
+        ids = np.asarray(group.column("doc_id"), dtype=np.int64)
+        order = np.lexsort((ids, th))
+        th_s, ids_s = th[order], ids[order]
+        new_seg = np.empty(len(th_s), dtype=bool)
+        if len(th_s) == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "text": pa.array([], type=pa.string()),
+                             "lang": pa.array([], type=pa.string()),
+                             "member_ids": pa.array([], type=pa.list_(pa.int64()))})
+        new_seg[0] = True
+        new_seg[1:] = th_s[1:] != th_s[:-1]
+        first_pos = np.flatnonzero(new_seg)
+        rep_rows = group.take(pa.array(order[first_pos]))
+        members = ids_s[~new_seg]
+        seg_sizes = np.diff(np.append(first_pos, len(th_s))) - 1
+        offsets = np.zeros(len(first_pos) + 1, dtype=np.int64)
+        np.cumsum(seg_sizes, out=offsets[1:])
+        member_arr = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()),
+            pa.array(members, type=pa.int64()))
+        return pa.table({
+            "doc_id": rep_rows.column("doc_id").cast(pa.int64()),
+            "text": rep_rows.column("text"),
+            "lang": rep_rows.column("lang"),
+            "member_ids": member_arr,
+        })
+
+    keyed = docs.map_batches(add_pkey, batch_format="pyarrow")
+    return keyed.groupby("pkey").map_groups(reduce_partition,
+                                            batch_format="pyarrow")
+
+
+def exact_member_edges(reps: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(member -> rep) edges from the collapse, for the CC stage."""
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch.column("member_ids")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        import pyarrow.compute as pc
+        lengths = np.asarray(pc.list_value_length(col), dtype=np.int64)
+        members = np.asarray(col.flatten(), dtype=np.int64)
+        reps_ids = np.repeat(np.asarray(batch.column("doc_id"),
+                                        dtype=np.int64), lengths)
+        return pa.table({"u": pa.array(members, type=pa.int64()),
+                         "v": pa.array(reps_ids, type=pa.int64())})
+
+    return reps.map_batches(explode, batch_format="pyarrow")
+
+
+class BagBuilder:
+    """Actor-pool callable: text -> sparse weighted bag.
+
+    State (compiled hasher + memo) built once per actor; per-batch work
+    is C-speed splits + numpy shingle mixing.
+    """
+
+    def __init__(self, cfg: DedupConfig):
+        self.cfg = cfg
+        self.hasher = TokenHasher(seed=cfg.seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        texts = batch.column("text").to_pylist()
+        indices: list[np.ndarray] = []
+        weights: list[np.ndarray] = []
+        for t in texts:
+            idx, w = doc_to_bag(t, self.hasher, cfg.shingle_k,
+                                cfg.feature_dim_log2, cfg.tokenizer,
+                                cfg.weighting)
+            indices.append(idx)
+            weights.append(w)
+        n_members = (
+            pa.array([len(m) + 1 for m in batch.column("member_ids").to_pylist()],
+                     type=pa.int64())
+            if "member_ids" in batch.column_names
+            else pa.array([1] * batch.num_rows, type=pa.int64()))
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "indices": pa.array(indices, type=pa.list_(pa.uint32())),
+            "weights": pa.array(weights, type=pa.list_(pa.float32())),
+            "n_members": n_members,
+        })
+
+
+def build_bags(reps: "ray.data.Dataset", cfg: DedupConfig) -> "ray.data.Dataset":
+    return reps.map_batches(
+        BagBuilder, fn_constructor_args=(cfg,), batch_format="pyarrow",
+        batch_size=cfg.batch_size, concurrency=(1, cfg.wmh_concurrency))

@@ -1,0 +1,88 @@
+"""Extract stage: pages -> docs.
+
+The webtext analog of the reference's corpus ingestion
+(``apollo/bags.py:52-57`` delegates repo->file extraction to the
+external engine; our input is already a Parquet ``pages`` table per
+BASELINE.json ``input_hint``).  Stateless ``map_batches`` tasks:
+
+    (url, warc_ts, html, lang) -> (doc_id, url, warc_ts, lang, text, text_hash)
+
+- ``doc_id``   = blake2b-64(url)  (replaces the "mode@sha1" string keys,
+  ``apollo/query.py:74``)
+- ``text``     = deterministic html->text extraction; must byte-equal
+  the driver's ``text`` column per url (the per-row invariant)
+- ``text_hash`` = blake2b-64(text) — the exact-dedup key (D2: the
+  reference collapses identical contents upstream by content sha1,
+  ``apollo/bags.py:15``)
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+from apollo_ray.config import DedupConfig
+from apollo_ray.hashing import hash_utf8
+from apollo_ray.kernels.text import extract_text
+
+
+def _extract_batch(batch: pa.Table) -> pa.Table:
+    names = set(batch.column_names)
+    n = batch.num_rows
+    if "html" in names:
+        html = batch.column("html").to_pylist()
+        texts = [extract_text(h) for h in html]
+    else:
+        texts = batch.column("text").to_pylist()
+    if "url" in names:
+        urls = batch.column("url").to_pylist()
+        doc_ids = [hash_utf8(u) for u in urls]
+    else:
+        doc_ids = [int(x) for x in batch.column("doc_id").to_pylist()]
+        urls = [str(d) for d in doc_ids]
+    text_hashes = [hash_utf8(t) for t in texts]
+    cols: dict = {
+        "doc_id": pa.array(doc_ids, type=pa.int64()),
+        "url": pa.array(urls, type=pa.string()),
+        "lang": (batch.column("lang") if "lang" in names
+                 else pa.array(["und"] * n, type=pa.string())),
+        "text": pa.array(texts, type=pa.string()),
+        "text_hash": pa.array(text_hashes, type=pa.int64()),
+    }
+    if "warc_ts" in names:
+        cols["warc_ts"] = batch.column("warc_ts")
+    return pa.table(cols)
+
+
+def extract_docs(pages: "ray.data.Dataset", cfg: DedupConfig,
+                 latest_per_url: bool = False) -> "ray.data.Dataset":
+    """pages -> docs.  ``latest_per_url=True`` additionally keeps only
+    the newest ``warc_ts`` snapshot per url (M2, the ``--dzhigurda``
+    history-depth analog, ``doc/cmd/bags.md:9``) — one extra shuffle."""
+    docs = pages.map_batches(_extract_batch, batch_format="pyarrow")
+    if latest_per_url:
+        import pandas as pd
+
+        def newest(g: pd.DataFrame) -> pd.DataFrame:
+            return g.sort_values("warc_ts").tail(1)
+
+        docs = docs.groupby("url").map_groups(newest, batch_format="pandas")
+    return docs
+
+
+def check_extraction_invariant(pages: "ray.data.Dataset") -> int:
+    """Count rows where extracted text != the reference ``text`` column
+    (must be 0 on fixture input — the per-row invariant).  Distributed:
+    the comparison runs inside map_batches; only the count is collected.
+    """
+    def _check(batch: pa.Table) -> pa.Table:
+        bad = 0
+        for h, t in zip(batch.column("html").to_pylist(),
+                        batch.column("text").to_pylist()):
+            if extract_text(h) != t:
+                bad += 1
+        return pa.table({"bad": pa.array([bad], type=pa.int64())})
+
+    res = pages.map_batches(_check, batch_format="pyarrow").sum("bad")
+    return int(res or 0)

@@ -1,0 +1,126 @@
+"""Report / dump / query stages (S10, J1, J3/J4).
+
+- ``cluster_report``: clusters joined back to doc metadata (J1 — the
+  reference resolves sha1 -> (repo, commit, path) through batched
+  Cassandra IN-queries, ``apollo/cassandra_utils.py:89-142``; here it
+  is one hash join), communities of size <= 1 dropped like
+  ``apollo/graph.py:319-324``, deterministic ordering (O3).
+- ``render_markdown``: a small driver-side render of the final (small)
+  table — the Jinja template analog (``apollo/query.md.jinja2``,
+  ``apollo/report.md.jinja2``).
+- ``query_similar``: probe path (``apollo/query.py:14-77``): hash one
+  text, look up its buckets, union candidates (J3/D1), drop the probe
+  itself (J4), optional precise verify.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from apollo_ray.config import DedupConfig
+from apollo_ray.hashing import TokenHasher, fold_u32_rows
+from apollo_ray.kernels.jaccard import weighted_jaccard_sparse
+from apollo_ray.kernels.text import doc_to_bag
+from apollo_ray.kernels.wmh import generate_params, weighted_minhash_batch
+from apollo_ray.stages.bands import band_params
+from apollo_ray.stages.wmh_stage import list_columns_to_csr
+
+
+def cluster_report(clusters: "ray.data.Dataset", docs: "ray.data.Dataset",
+                   num_partitions: int = 32, min_size: int = 2
+                   ) -> "ray.data.Dataset":
+    """(doc_id, cc_id) + docs metadata -> report rows sorted by
+    (cc_id, doc_id), clusters below ``min_size`` dropped."""
+    meta = docs.select_columns(["doc_id", "url", "lang"])
+    joined = clusters.join(meta, join_type="inner",
+                           num_partitions=num_partitions, on=("doc_id",))
+
+    def per_cc(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < min_size:
+            return g.iloc[0:0]
+        return g.sort_values("doc_id")
+
+    return joined.groupby("cc_id").map_groups(per_cc, batch_format="pandas") \
+        .sort(["cc_id", "doc_id"])
+
+
+def render_markdown(report_df: pd.DataFrame) -> str:
+    """Markdown dump of a (small, already-collected) report table."""
+    lines = ["# Duplicate clusters", ""]
+    for cc_id, g in report_df.groupby("cc_id", sort=True):
+        lines.append("## cluster %d (%d docs)" % (int(cc_id), len(g)))
+        for _, row in g.iterrows():
+            lines.append("- %s" % row.get("url", row["doc_id"]))
+        lines.append("")
+    return "\n".join(lines)
+
+
+class ProbeHasher:
+    """Driver-side probe hashing for the query path — the analog of
+    ``hash_file`` (``apollo/hasher.py:208-234``) without Babelfish."""
+
+    def __init__(self, cfg: DedupConfig):
+        self.cfg = cfg
+        p = generate_params(cfg.feature_dim, cfg.size, cfg.seed)
+        self.rs, self.ln_cs, self.betas = p["rs"], p["ln_cs"], p["betas"]
+        self.hasher = TokenHasher(seed=cfg.seed)
+        self.htnum, self.band_size = band_params(cfg)
+
+    def probe(self, text: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """text -> (bucket keys, bag indices, bag weights)."""
+        from apollo_ray.stages.bands import bucket_keys
+        cfg = self.cfg
+        idx, w = doc_to_bag(text, self.hasher, cfg.shingle_k,
+                            cfg.feature_dim_log2, cfg.tokenizer, cfg.weighting)
+        indptr = np.array([0, len(idx)], dtype=np.int64)
+        sig = weighted_minhash_batch(indptr, idx, w, self.rs, self.ln_cs,
+                                     self.betas)[0]
+        flat = sig.reshape(1, -1)
+        buckets = bucket_keys(flat, self.htnum, self.band_size)[0]
+        return buckets, idx, w
+
+
+def query_similar(text: str, bands_ds: "ray.data.Dataset",
+                  bags_ds: "ray.data.Dataset", cfg: DedupConfig,
+                  precise: bool | None = None) -> list[int]:
+    """Find documents similar to a probe text.
+
+    Broadcast the (tiny) probe bucket set into a vectorized filter over
+    the bands table (J3: the reference's per-band Cassandra SELECTs,
+    ``apollo/query.py:39-43``), union candidates (D1), then optionally
+    verify by exact weighted Jaccard (``--precise``,
+    ``apollo/query.py:45-66``).
+    """
+    ph = ProbeHasher(cfg)
+    buckets, p_idx, p_w = ph.probe(text)
+    bucket_set = set(int(b) for b in buckets)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        b = np.asarray(batch.column("bucket"), dtype=np.int64)
+        mask = np.isin(b, np.fromiter(bucket_set, dtype=np.int64))
+        return batch.filter(pa.array(mask)).select(["doc_id"])
+
+    cands = bands_ds.map_batches(flt, batch_format="pyarrow").unique("doc_id")
+    cands = [int(c) for c in cands]
+    if not (precise if precise is not None else cfg.verify):
+        return sorted(cands)
+    cand_arr = np.fromiter(cands, dtype=np.int64)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        mask = np.isin(d, cand_arr)
+        sub = batch.filter(pa.array(mask))
+        ip, ix, w = list_columns_to_csr(sub, "indices", "weights")
+        keep = []
+        for i in range(sub.num_rows):
+            s = weighted_jaccard_sparse(ix[ip[i]:ip[i + 1]], w[ip[i]:ip[i + 1]],
+                                        p_idx, p_w)
+            keep.append(s >= cfg.threshold)
+        return sub.select(["doc_id"]).filter(pa.array(np.array(keep, dtype=bool)))
+
+    out = bags_ds.map_batches(verify, batch_format="pyarrow").unique("doc_id")
+    return sorted(int(x) for x in out)

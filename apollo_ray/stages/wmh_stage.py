@@ -1,0 +1,82 @@
+"""Weighted MinHash stage: bags -> signatures.
+
+The reference computes signatures on the driver's GPU batch-by-batch
+("does not work in Spark Cluster mode", ``doc/cmd/hash.md:3``,
+``apollo/hasher.py:155-179``) — the central single-process choke point.
+Here it is an actor pool: ``map_batches(WmhHasher, concurrency=N,
+batch_size=B, batch_format="pyarrow")`` where each actor materializes
+the seeded (rs, ln_cs, betas) matrices once in ``__init__`` (the reuse
+rule of ``doc/model/wmh.md:12-14``: same (dim, size, seed) => identical
+params on every actor, equivalent to reloading the saved model,
+``apollo/hasher.py:159-166``) and runs the vectorized Ioffe kernel per
+batch.
+
+Output ``signatures``: ``doc_id:int64, sig:list<uint32>[2*size]``
+(flattened (k, t_k) pairs — the same 2*size*4-byte payload the
+reference stores as a blob, ``apollo/cassandra_utils.py:82``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from apollo_ray.config import DedupConfig
+from apollo_ray.kernels.wmh import generate_params, weighted_minhash_batch
+
+
+def list_columns_to_csr(batch: pa.Table, idx_name: str, w_name: str
+                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """View two parallel Arrow list columns as CSR (indptr, indices, data).
+
+    ``flatten()`` is slice/offset-safe (a sliced ListArray's raw
+    ``values`` buffer still covers the unsliced parent).
+    """
+    idx_col = batch.column(idx_name)
+    w_col = batch.column(w_name)
+    if isinstance(idx_col, pa.ChunkedArray):
+        idx_col = idx_col.combine_chunks()
+    if isinstance(w_col, pa.ChunkedArray):
+        w_col = w_col.combine_chunks()
+    lengths = np.asarray(pc.list_value_length(idx_col), dtype=np.int64)
+    indptr = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=indptr[1:])
+    indices = np.asarray(idx_col.flatten(), dtype=np.uint32)
+    data = np.asarray(w_col.flatten(), dtype=np.float32)
+    return indptr, indices, data
+
+
+class WmhHasher:
+    def __init__(self, cfg: DedupConfig):
+        self.cfg = cfg
+        # regenerating from the seed is byte-identical to loading the
+        # params checkpoint and avoids shipping ~100 MB per actor
+        p = generate_params(cfg.feature_dim, cfg.size, cfg.seed)
+        self.rs, self.ln_cs, self.betas = p["rs"], p["ln_cs"], p["betas"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        indptr, indices, data = list_columns_to_csr(batch, "indices", "weights")
+        keep = np.flatnonzero(np.diff(indptr) > 0)
+        if len(keep) < batch.num_rows:  # drop empty bags (all-zero input
+            # is an error in the reference, apollo/hasher.py:245-246)
+            batch = batch.take(pa.array(keep))
+            indptr, indices, data = list_columns_to_csr(batch, "indices", "weights")
+        sigs = weighted_minhash_batch(indptr, indices, data,
+                                      self.rs, self.ln_cs, self.betas)
+        flat = sigs.reshape(len(sigs), -1)  # (n, 2*size) uint32
+        sig_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(flat.ravel(), type=pa.uint32()), flat.shape[1])
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "sig": sig_arr,
+        })
+
+
+def compute_signatures(bags: "ray.data.Dataset", cfg: DedupConfig
+                       ) -> "ray.data.Dataset":
+    return bags.map_batches(
+        WmhHasher, fn_constructor_args=(cfg,), batch_format="pyarrow",
+        batch_size=cfg.batch_size, concurrency=(1, cfg.wmh_concurrency))
