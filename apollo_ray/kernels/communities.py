@@ -48,53 +48,50 @@ def build_linear_edges(doc_ids: np.ndarray, bucket_ids: np.ndarray
 def label_propagation(edges_u: np.ndarray, edges_v: np.ndarray,
                       weights: np.ndarray | None = None,
                       max_rounds: int = 50) -> dict[int, int]:
-    """Deterministic synchronous weighted label propagation.
+    """Deterministic asynchronous weighted label propagation.
 
-    Each round every vertex adopts the label with maximum incident
-    weight among its neighbors' labels (ties -> smallest label).
-    Converges on these shallow LSH graphs in a few rounds; communities
-    are the final label partition.  Returns {vertex: community_label}.
+    Vertices are updated sequentially in increasing-id order (in-place
+    labels), which is deterministic and cannot oscillate (synchronous
+    LPA swaps labels forever on bipartite structures like a single
+    edge).  Each vertex adopts the label with maximum incident weight
+    among its neighbors (ties -> smallest label).  Runs per connected
+    component inside ``map_groups`` — component sizes are dedup-cluster
+    sized, so the sequential loop is cheap.
+    Returns {vertex: community_label}.
     """
     edges_u = np.asarray(edges_u, dtype=np.int64)
     edges_v = np.asarray(edges_v, dtype=np.int64)
     if weights is None:
         weights = np.ones(len(edges_u), dtype=np.float64)
     verts = np.unique(np.concatenate([edges_u, edges_v]))
-    vmap = {int(v): i for i, v in enumerate(verts)}
+    vmap = {int(x): i for i, x in enumerate(verts)}
     n = len(verts)
     u = np.fromiter((vmap[int(x)] for x in edges_u), dtype=np.int64, count=len(edges_u))
     v = np.fromiter((vmap[int(x)] for x in edges_v), dtype=np.int64, count=len(edges_v))
     labels = np.arange(n, dtype=np.int64)
-    # symmetric incidence
+    # symmetric CSR adjacency
     src = np.concatenate([u, v])
     dst = np.concatenate([v, u])
     w = np.concatenate([weights, weights]).astype(np.float64)
+    order = np.argsort(src, kind="stable")
+    src_s, dst_s, w_s = src[order], dst[order], w[order]
+    indptr = np.searchsorted(src_s, np.arange(n + 1))
     for _ in range(max_rounds):
-        new_labels = labels.copy()
-        # per (dst, label(src)) weight sums
-        lab_src = labels[src]
-        order = np.lexsort((lab_src, dst))
-        d_s, l_s, w_s = dst[order], lab_src[order], w[order]
-        # segment boundaries at (dst, label) change
-        change = np.empty(len(d_s), dtype=bool)
-        change[0] = True
-        change[1:] = (d_s[1:] != d_s[:-1]) | (l_s[1:] != l_s[:-1])
-        seg_id = np.cumsum(change) - 1
-        seg_w = np.zeros(seg_id[-1] + 1 if len(seg_id) else 0)
-        np.add.at(seg_w, seg_id, w_s)
-        seg_dst = d_s[change]
-        seg_lab = l_s[change]
-        # pick per dst the (max weight, min label): sort by (dst, -w, lab)
-        sel = np.lexsort((seg_lab, -seg_w, seg_dst))
-        sd = seg_dst[sel]
-        first = np.empty(len(sd), dtype=bool)
-        if len(sd):
-            first[0] = True
-            first[1:] = sd[1:] != sd[:-1]
-            new_labels[sd[first]] = seg_lab[sel][first]
-        if np.array_equal(new_labels, labels):
+        changed = False
+        for i in range(n):
+            s, e = indptr[i], indptr[i + 1]
+            if s == e:
+                continue
+            nbr_labels = labels[dst_s[s:e]]
+            uniq, inv = np.unique(nbr_labels, return_inverse=True)
+            sums = np.zeros(len(uniq))
+            np.add.at(sums, inv, w_s[s:e])
+            best = uniq[np.lexsort((uniq, -sums))[0]]
+            if best != labels[i]:
+                labels[i] = best
+                changed = True
+        if not changed:
             break
-        labels = new_labels
     # normalize labels to the min original vertex id per community
     out: dict[int, int] = {}
     lab_to_min: dict[int, int] = {}

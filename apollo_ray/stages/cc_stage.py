@@ -149,6 +149,8 @@ def connected_components(edges: "ray.data.Dataset",
     against the translated ``tests/test_graph_ConnectedComponents.py``).
     """
     cur = edges.map_batches(_orient_high_low, batch_format="pyarrow").materialize()
+    if cur.count() == 0:
+        return cur
     prev_sum = None
     for _ in range(max_rounds):
         # large-star over symmetric incidence
@@ -165,7 +167,6 @@ def connected_components(edges: "ray.data.Dataset",
                                        "col": "u"})
         cur = hl.groupby("pkey").map_groups(_small_star_partition,
                                             batch_format="pyarrow")
-        cur = cur.drop_columns(["pkey"]) if "pkey" in cur.schema().names else cur
         cur = cur.materialize()
         cs = _checksum(cur)
         if cs == prev_sum:

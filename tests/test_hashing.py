@@ -1,0 +1,77 @@
+"""Deterministic hashing tests: stability across calls/processes and
+the shingle/fold kernels."""
+
+import subprocess
+import sys
+
+import numpy as np
+
+from apollo_ray.hashing import (TokenHasher, fold_u32_rows, hash_utf8,
+                                mix_to_partition, pair_mix, shingle_hashes,
+                                splitmix64)
+
+
+def test_hash_utf8_stable_across_processes():
+    val = hash_utf8("hello world", seed=42)
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "from apollo_ray.hashing import hash_utf8;"
+         "print(hash_utf8('hello world', seed=42))"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert int(out.stdout.strip()) == val
+    assert 0 <= val < 2 ** 63
+
+
+def test_seed_changes_hash():
+    assert hash_utf8("x", 0) != hash_utf8("x", 1)
+
+
+def test_token_hasher_memo_consistent():
+    th = TokenHasher(seed=1)
+    a = th.hash_tokens(["a", "b", "a"])
+    b = TokenHasher(seed=1).hash_tokens(["a", "b", "a"])
+    np.testing.assert_array_equal(a, b)
+    assert a[0] == a[2] != a[1]
+
+
+def test_shingle_hashes_shift_sensitivity():
+    th = TokenHasher()
+    h = th.hash_tokens(["w%d" % i for i in range(10)])
+    s3 = shingle_hashes(h, 3)
+    assert len(s3) == 8
+    # order matters
+    h_rev = h[::-1].copy()
+    assert not np.array_equal(shingle_hashes(h_rev, 3), s3)
+    # shorter than k: one shingle of the whole doc
+    assert len(shingle_hashes(h[:2], 5)) == 1
+    assert len(shingle_hashes(np.empty(0, dtype=np.uint64), 5)) == 0
+
+
+def test_fold_rows_int63():
+    rows = np.arange(24, dtype=np.uint32).reshape(4, 6)
+    out = fold_u32_rows(rows)
+    assert out.dtype == np.int64
+    assert (out >= 0).all()
+    assert len(set(out.tolist())) == 4
+    np.testing.assert_array_equal(out, fold_u32_rows(rows))
+    # differs if any lane differs
+    rows2 = rows.copy()
+    rows2[0, 0] += 1
+    assert fold_u32_rows(rows2)[0] != out[0]
+
+
+def test_partition_and_pair_mix():
+    ids = np.array([1, 2, 3, 2 ** 62], dtype=np.int64)
+    pk = mix_to_partition(ids, 8)
+    assert pk.dtype == np.int32 and ((pk >= 0) & (pk < 8)).all()
+    pm = pair_mix(ids, ids[::-1].copy())
+    assert pm.dtype == np.uint64
+    # order-sensitive: (u, v) != (v, u)
+    assert pair_mix(np.array([1]), np.array([2]))[0] != \
+        pair_mix(np.array([2]), np.array([1]))[0]
+
+
+def test_splitmix_accepts_int64():
+    a = splitmix64(np.array([5, 6], dtype=np.int64))
+    b = splitmix64(np.array([5, 6], dtype=np.uint64))
+    np.testing.assert_array_equal(a, b)

@@ -1,0 +1,86 @@
+"""Text kernel tests: extraction invariant, tokenization, bags,
+jaccard, quality stats, language-ID heuristic."""
+
+import numpy as np
+
+from apollo_ray.config import DedupConfig
+from apollo_ray.fixtures import generate_pages
+from apollo_ray.hashing import TokenHasher
+from apollo_ray.kernels.jaccard import (jaccard_tokens, weighted_jaccard,
+                                        weighted_jaccard_sparse)
+from apollo_ray.kernels.text import (detect_lang, doc_to_bag, extract_text,
+                                     fingerprint, quality_stats, tokenize)
+
+
+def test_extraction_inverts_fixture_wrap():
+    pages, _ = generate_pages(200)
+    for html, text in zip(pages.column("html").to_pylist(),
+                          pages.column("text").to_pylist()):
+        assert extract_text(html) == text  # the per-row invariant
+
+
+def test_extract_fallback_strips_tags():
+    assert extract_text(b"<div>hello <b>world</b></div>") == "hello  world"
+
+
+def test_tokenize_modes():
+    assert tokenize("a  b\tc\nd") == ["a", "b", "c", "d"]
+    assert tokenize("a,b c!", "words") == ["a", "b", "c"]
+
+
+def test_doc_to_bag_properties():
+    cfg = DedupConfig()
+    th = TokenHasher(seed=cfg.seed)
+    idx, w = doc_to_bag("the quick brown fox jumps over the lazy dog",
+                        th, cfg.shingle_k, cfg.feature_dim_log2)
+    assert idx.dtype == np.uint32 and w.dtype == np.float32
+    assert np.all(np.diff(idx) > 0)          # sorted unique
+    assert (w > 0).all()
+    assert idx.max() < cfg.feature_dim
+    # identical text -> identical bag
+    idx2, w2 = doc_to_bag("the quick brown fox jumps over the lazy dog",
+                          th, cfg.shingle_k, cfg.feature_dim_log2)
+    np.testing.assert_array_equal(idx, idx2)
+    np.testing.assert_array_equal(w, w2)
+    # empty text -> empty bag
+    e_idx, e_w = doc_to_bag("", th, cfg.shingle_k, cfg.feature_dim_log2)
+    assert len(e_idx) == 0
+
+
+def test_weighted_jaccard_semantics():
+    # exact reference formula /root/reference/apollo/query.py:80-81
+    v1 = np.array([1.0, 2.0, 0.0, 4.0], dtype=np.float32)
+    v2 = np.array([2.0, 2.0, 3.0, 0.0], dtype=np.float32)
+    expected = (1 + 2 + 0 + 0) / (2 + 2 + 3 + 4)
+    assert abs(weighted_jaccard(v1, v2) - expected) < 1e-7
+    # sparse variant equals dense on scattered vectors
+    s = weighted_jaccard_sparse(np.array([0, 1, 3]), np.array([1., 2., 4.], dtype=np.float32),
+                                np.array([0, 1, 2]), np.array([2., 2., 3.], dtype=np.float32))
+    assert abs(s - expected) < 1e-7
+    assert weighted_jaccard(v1, v1) == 1.0
+
+
+def test_jaccard_tokens():
+    assert jaccard_tokens({1, 2, 3}, {2, 3, 4}) == 0.5
+    assert jaccard_tokens(set(), set()) == 0.0
+
+
+def test_quality_stats():
+    q = quality_stats("The cat sat on the mat.")
+    assert q["n_tokens"] == 6.0
+    assert 0 < q["stopword_ratio"] <= 1
+    assert q["punct_ratio"] > 0
+    assert quality_stats("")["n_tokens"] == 0.0
+
+
+def test_detect_lang():
+    assert detect_lang("this is the house of the rising sun and the moon") == "en"
+    assert detect_lang("der Hund und die Katze und das Haus ist hier") == "de"
+    assert detect_lang("zzz qqq") == "und"
+
+
+def test_fingerprint_stability():
+    th = TokenHasher()
+    f1 = fingerprint("a b c d e f g h i j k l", th)
+    f2 = fingerprint("a b c d e f g h i j k l", TokenHasher())
+    assert f1 == f2 != 0
