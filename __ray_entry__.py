@@ -1,44 +1,258 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship near-dedup pipeline on sf0.001;
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 plus the training-data extras; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible entry (the rest get
+the driver's rows-only check).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init()`` / ``ray.shutdown()`` here or in the library code.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_STOPWORD_SQL_LIST = ("'the','a','an','and','or','of','to','in','is','are',"
+                      "'was','were','be','been','it','this','that','for',"
+                      "'on','with','as','at','by'")
+
+
+def _docs(sf_dir: str):
+    import ray.data
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _events(sf_dir: str):
+    import ray.data
+    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _embeddings(sf_dir: str):
+    import ray.data
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: documents -> pages view -> full MinHash-LSH dedup
+    pipeline -> (doc_id, cc_id) clusters at sf0.001."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from apollo_ray.config import DedupConfig
+    from apollo_ray.fixtures import pages_from_documents
+    from apollo_ray.pipelines.dedup import run_dedup
+
+    docs_t = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    pages = ray.data.from_arrow(pages_from_documents(docs_t))
+    cfg = DedupConfig(feature_dim_log2=14)
+    out = run_dedup(pages, cfg, num_partitions=16)
+    return out["clusters"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from apollo_ray.functions import ann, dedup_extras, textstats
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_exact_dedup(sf_dir):
+        return dedup_extras.exact_dedup_groups(_docs(sf_dir))
+
+    def q_lang_stats(sf_dir):
+        return textstats.lang_stats(_docs(sf_dir))
+
+    def q_token_counts(sf_dir):
+        return textstats.token_counts(_docs(sf_dir))
+
+    def q_quality(sf_dir):
+        return textstats.quality_stats_table(_docs(sf_dir))
+
+    def q_docfreq(sf_dir):
+        return textstats.docfreq(_docs(sf_dir))
+
+    def q_docfreq_min5(sf_dir):
+        return textstats.docfreq(_docs(sf_dir), min_df=5)
+
+    def q_shingles(sf_dir):
+        return dedup_extras.shingle_counts(_docs(sf_dir), k=3)
+
+    def q_ngram_pairs(sf_dir):
+        return dedup_extras.ngram_jaccard_pairs(_docs(sf_dir), k=3,
+                                                threshold=0.5)
+
+    def q_user_last_event(sf_dir):
+        return textstats.user_last_event(_events(sf_dir))
+
+    def q_events_hourly(sf_dir):
+        return textstats.events_hourly(_events(sf_dir))
+
+    def q_emb_label_counts(sf_dir):
+        from ray.data.aggregate import Count
+        return _embeddings(sf_dir).groupby("label").aggregate(
+            Count(alias_name="n"))
+
+    def q_ann_close(sf_dir):
+        return ann.cosine_close_pairs(_embeddings(sf_dir),
+                                      query_ids=[0, 1, 2, 3, 4],
+                                      threshold=0.3)
+
+    # --- non-SQL-expressible (rows-only driver check) ---
+
+    def q_minhash_clusters(sf_dir):
+        import pyarrow.parquet as pq
+        import ray.data
+        from apollo_ray.config import DedupConfig
+        from apollo_ray.fixtures import pages_from_documents
+        from apollo_ray.pipelines.dedup import run_dedup
+        docs_t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        pages = ray.data.from_arrow(pages_from_documents(docs_t))
+        out = run_dedup(pages, DedupConfig(feature_dim_log2=14),
+                        num_partitions=16)
+        return out["clusters"]
+
+    def q_simhash_pairs(sf_dir):
+        return dedup_extras.simhash_pairs(_docs(sf_dir))
+
+    def q_lang_id(sf_dir):
+        return textstats.lang_id(_docs(sf_dir))
+
+    def q_ann_topk(sf_dir):
+        return ann.cosine_topk(_embeddings(sf_dir),
+                               query_ids=list(range(10)), k=5)
+
+    return {
+        "exact_dedup_groups": q_exact_dedup,
+        "lang_stats": q_lang_stats,
+        "token_counts": q_token_counts,
+        "quality_stats": q_quality,
+        "docfreq": q_docfreq,
+        "docfreq_min5": q_docfreq_min5,
+        "shingle_counts": q_shingles,
+        "ngram_jaccard_pairs": q_ngram_pairs,
+        "user_last_event": q_user_last_event,
+        "events_hourly": q_events_hourly,
+        "emb_label_counts": q_emb_label_counts,
+        "ann_close_pairs": q_ann_close,
+        "minhash_dedup_clusters": q_minhash_clusters,
+        "simhash_pairs": q_simhash_pairs,
+        "lang_id_fingerprint": q_lang_id,
+        "ann_topk": q_ann_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup_groups": """
+            SELECT min(doc_id) AS rep_id, count(*) AS n_members
+            FROM documents GROUP BY text
+        """,
+        "lang_stats": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+            FROM documents GROUP BY lang
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END AS n_tokens
+            FROM documents
+        """,
+        "quality_stats": r"""
+            WITH tok AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\s+')
+                     END AS toks
+              FROM documents)
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   length(text) AS n_chars,
+                   CAST(coalesce(list_aggregate(
+                        list_transform(toks, t -> length(t)), 'sum'), 0)
+                        AS BIGINT) AS sum_token_len,
+                   len(list_filter(toks,
+                        t -> list_contains([%s], lower(t)))) AS n_stopwords,
+                   (length(text) - length(replace(text, '.', ''))
+                    + length(text) - length(replace(text, ',', ''))
+                    + length(text) - length(replace(text, ';', ''))
+                    + length(text) - length(replace(text, ':', ''))
+                    + length(text) - length(replace(text, '!', ''))
+                    + length(text) - length(replace(text, '?', '')))
+                   AS n_punct
+            FROM tok
+        """ % _STOPWORD_SQL_LIST,
+        "docfreq": r"""
+            SELECT token, count(DISTINCT doc_id) AS df
+            FROM (SELECT doc_id,
+                         unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                  FROM documents WHERE length(trim(text)) > 0)
+            GROUP BY token
+        """,
+        "docfreq_min5": r"""
+            SELECT token, count(DISTINCT doc_id) AS df
+            FROM (SELECT doc_id,
+                         unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                  FROM documents WHERE length(trim(text)) > 0)
+            GROUP BY token HAVING count(DISTINCT doc_id) >= 5
+        """,
+        "shingle_counts": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\s+')
+                     END AS toks
+              FROM documents)
+            SELECT t.doc_id,
+                   coalesce(s.n, 0) AS n_shingles
+            FROM tok t LEFT JOIN (
+              SELECT doc_id,
+                     count(DISTINCT array_to_string(toks[i:i+2], ' ')) AS n
+              FROM tok,
+                   LATERAL (SELECT unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i)
+              GROUP BY doc_id) s ON s.doc_id = t.doc_id
+        """,
+        "ngram_jaccard_pairs": r"""
+            WITH tok AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents WHERE length(trim(text)) > 0),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
+              FROM tok,
+                   LATERAL (SELECT unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i)),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT u, v
+            FROM inter JOIN sz su ON su.doc_id = u JOIN sz sv ON sv.doc_id = v
+            WHERE c * 1.0 / (su.n + sv.n - c) >= 0.5
+        """,
+        "user_last_event": """
+            SELECT user_id, epoch_us(max(ts)) AS last_ts_us,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
+        """,
+        "events_hourly": """
+            SELECT user_id,
+                   epoch_us(date_trunc('hour', ts)) AS hour_us,
+                   count(*) AS n,
+                   round(sum(value), 4) AS sum_value_r4
+            FROM events GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "emb_label_counts": """
+            SELECT label, count(*) AS n FROM embeddings GROUP BY label
+        """,
+        "ann_close_pairs": """
+            SELECT a.vec_id AS query_id, b.vec_id,
+                   round(CAST(list_cosine_similarity(
+                         a.embedding, b.embedding) AS DOUBLE), 3) AS cos_r3
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id IN (0, 1, 2, 3, 4) AND b.vec_id != a.vec_id
+              AND round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                             AS DOUBLE), 3) >= 0.3
+        """,
+    }

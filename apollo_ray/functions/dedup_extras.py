@@ -1,0 +1,241 @@
+"""Dedup operator family over a ``documents``-shaped table:
+
+- exact dedup by content hash (D2),
+- per-doc distinct k-shingle counts (the bag cardinalities of M3),
+- n-gram Jaccard candidate pairs (shingle-inverted-index join),
+- SimHash near-dup candidate pairs (band rotation).
+
+Each is a standalone ``queries()`` entry; the MinHash+LSH family is the
+flagship pipeline in ``apollo_ray.pipelines.dedup``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Min
+
+from apollo_ray.hashing import (TokenHasher, hash_utf8, mix_to_partition,
+                                pair_mix)
+from apollo_ray.kernels.simhash import simhash_bands, simhash_batch
+from apollo_ray.kernels.text import doc_to_bag
+
+
+def add_text_hash(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    def f(batch: pa.Table) -> pa.Table:
+        th = [hash_utf8(t) for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id").cast(pa.int64()),
+                         "text_hash": pa.array(th, type=pa.int64())})
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def exact_dedup_groups(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(rep_id, n_members) per distinct text — group by content hash,
+    keep the min doc_id (D2 semantics, ``apollo/bags.py:15``)."""
+    agg = add_text_hash(docs).groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="rep_id"), Count(alias_name="n_members"))
+    return agg.map_batches(
+        lambda t: t.select(["rep_id", "n_members"]), batch_format="pyarrow")
+
+
+def shingle_counts(docs: "ray.data.Dataset", k: int = 3,
+                   seed: int = 42) -> "ray.data.Dataset":
+    """(doc_id, n_shingles) — distinct k-shingles per doc, 64-bit
+    shingle hashes (full width, pre-feature-hashing, so counts equal
+    string-distinct counts)."""
+    def f(batch: pa.Table) -> pa.Table:
+        from apollo_ray.hashing import shingle_hashes
+        hasher = TokenHasher(seed=seed)
+        out = []
+        for t in batch.column("text").to_pylist():
+            toks = t.split()
+            if len(toks) < k:
+                out.append(0)  # SQL oracle: no shingles for docs < k tokens
+                continue
+            h = shingle_hashes(hasher.hash_tokens(toks), k)
+            out.append(len(np.unique(h)))
+        return pa.table({"doc_id": batch.column("doc_id").cast(pa.int64()),
+                         "n_shingles": pa.array(out, type=pa.int64())})
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def _explode_shingles(batch: pa.Table, k: int, seed: int) -> pa.Table:
+    from apollo_ray.hashing import shingle_hashes
+    hasher = TokenHasher(seed=seed)
+    doc_out: list[np.ndarray] = []
+    sh_out: list[np.ndarray] = []
+    for did, t in zip(batch.column("doc_id").to_pylist(),
+                      batch.column("text").to_pylist()):
+        toks = t.split()
+        if len(toks) < k:
+            continue
+        h = np.unique(shingle_hashes(hasher.hash_tokens(toks), k))
+        sh_out.append(h.astype(np.int64) >> 1)
+        doc_out.append(np.full(len(h), did, dtype=np.int64))
+    if not doc_out:
+        return pa.table({"shingle": pa.array([], type=pa.int64()),
+                         "doc_id": pa.array([], type=pa.int64())})
+    return pa.table({"shingle": pa.array(np.concatenate(sh_out), type=pa.int64()),
+                     "doc_id": pa.array(np.concatenate(doc_out), type=pa.int64())})
+
+
+def ngram_jaccard_pairs(docs: "ray.data.Dataset", k: int = 3,
+                        threshold: float = 0.5, seed: int = 42,
+                        num_partitions: int | None = None) -> "ray.data.Dataset":
+    """(u, v) doc pairs with k-shingle set Jaccard >= threshold.
+
+    Inverted-index join: explode per-doc-distinct shingles, partition
+    by shingle hash, emit co-occurring pairs per partition
+    (vectorized), count shared shingles per pair, then filter by
+    |A∩B| / (|A| + |B| - |A∩B|).  Doc sizes are attached by a hash
+    join — no broadcast, scales with the corpus.
+    """
+    from apollo_ray.util import join_partitions
+    jp = join_partitions(num_partitions)
+    if num_partitions is None:
+        num_partitions = 32
+    shingles = docs.map_batches(_explode_shingles, batch_format="pyarrow",
+                                fn_kwargs={"k": k, "seed": seed})
+    sizes = shingles.groupby("doc_id").aggregate(Count(alias_name="n_sh"))
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch.column("shingle"), dtype=np.int64)
+        return batch.append_column(
+            "pkey", pa.array(mix_to_partition(s, num_partitions), type=pa.int32()))
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        s = np.asarray(group.column("shingle"), dtype=np.int64)
+        d = np.asarray(group.column("doc_id"), dtype=np.int64)
+        order = np.lexsort((d, s))
+        s_s, d_s = s[order], d[order]
+        new_seg = np.empty(len(s_s), dtype=bool)
+        if len(s_s) == 0:
+            return pa.table({"u": pa.array([], type=pa.int64()),
+                             "v": pa.array([], type=pa.int64())})
+        new_seg[0] = True
+        new_seg[1:] = s_s[1:] != s_s[:-1]
+        seg_id = np.cumsum(new_seg) - 1
+        starts = np.flatnonzero(new_seg)
+        counts = np.diff(np.append(starts, len(s_s)))
+        us, vs = [], []
+        # all pairs within each shingle's posting list (lists are short
+        # for selective shingles; a production cap would sample here)
+        for st, c in zip(starts, counts):
+            if c < 2:
+                continue
+            mem = d_s[st:st + c]
+            iu, iv = np.triu_indices(c, k=1)
+            us.append(mem[iu])
+            vs.append(mem[iv])
+        if not us:
+            return pa.table({"u": pa.array([], type=pa.int64()),
+                             "v": pa.array([], type=pa.int64())})
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        lo = np.minimum(u, v)
+        hi = np.maximum(u, v)
+        return pa.table({"u": pa.array(lo, type=pa.int64()),
+                         "v": pa.array(hi, type=pa.int64())})
+
+    pairs = shingles.map_batches(add_pkey, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(emit_pairs, batch_format="pyarrow")
+    inter = pairs.groupby(["u", "v"]).aggregate(Count(alias_name="c"))
+    ju = inter.join(sizes, join_type="inner", num_partitions=jp,
+                    on=("u",), right_on=("doc_id",))
+    ju = ju.rename_columns({"n_sh": "n_u"})
+    jv = ju.join(sizes, join_type="inner", num_partitions=jp,
+                 on=("v",), right_on=("doc_id",))
+    jv = jv.rename_columns({"n_sh": "n_v"})
+
+    def flt(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch.column("c"), dtype=np.float64)
+        nu = np.asarray(batch.column("n_u"), dtype=np.float64)
+        nv = np.asarray(batch.column("n_v"), dtype=np.float64)
+        keep = c / (nu + nv - c) >= threshold
+        return batch.select(["u", "v"]).filter(pa.array(keep))
+
+    return jv.map_batches(flt, batch_format="pyarrow")
+
+
+def simhash_pairs(docs: "ray.data.Dataset", k: int = 3, bands: int = 4,
+                  max_hamming: int = 3, seed: int = 42,
+                  num_partitions: int = 32) -> "ray.data.Dataset":
+    """(u, v, hamming) SimHash near-dup candidates: 64-bit SimHash over
+    weighted shingle bags, banded into ``bands`` chunks (pigeonhole:
+    catches all pairs with < ``bands`` differing bits spread over
+    distinct chunks), verified by exact Hamming distance."""
+    from apollo_ray.kernels.simhash import hamming64
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        hasher = TokenHasher(seed=seed)
+        hs, ws = [], []
+        for t in batch.column("text").to_pylist():
+            idx, w = doc_to_bag(t, hasher, k, 16)
+            hs.append(idx.astype(np.uint64))
+            ws.append(w)
+        sigs = simhash_batch(hs, ws)
+        bd = simhash_bands(sigs, bands=bands)
+        n = batch.num_rows
+        return pa.table({
+            "doc_id": pa.concat_arrays(
+                [batch.column("doc_id").cast(pa.int64()).combine_chunks()] * bands),
+            "sig": pa.array(np.tile(sigs.astype(np.int64) >> 1, bands)),
+            "band_key": pa.array((bd.T.ravel().astype(np.int64) >> 1),
+                                 type=pa.int64()),
+        })
+
+    sigs = docs.map_batches(sig_batch, batch_format="pyarrow")
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        b = np.asarray(batch.column("band_key"), dtype=np.int64)
+        return batch.append_column(
+            "pkey", pa.array(mix_to_partition(b, num_partitions), type=pa.int32()))
+
+    def emit(group: pa.Table) -> pa.Table:
+        bk = np.asarray(group.column("band_key"), dtype=np.int64)
+        d = np.asarray(group.column("doc_id"), dtype=np.int64)
+        sg = np.asarray(group.column("sig"), dtype=np.int64)
+        order = np.lexsort((d, bk))
+        bk, d, sg = bk[order], d[order], sg[order]
+        if len(bk) == 0:
+            return pa.table({"u": pa.array([], type=pa.int64()),
+                             "v": pa.array([], type=pa.int64()),
+                             "hamming": pa.array([], type=pa.int64())})
+        new_seg = np.empty(len(bk), dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = bk[1:] != bk[:-1]
+        starts = np.flatnonzero(new_seg)
+        counts = np.diff(np.append(starts, len(bk)))
+        us, vs, su, sv = [], [], [], []
+        for st, c in zip(starts, counts):
+            if c < 2:
+                continue
+            iu, iv = np.triu_indices(c, k=1)
+            us.append(d[st:st + c][iu])
+            vs.append(d[st:st + c][iv])
+            su.append(sg[st:st + c][iu])
+            sv.append(sg[st:st + c][iv])
+        if not us:
+            return pa.table({"u": pa.array([], type=pa.int64()),
+                             "v": pa.array([], type=pa.int64()),
+                             "hamming": pa.array([], type=pa.int64())})
+        u = np.concatenate(us); v = np.concatenate(vs)
+        a = (np.concatenate(su).astype(np.uint64) << np.uint64(1))
+        b = (np.concatenate(sv).astype(np.uint64) << np.uint64(1))
+        hd = hamming64(a, b)
+        keep = (hd <= max_hamming) & (u != v)
+        lo = np.minimum(u[keep], v[keep]); hi = np.maximum(u[keep], v[keep])
+        # dedup pairs found via multiple bands
+        _, idx = np.unique(pair_mix(lo, hi), return_index=True)
+        return pa.table({"u": pa.array(lo[idx], type=pa.int64()),
+                         "v": pa.array(hi[idx], type=pa.int64()),
+                         "hamming": pa.array(hd[keep][idx], type=pa.int64())})
+
+    keyed = sigs.map_batches(add_pkey, batch_format="pyarrow")
+    pairs = keyed.groupby("pkey").map_groups(emit, batch_format="pyarrow")
+    # a pair can still appear in two partitions (different bands) ->
+    # final distinct
+    return pairs.groupby(["u", "v"]).aggregate(Min("hamming",
+                                                   alias_name="hamming"))

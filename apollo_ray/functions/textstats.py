@@ -1,0 +1,145 @@
+"""Text-analysis operators over a ``documents``-shaped table
+(doc_id, text, lang, ...) — the training-data-pipeline extras:
+token counting, docfreq, quality scoring, language-ID, fingerprints.
+
+All per-doc outputs use integer numerators (counts, summed lengths)
+rather than precomputed ratios so the DuckDB oracle comparison is
+exact (no float rounding surface).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from apollo_ray.hashing import TokenHasher
+from apollo_ray.kernels.text import _STOPWORDS, detect_lang, fingerprint
+
+_PUNCT = ".,;:!?"
+
+
+def token_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, n_tokens) — whitespace tokenization (M3 analog)."""
+    def f(batch: pa.Table) -> pa.Table:
+        n = [len(t.split()) for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id").cast(pa.int64()),
+                         "n_tokens": pa.array(n, type=pa.int64())})
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def quality_stats_table(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, n_tokens, n_chars, sum_token_len, n_stopwords, n_punct)
+    — integer quality-score numerators (C4/Gopher-style filters)."""
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_tok, n_chr, s_len, n_stop, n_punct = [], [], [], [], []
+        for t in texts:
+            toks = t.split()
+            n_tok.append(len(toks))
+            n_chr.append(len(t))
+            s_len.append(sum(len(x) for x in toks))
+            n_stop.append(sum(1 for x in toks if x.lower() in _STOPWORDS))
+            n_punct.append(sum(t.count(c) for c in _PUNCT))
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "n_tokens": pa.array(n_tok, type=pa.int64()),
+            "n_chars": pa.array(n_chr, type=pa.int64()),
+            "sum_token_len": pa.array(s_len, type=pa.int64()),
+            "n_stopwords": pa.array(n_stop, type=pa.int64()),
+            "n_punct": pa.array(n_punct, type=pa.int64()),
+        })
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def docfreq(docs: "ray.data.Dataset", min_df: int = 1) -> "ray.data.Dataset":
+    """(token, df) — document frequency (A1, the
+    ``OrderedDocumentFrequencies`` analog, ``apollo/hasher.py:116-117``),
+    with the ``--min-docfreq`` filter (M5, ``doc/cmd/bags.md:12``).
+
+    Per-doc-unique tokens are exploded inside map_batches (map-side
+    dedup), then one groupby-count shuffle over (token) rows.
+    """
+    def explode_unique(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch.column("text").to_pylist():
+            toks.extend(set(t.split()))
+        return pa.table({"token": pa.array(toks, type=pa.string())})
+
+    out = docs.map_batches(explode_unique, batch_format="pyarrow") \
+        .groupby("token").aggregate(Count(alias_name="df"))
+    if min_df > 1:
+        out = out.filter(expr="df >= %d" % min_df)
+    return out
+
+
+class LangIdScorer:
+    """Actor-pool stage: language-ID + fingerprint per doc.
+
+    The model-loading pattern (ST2-style): state built once per actor in
+    ``__init__`` — here a TokenHasher memo + the marker tables; a real
+    fasttext-style model would load the same way.
+    """
+
+    def __init__(self, seed: int = 42):
+        self.hasher = TokenHasher(seed=seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        langs = [detect_lang(t) for t in texts]
+        fps = [fingerprint(t, self.hasher) for t in texts]
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "lang_pred": pa.array(langs, type=pa.string()),
+            "fingerprint": pa.array(fps, type=pa.int64()),
+        })
+
+
+def lang_id(docs: "ray.data.Dataset", concurrency: int = 4) -> "ray.data.Dataset":
+    return docs.map_batches(LangIdScorer, batch_format="pyarrow",
+                            concurrency=(1, concurrency))
+
+
+def lang_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(lang, n_docs, sum_chars) grouped stats (M1 analog)."""
+    return docs.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+
+
+def user_last_event(events: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(user_id, last_ts_us, n_events) — the latest-per-key pattern
+    (M2, the ``--dzhigurda`` history filter analog)."""
+    def to_us(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64())
+        return pa.table({"user_id": batch.column("user_id").cast(pa.int64()),
+                         "ts_us": ts})
+    return events.map_batches(to_us, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Max("ts_us", alias_name="last_ts_us"),
+                                      Count(alias_name="n_events"))
+
+
+def events_hourly(events: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(user_id, hour_us, n, sum_value_r4) — tumbling-window aggregate
+    (the streaming-window analog over an ordered log; SURVEY §2.9)."""
+    import pandas as pd
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch.column("ts").cast(pa.int64()))
+        hour = (ts // 3_600_000_000) * 3_600_000_000
+        return pa.table({
+            "user_id": batch.column("user_id").cast(pa.int64()),
+            "hour_us": pa.array(hour, type=pa.int64()),
+            "value": batch.column("value"),
+        })
+
+    agg = events.map_batches(bucket, batch_format="pyarrow") \
+        .groupby(["user_id", "hour_us"]).aggregate(
+            Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+
+    def round_col(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value_r4"] = df["sum_value"].round(4)
+        return df.drop(columns=["sum_value"])
+
+    return agg.map_batches(round_col, batch_format="pandas")

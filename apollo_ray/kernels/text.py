@@ -131,4 +131,4 @@ def fingerprint(text: str, hasher: TokenHasher, k: int = 8) -> int:
     sh = shingle_hashes(th, k)
     if len(sh) == 0:
         return 0
-    return int(sh.min())
+    return int(sh.min() >> np.uint64(1))  # 63-bit for int64 columns

@@ -36,12 +36,13 @@ def detect_communities(clusters: "ray.data.Dataset",
                        memberships: "ray.data.Dataset",
                        cfg: DedupConfig,
                        algorithm: str = "label_propagation",
-                       num_partitions: int = 32) -> "ray.data.Dataset":
+                       num_partitions: int | None = None) -> "ray.data.Dataset":
     """clusters (doc_id, cc_id) x memberships (doc_id, bucket) ->
     (doc_id, cc_id, community_id)."""
+    from apollo_ray.util import join_partitions
     non_trivial = clusters  # singletons drop out of the inner join below
     mem = memberships.join(non_trivial, join_type="inner",
-                           num_partitions=num_partitions,
+                           num_partitions=join_partitions(num_partitions),
                            on=("doc_id",))
 
     def per_cc(g: pd.DataFrame) -> pd.DataFrame:

@@ -31,13 +31,15 @@ from apollo_ray.stages.wmh_stage import list_columns_to_csr
 
 
 def cluster_report(clusters: "ray.data.Dataset", docs: "ray.data.Dataset",
-                   num_partitions: int = 32, min_size: int = 2
+                   num_partitions: int | None = None, min_size: int = 2
                    ) -> "ray.data.Dataset":
     """(doc_id, cc_id) + docs metadata -> report rows sorted by
     (cc_id, doc_id), clusters below ``min_size`` dropped."""
+    from apollo_ray.util import join_partitions
     meta = docs.select_columns(["doc_id", "url", "lang"])
     joined = clusters.join(meta, join_type="inner",
-                           num_partitions=num_partitions, on=("doc_id",))
+                           num_partitions=join_partitions(num_partitions),
+                           on=("doc_id",))
 
     def per_cc(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < min_size:

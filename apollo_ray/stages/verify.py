@@ -47,9 +47,11 @@ def _jaccard_filter(batch: pa.Table, threshold: float) -> pa.Table:
 
 
 def verify_edges(edges: "ray.data.Dataset", bags: "ray.data.Dataset",
-                 cfg: DedupConfig, num_partitions: int = 32
+                 cfg: DedupConfig, num_partitions: int | None = None
                  ) -> "ray.data.Dataset":
     """Keep candidate edges whose exact weighted Jaccard >= threshold."""
+    from apollo_ray.util import join_partitions
+    num_partitions = join_partitions(num_partitions)
     bag_cols = bags.select_columns(["doc_id", "indices", "weights"])
     ju = edges.join(bag_cols, join_type="inner",
                     num_partitions=num_partitions,

@@ -1,0 +1,21 @@
+"""Small execution utilities."""
+
+from __future__ import annotations
+
+
+def join_partitions(requested: int | None = None) -> int:
+    """Partition count for ``Dataset.join``.
+
+    Ray's hash join runs one aggregator actor per partition; asking for
+    more partitions than available CPUs deadlocks the actor pool on a
+    small cluster (observed: 2 chained joins x 32 partitions on 8 CPUs
+    never schedule).  Cap at half the cluster CPUs, floor 2.
+    """
+    import ray
+    cpus = 8.0
+    if ray.is_initialized():
+        cpus = ray.cluster_resources().get("CPU", 8.0)
+    cap = max(2, int(cpus) // 2)
+    if requested is None:
+        return cap
+    return max(2, min(requested, cap))
