@@ -45,7 +45,7 @@ class DedupConfig:
     verify: bool = False          # exact weighted-Jaccard check on candidate edges
 
     # --- execution ---
-    batch_size: int = 1024        # docs per map_batches batch in the WMH stage
+    batch_size: int = 512         # docs per map_batches batch in the WMH stage
     wmh_concurrency: int = 8      # actor-pool size for the hasher stage
     cc_max_rounds: int = 50       # safety cap on the CC fixpoint iteration
 

@@ -16,8 +16,14 @@ same distributions MinHashCUDA draws).  Signatures are ``(size, 2)``
 uint32 arrays exactly as the reference stores them
 (``apollo/hasher.py:243``).
 
-The collision probability of a sample between two documents equals
-their weighted Jaccard similarity — tested statistically in
+Implementation note: the hot path computes ``t = floor(vlog * (1/r)
++ beta)`` and ``ln_a = (ln_c + (beta-1)*r) - t*r`` with the reciprocal
+and the constant term precomputed per (sample, feature).  This is
+algebraically identical to the reference formula and differs only on a
+measure-zero set of float ties (the reference's own CUDA and NumPy
+paths differ likewise); the scalar oracle below uses the same fused
+form so kernel-vs-oracle tests are exact.  The Ioffe guarantee
+(P[sample collision] = weighted Jaccard) is tested statistically in
 tests/test_wmh.py.
 """
 
@@ -43,13 +49,35 @@ def generate_params(dim: int, size: int, seed: int) -> dict[str, np.ndarray]:
     return {"rs": rs, "ln_cs": ln_cs, "betas": betas}
 
 
+def derive_params(rs: np.ndarray, ln_cs: np.ndarray, betas: np.ndarray
+                  ) -> dict[str, np.ndarray]:
+    """Precompute the hot-path parameter arrays, transposed to
+    C-contiguous (dim, size) so each present feature gathers one
+    contiguous row:
+
+    - ``rinv_t`` = 1/r
+    - ``beta_t`` = beta
+    - ``r_t``    = r
+    - ``c2_t``   = ln_c + (beta - 1) * r   (the doc-independent part of
+                                            ln_a)
+    """
+    rinv = (np.float32(1.0) / rs).astype(np.float32)
+    c2 = (ln_cs + (betas - np.float32(1.0)) * rs).astype(np.float32)
+    return {
+        "rinv_t": np.ascontiguousarray(rinv.T),
+        "beta_t": np.ascontiguousarray(betas.T),
+        "r_t": np.ascontiguousarray(rs.T),
+        "c2_t": np.ascontiguousarray(c2.T),
+    }
+
+
 def weighted_minhash_scalar(v: np.ndarray, rs: np.ndarray, ln_cs: np.ndarray,
                             betas: np.ndarray) -> np.ndarray:
     """Scalar oracle over a dense float32 weight vector.
 
-    Faithful port of the reference NumPy path ``apollo/hasher.py:237-256``
-    (NaN-masked dense argmin); used only in tests to pin the vectorized
-    kernel's numerics.
+    Port of the reference NumPy path ``apollo/hasher.py:237-256``
+    (NaN-masked dense argmin) in the fused form documented above; used
+    only in tests to pin the vectorized kernel's numerics.
     """
     size = rs.shape[0]
     if len(v) != rs.shape[1]:
@@ -60,9 +88,11 @@ def weighted_minhash_scalar(v: np.ndarray, rs: np.ndarray, ln_cs: np.ndarray,
     v = np.asarray(v, dtype=np.float32)
     vlog = np.full(len(v), np.nan, dtype=np.float32)
     np.log(v, where=v > 0, out=vlog)
+    rinv = (np.float32(1.0) / rs).astype(np.float32)
+    c2 = (ln_cs + (betas - np.float32(1.0)) * rs).astype(np.float32)
     for i in range(size):
-        t = np.floor(vlog / rs[i] + betas[i])
-        ln_a = ln_cs[i] - (t - betas[i]) * rs[i] - rs[i]
+        t = np.floor(vlog * rinv[i] + betas[i])
+        ln_a = c2[i] - t * rs[i]
         k = int(np.nanargmin(ln_a))
         out[i, 0] = k
         out[i, 1] = np.uint32(int(t[k]) & _U32_MASK)
@@ -71,7 +101,33 @@ def weighted_minhash_scalar(v: np.ndarray, rs: np.ndarray, ln_cs: np.ndarray,
 
 def weighted_minhash_batch(indptr: np.ndarray, indices: np.ndarray,
                            data: np.ndarray, rs: np.ndarray, ln_cs: np.ndarray,
-                           betas: np.ndarray, nnz_budget: int = 1 << 16) -> np.ndarray:
+                           betas: np.ndarray, nnz_budget: int = 1 << 16
+                           ) -> np.ndarray:
+    """Convenience wrapper: derive the transposed params and delegate
+    to :func:`wmh_batch_t`.  Actors pre-derive once instead."""
+    return wmh_batch_t(indptr, indices, data,
+                       derive_params(rs, ln_cs, betas), nnz_budget=nnz_budget)
+
+
+def make_work_buffers(size: int, nnz_budget: int = 1 << 16
+                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Preallocate (and pre-fault) the three kernel work buffers.
+
+    First-touch page faults are expensive on virtualized hosts; actors
+    allocate these ONCE in ``__init__`` and reuse them every batch.
+    """
+    bufs = tuple(np.empty((nnz_budget, size), dtype=np.float32)
+                 for _ in range(3))
+    for b in bufs:
+        b.fill(0)  # touch every page now, not in the first hot batch
+    return bufs
+
+
+def wmh_batch_t(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
+                dparams: dict[str, np.ndarray],
+                nnz_budget: int = 1 << 16,
+                work_bufs: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+                ) -> np.ndarray:
     """Vectorized signatures for a CSR batch of weighted bags.
 
     ``indptr``/``indices``/``data`` describe a (n_docs x dim) CSR matrix
@@ -79,14 +135,20 @@ def weighted_minhash_batch(indptr: np.ndarray, indices: np.ndarray,
     (sorted order makes the sparse argmin tie-break identically to the
     dense ``nanargmin`` of the scalar oracle).
 
-    Work is chunked so the (size x nnz_chunk) temporaries stay ~tens of
-    MB regardless of batch size: memory is O(size * nnz_budget), never
-    O(size * dim) per doc — the reference's dense-vector scalar path
-    cannot scale past small vocabularies, this can.
+    Work is chunked and runs in three preallocated (nnz_budget, size)
+    float32 buffers — memory is O(size * nnz_budget), never
+    O(size * dim) per doc (the reference's dense scalar path cannot
+    scale past small vocabularies), and the per-chunk op count is the
+    minimum the Ioffe recurrence allows: 4 row-gathers + 5 elementwise
+    passes.
 
     Returns (n_docs, size, 2) uint32.
     """
-    size = rs.shape[0]
+    rinv_t = dparams["rinv_t"]
+    beta_t = dparams["beta_t"]
+    r_t = dparams["r_t"]
+    c2_t = dparams["c2_t"]
+    size = rinv_t.shape[1]
     n_docs = len(indptr) - 1
     out = np.empty((n_docs, size, 2), dtype=np.uint32)
     if n_docs == 0:
@@ -94,6 +156,10 @@ def weighted_minhash_batch(indptr: np.ndarray, indices: np.ndarray,
     data = np.asarray(data, dtype=np.float32)
     vlog_all = np.log(data)
     sample_idx = np.arange(size)
+    if work_bufs is None:
+        work_bufs = make_work_buffers(size, nnz_budget)
+    buf_t, buf_a, buf_g = work_bufs
+    nnz_budget = min(nnz_budget, buf_t.shape[0])
 
     d = 0
     while d < n_docs:
@@ -102,21 +168,33 @@ def weighted_minhash_batch(indptr: np.ndarray, indices: np.ndarray,
         while e < n_docs and indptr[e + 1] - indptr[d] <= nnz_budget:
             e += 1
         s_flat, e_flat = int(indptr[d]), int(indptr[e])
+        m = e_flat - s_flat
         idx = indices[s_flat:e_flat]
-        vlog = vlog_all[s_flat:e_flat]
+        vlog = vlog_all[s_flat:e_flat, None]
+        if m > nnz_budget:  # single doc larger than the budget
+            t_arr = np.empty((m, size), dtype=np.float32)
+            a_arr = np.empty((m, size), dtype=np.float32)
+            g_arr = np.empty((m, size), dtype=np.float32)
+        else:
+            t_arr, a_arr, g_arr = buf_t[:m], buf_a[:m], buf_g[:m]
 
-        r = rs[:, idx]                        # (size, m)
-        b = betas[:, idx]
-        t = np.floor(vlog / r + b)
-        ln_a = ln_cs[:, idx] - (t - b) * r - r
+        np.take(rinv_t, idx, axis=0, out=t_arr)
+        np.multiply(t_arr, vlog, out=t_arr)
+        np.take(beta_t, idx, axis=0, out=g_arr)
+        np.add(t_arr, g_arr, out=t_arr)
+        np.floor(t_arr, out=t_arr)                   # t
+        np.take(r_t, idx, axis=0, out=g_arr)
+        np.multiply(t_arr, g_arr, out=g_arr)         # t * r
+        np.take(c2_t, idx, axis=0, out=a_arr)
+        np.subtract(a_arr, g_arr, out=a_arr)         # ln_a
 
         for doc in range(d, e):
             cs, ce = int(indptr[doc]) - s_flat, int(indptr[doc + 1]) - s_flat
             if ce == cs:
                 raise ValueError("empty bag at row %d" % doc)
-            k_rel = np.argmin(ln_a[:, cs:ce], axis=1)
+            k_rel = np.argmin(a_arr[cs:ce, :], axis=0)
             out[doc, :, 0] = idx[cs:ce][k_rel]
-            tk = t[sample_idx, cs + k_rel].astype(np.int64)
+            tk = t_arr[cs + k_rel, sample_idx].astype(np.int64)
             out[doc, :, 1] = (tk & _U32_MASK).astype(np.uint32)
         d = e
     return out

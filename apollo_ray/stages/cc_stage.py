@@ -140,17 +140,54 @@ def _checksum(edges: "ray.data.Dataset") -> tuple[int, int]:
     return (int(n), int(res["xor_hash"]) if res else 0)
 
 
+def _driver_union_find(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Small-edge-set fast path: pull the (already deduplicated,
+    orders-of-magnitude-smaller-than-the-corpus) edge list to the
+    driver and run array union-find — skips ~5 shuffle rounds of pure
+    overhead.  Only taken below ``DRIVER_CC_MAX_EDGES``; the
+    distributed star rounds handle anything larger."""
+    import pandas as pd
+    import ray.data as rd
+    from apollo_ray.kernels.cc import UnionFind
+    df = edges.to_pandas()
+    uf = UnionFind()
+    for u, v in zip(df["u"].to_numpy(), df["v"].to_numpy()):
+        uf.union(int(u), int(v))
+    labels = uf.labels()
+    out = pd.DataFrame({
+        "u": np.fromiter((k for k, r in labels.items() if k != r),
+                         dtype=np.int64),
+        "v": np.fromiter((r for k, r in labels.items() if k != r),
+                         dtype=np.int64)})
+    if out.empty:
+        return rd.from_arrow(_vec_table(np.empty(0, np.int64),
+                                        np.empty(0, np.int64)))
+    return rd.from_pandas(out)
+
+
+DRIVER_CC_MAX_EDGES = 5_000_000
+
+
 def connected_components(edges: "ray.data.Dataset",
                          num_partitions: int = 64,
-                         max_rounds: int = 50) -> "ray.data.Dataset":
+                         max_rounds: int = 50,
+                         driver_max_edges: int = DRIVER_CC_MAX_EDGES
+                         ) -> "ray.data.Dataset":
     """edges (u, v) -> star edges (node, cc_root) for every non-root node.
 
     Semantics identical to the reference BFS closure (unit-tested
     against the translated ``tests/test_graph_ConnectedComponents.py``).
+    Below ``driver_max_edges`` candidate edges (~80 MB) the closure
+    runs as driver-side union-find; above it, the alternating star
+    rounds run fully distributed (tests force this path with
+    ``driver_max_edges=0``).
     """
     cur = edges.map_batches(_orient_high_low, batch_format="pyarrow").materialize()
-    if cur.count() == 0:
+    n_edges = cur.count()
+    if n_edges == 0:
         return cur
+    if n_edges <= driver_max_edges:
+        return _driver_union_find(cur)
     prev_sum = None
     for _ in range(max_rounds):
         # large-star over symmetric incidence

@@ -50,22 +50,33 @@ def list_columns_to_csr(batch: pa.Table, idx_name: str, w_name: str
 
 
 class WmhHasher:
-    def __init__(self, cfg: DedupConfig):
+    def __init__(self, cfg: DedupConfig, params_ref=None):
         self.cfg = cfg
-        # regenerating from the seed is byte-identical to loading the
-        # params checkpoint and avoids shipping ~100 MB per actor
-        p = generate_params(cfg.feature_dim, cfg.size, cfg.seed)
-        self.rs, self.ln_cs, self.betas = p["rs"], p["ln_cs"], p["betas"]
+        if params_ref is not None:
+            # broadcast path: one ray.put on the driver, zero-copy
+            # plasma read per actor (shipped once per node, not per
+            # batch — the small-side broadcast rule)
+            import ray
+            self.dparams = ray.get(params_ref)
+        else:
+            # regenerating from the seed is byte-identical to loading
+            # the params checkpoint (doc/model/wmh.md:12-14 reuse rule)
+            from apollo_ray.kernels.wmh import derive_params
+            p = generate_params(cfg.feature_dim, cfg.size, cfg.seed)
+            self.dparams = derive_params(p["rs"], p["ln_cs"], p["betas"])
+        from apollo_ray.kernels.wmh import make_work_buffers
+        self.work_bufs = make_work_buffers(cfg.size)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from apollo_ray.kernels.wmh import wmh_batch_t
         indptr, indices, data = list_columns_to_csr(batch, "indices", "weights")
         keep = np.flatnonzero(np.diff(indptr) > 0)
         if len(keep) < batch.num_rows:  # drop empty bags (all-zero input
             # is an error in the reference, apollo/hasher.py:245-246)
             batch = batch.take(pa.array(keep))
             indptr, indices, data = list_columns_to_csr(batch, "indices", "weights")
-        sigs = weighted_minhash_batch(indptr, indices, data,
-                                      self.rs, self.ln_cs, self.betas)
+        sigs = wmh_batch_t(indptr, indices, data, self.dparams,
+                           work_bufs=self.work_bufs)
         flat = sigs.reshape(len(sigs), -1)  # (n, 2*size) uint32
         sig_arr = pa.FixedSizeListArray.from_arrays(
             pa.array(flat.ravel(), type=pa.uint32()), flat.shape[1])
@@ -77,6 +88,11 @@ class WmhHasher:
 
 def compute_signatures(bags: "ray.data.Dataset", cfg: DedupConfig
                        ) -> "ray.data.Dataset":
+    import ray
+    from apollo_ray.kernels.wmh import derive_params
+    p = generate_params(cfg.feature_dim, cfg.size, cfg.seed)
+    params_ref = ray.put(derive_params(p["rs"], p["ln_cs"], p["betas"]))
     return bags.map_batches(
-        WmhHasher, fn_constructor_args=(cfg,), batch_format="pyarrow",
+        WmhHasher, fn_constructor_args=(cfg, params_ref),
+        batch_format="pyarrow",
         batch_size=cfg.batch_size, concurrency=(1, cfg.wmh_concurrency))

@@ -1,0 +1,138 @@
+"""Benchmark harness.
+
+Plain run: one fresh Ray session at ``RAY_GRAFT_CPUS`` (default 32)
+CPUs; times the flagship MinHash-LSH dedup pipeline on a cached
+deterministic webtext fixture (``GRAFT_BENCH_ROWS`` docs, default
+50k) plus representative operator queries over ``GRAFT_SF_DIR``
+(default /root/testdata/sf0.1).  Prints ONE JSON line.
+
+``--scaling``: runs the plain bench twice in fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same inputs and reports both
+throughputs and the scaling efficiency (the sandbox substitute for the
+north rule's N vs 4N node criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "50000"))
+FIXTURE_DIR = "/tmp/apollo_ray_bench"
+
+
+def ensure_fixture(n_rows: int) -> str:
+    """Generate (once) and cache the deterministic webtext fixture."""
+    import pyarrow.parquet as pq
+    path = os.path.join(FIXTURE_DIR, "pages_%d" % n_rows)
+    done = os.path.join(path, "_DONE")
+    if os.path.exists(done):
+        return path
+    from apollo_ray.fixtures import generate_pages
+    os.makedirs(path, exist_ok=True)
+    pages, truth = generate_pages(n_rows)
+    # several files so the read parallelizes
+    n_files = 16
+    step = (pages.num_rows + n_files - 1) // n_files
+    for i in range(0, pages.num_rows, step):
+        pq.write_table(pages.slice(i, step),
+                       os.path.join(path, "part-%05d.parquet" % i))
+    pq.write_table(truth, os.path.join(path, "truth.parquet"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return path
+
+
+def bench_once() -> dict:
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+    from apollo_ray.config import DedupConfig
+    from apollo_ray.pipelines.dedup import run_dedup
+
+    fixture = ensure_fixture(BENCH_ROWS)
+    part_files = [os.path.join(fixture, f) for f in sorted(os.listdir(fixture))
+                  if f.startswith("part-")]
+    # warm the OS page cache (untimed) so we measure compute + shuffle
+    rd.read_parquet(part_files).count()
+
+    cfg = DedupConfig(wmh_concurrency=max(4, NUM_CPUS // 2),
+                      batch_size=2048)
+    queries: dict[str, float] = {}
+
+    t0 = time.monotonic()
+    out = run_dedup(rd.read_parquet(part_files), cfg,
+                    num_partitions=max(16, NUM_CPUS * 2))
+    n_clusters = out["clusters"].count()
+    headline = time.monotonic() - t0
+    queries["dedup_pipeline"] = round(headline, 3)
+
+    # representative operator queries over the driver testdata
+    import __ray_entry__ as entrymod
+    qs = entrymod.queries()
+    for name in ("exact_dedup_groups", "docfreq", "ngram_jaccard_pairs",
+                 "events_hourly", "ann_close_pairs", "simhash_pairs"):
+        t0 = time.monotonic()
+        res = qs[name](SF_DIR)
+        import ray.data as rdm
+        if isinstance(res, rdm.Dataset):
+            res.count()
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    result = {
+        "metric": "dedup_e2e_seconds",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_rows": BENCH_ROWS,
+        "docs_per_sec": round(BENCH_ROWS / headline, 1),
+        "n_clusters": int(n_clusters),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    ensure_fixture(BENCH_ROWS)          # shared, generated once
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "num_cpus_lo": lo, "num_cpus_hi": hi,
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "docs_per_sec_lo": r_lo["docs_per_sec"],
+        "docs_per_sec_hi": r_hi["docs_per_sec"],
+        "bench_rows": BENCH_ROWS,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(bench_once()))

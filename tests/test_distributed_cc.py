@@ -5,13 +5,15 @@ import pyarrow as pa
 import pytest
 
 
-def run_cc(edge_list, ray_session):
+def run_cc(edge_list, ray_session, driver_max_edges=0):
     import ray.data as rd
     from apollo_ray.stages.cc_stage import connected_components
     t = pa.table({"u": pa.array([e[0] for e in edge_list], type=pa.int64()),
                   "v": pa.array([e[1] for e in edge_list], type=pa.int64())})
     ds = rd.from_arrow(t)
-    out = connected_components(ds, num_partitions=4).to_pandas()
+    # driver_max_edges=0 forces the distributed star rounds
+    out = connected_components(ds, num_partitions=4,
+                               driver_max_edges=driver_max_edges).to_pandas()
     labels = {}
     if not out.empty:
         for u, v in zip(out["u"], out["v"]):
@@ -57,3 +59,13 @@ def test_cc_random_graph(ray_session):
     want = set(frozenset(s)
                for s in find_connected_components([list(e) for e in edges]).values())
     assert got == want
+
+
+def test_driver_fastpath_matches_distributed(ray_session):
+    rng = np.random.default_rng(9)
+    edges = [(int(a), int(b)) for a, b in
+             rng.integers(0, 100, size=(150, 2)) if a != b]
+    dist = run_cc(edges, ray_session, driver_max_edges=0)
+    fast = run_cc(edges, ray_session, driver_max_edges=10 ** 6)
+    nodes = sorted({x for e in edges for x in e})
+    assert to_partition(dist, nodes) == to_partition(fast, nodes)
