@@ -1,0 +1,145 @@
+"""CLI — the analog of apollo's subcommand surface
+(``apollo/__main__.py:72-207``): one resident Ray Data driver instead
+of a chain of Cassandra-glued batch jobs.
+
+    python -m apollo_ray.cli run    --input pages/ --ckpt /tmp/ckpt [--communities]
+    python -m apollo_ray.cli reset  --ckpt /tmp/ckpt [--stages bands,edges]
+    python -m apollo_ray.cli query  --input pages/ --ckpt /tmp/ckpt --file probe.txt [--precise]
+    python -m apollo_ray.cli report --ckpt /tmp/ckpt
+
+``run`` resumes from per-stage Parquet checkpoints; ``reset`` is the
+``resetdb`` analog (``apollo/cassandra_utils.py:59-86``, including the
+partial ``--hashes-only``-style stage list); ``query`` is the probe
+path (``apollo/query.py:14-77``); ``report`` the ``dumpcmd`` analog.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _cfg_from_args(args) -> "DedupConfig":
+    from apollo_ray.config import DedupConfig
+    cfg = DedupConfig()
+    over = {}
+    for f in ("shingle_k", "size", "threshold", "seed", "feature_dim_log2"):
+        v = getattr(args, f, None)
+        if v is not None:
+            over[f] = v
+    if getattr(args, "precise", False):
+        over["verify"] = True
+    return cfg.with_(**over) if over else cfg
+
+
+def cmd_run(args) -> int:
+    import ray
+    import ray.data as rd
+    from apollo_ray.pipelines.dedup import run_dedup
+    from apollo_ray.sources.io import read_pages
+    _init_ray(args.num_cpus)
+    cfg = _cfg_from_args(args)
+    pages = read_pages(args.input, lang_filter=args.lang.split(",") if args.lang else None)
+    out = run_dedup(pages, cfg, ckpt_root=args.ckpt,
+                    input_fingerprint=args.input,
+                    with_communities=args.communities,
+                    with_stats=args.stats)
+    n = out["clusters"].count()
+    print(json.dumps({"docs": n, "metrics": out["metrics"]}, default=str))
+    ray.shutdown()
+    return 0
+
+
+def cmd_reset(args) -> int:
+    from apollo_ray.sources.io import reset
+    stages = args.stages.split(",") if args.stages else None
+    reset(args.ckpt, stages)
+    print("reset %s (%s)" % (args.ckpt, stages or "all"))
+    return 0
+
+
+def cmd_query(args) -> int:
+    import ray
+    from apollo_ray.sources.io import read_stage
+    _init_ray(args.num_cpus)
+    cfg = _cfg_from_args(args)
+    with open(args.file) as f:
+        text = f.read()
+    from apollo_ray.stages.report import query_similar
+    bands = read_stage(args.ckpt, "bands")
+    bags = read_stage(args.ckpt, "bags")
+    hits = query_similar(text, bands, bags, cfg, precise=args.precise)
+    print(json.dumps({"similar": hits}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_report(args) -> int:
+    import ray
+    from apollo_ray.sources.io import read_stage
+    from apollo_ray.stages.report import cluster_report, render_markdown
+    _init_ray(args.num_cpus)
+    clusters = read_stage(args.ckpt, "clusters")
+    docs = read_stage(args.ckpt, "docs")
+    rep = cluster_report(clusters, docs).to_pandas()
+    sys.stdout.write(render_markdown(rep))
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="apollo_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--ckpt", required=True)
+        sp.add_argument("--num-cpus", type=int, default=None)
+        sp.add_argument("--shingle-k", dest="shingle_k", type=int)
+        sp.add_argument("--size", type=int)
+        sp.add_argument("--threshold", type=float)
+        sp.add_argument("--seed", type=int)
+        sp.add_argument("--feature-dim-log2", dest="feature_dim_log2", type=int)
+
+    sp = sub.add_parser("run")
+    common(sp)
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--lang", default=None)
+    sp.add_argument("--communities", action="store_true")
+    sp.add_argument("--stats", action="store_true")
+    sp.set_defaults(handler=cmd_run)
+
+    sp = sub.add_parser("reset")
+    sp.add_argument("--ckpt", required=True)
+    sp.add_argument("--stages", default=None)
+    sp.set_defaults(handler=cmd_reset)
+
+    sp = sub.add_parser("query")
+    common(sp)
+    sp.add_argument("--input", default=None)
+    sp.add_argument("--file", required=True)
+    sp.add_argument("--precise", action="store_true")
+    sp.set_defaults(handler=cmd_query)
+
+    sp = sub.add_parser("report")
+    common(sp)
+    sp.set_defaults(handler=cmd_report)
+
+    args = p.parse_args(argv)
+    return args.handler(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

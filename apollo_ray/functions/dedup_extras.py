@@ -92,8 +92,8 @@ def ngram_jaccard_pairs(docs: "ray.data.Dataset", k: int = 3,
     |A∩B| / (|A| + |B| - |A∩B|).  Doc sizes are attached by a hash
     join — no broadcast, scales with the corpus.
     """
-    from apollo_ray.util import join_partitions
-    jp = join_partitions(num_partitions)
+    from apollo_ray.util import hash_join
+    jp = num_partitions
     if num_partitions is None:
         num_partitions = 32
     shingles = docs.map_batches(_explode_shingles, batch_format="pyarrow",
@@ -142,11 +142,11 @@ def ngram_jaccard_pairs(docs: "ray.data.Dataset", k: int = 3,
     pairs = shingles.map_batches(add_pkey, batch_format="pyarrow") \
         .groupby("pkey").map_groups(emit_pairs, batch_format="pyarrow")
     inter = pairs.groupby(["u", "v"]).aggregate(Count(alias_name="c"))
-    ju = inter.join(sizes, join_type="inner", num_partitions=jp,
-                    on=("u",), right_on=("doc_id",))
+    ju = hash_join(inter, sizes, on=("u",), right_on=("doc_id",),
+                   num_partitions=jp)
     ju = ju.rename_columns({"n_sh": "n_u"})
-    jv = ju.join(sizes, join_type="inner", num_partitions=jp,
-                 on=("v",), right_on=("doc_id",))
+    jv = hash_join(ju, sizes, on=("v",), right_on=("doc_id",),
+                   num_partitions=jp)
     jv = jv.rename_columns({"n_sh": "n_v"})
 
     def flt(batch: pa.Table) -> pa.Table:

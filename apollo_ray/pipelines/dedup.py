@@ -75,7 +75,17 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
                                      input_fingerprint)
             metrics[name + "_sec"] = round(time.monotonic() - t0, 3)
             return ds, False
-        return build(), False
+        # No checkpoint root: pin each stage in the object store.  The
+        # pipeline DAG forks (docs -> reps & clusters; bags -> wmh &
+        # verify; bands -> edges & communities), and a lazy Dataset
+        # re-executes its whole upstream once per consumer — O(stages²)
+        # work and, combined with join aggregator actors, a resource
+        # deadlock on small CPU budgets.  materialize() keeps execution
+        # streaming within the stage and spillable in the object store.
+        t0 = time.monotonic()
+        ds = build().materialize()
+        metrics[name + "_sec"] = round(time.monotonic() - t0, 3)
+        return ds, False
 
     docs, docs_hit = stage("docs", lambda: extract_docs(pages, cfg))
     if cfg.collapse_exact:

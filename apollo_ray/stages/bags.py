@@ -144,6 +144,10 @@ class BagBuilder:
 
 
 def build_bags(reps: "ray.data.Dataset", cfg: DedupConfig) -> "ray.data.Dataset":
+    # fractional CPUs: three chained actor pools must never pin every
+    # core, or downstream shuffle tasks starve (observed deadlock at 4
+    # CPUs); 0.5 leaves task slots free at any pool scale
     return reps.map_batches(
         BagBuilder, fn_constructor_args=(cfg,), batch_format="pyarrow",
-        batch_size=cfg.batch_size, concurrency=(1, cfg.wmh_concurrency))
+        batch_size=cfg.batch_size, concurrency=(1, cfg.wmh_concurrency),
+        num_cpus=0.5)

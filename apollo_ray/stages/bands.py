@@ -77,4 +77,5 @@ def explode_bands(signatures: "ray.data.Dataset", cfg: DedupConfig
     return signatures.map_batches(BandExploder, fn_constructor_args=(cfg,),
                                   batch_format="pyarrow",
                                   batch_size=cfg.batch_size,
-                                  concurrency=(1, cfg.wmh_concurrency))
+                                  concurrency=(1, cfg.wmh_concurrency),
+                                  num_cpus=0.5)

@@ -39,11 +39,10 @@ def detect_communities(clusters: "ray.data.Dataset",
                        num_partitions: int | None = None) -> "ray.data.Dataset":
     """clusters (doc_id, cc_id) x memberships (doc_id, bucket) ->
     (doc_id, cc_id, community_id)."""
-    from apollo_ray.util import join_partitions
+    from apollo_ray.util import hash_join
     non_trivial = clusters  # singletons drop out of the inner join below
-    mem = memberships.join(non_trivial, join_type="inner",
-                           num_partitions=join_partitions(num_partitions),
-                           on=("doc_id",))
+    mem = hash_join(memberships, non_trivial, on=("doc_id",),
+                    num_partitions=num_partitions)
 
     def per_cc(g: pd.DataFrame) -> pd.DataFrame:
         docs = g["doc_id"].to_numpy(dtype=np.int64)

@@ -35,11 +35,10 @@ def cluster_report(clusters: "ray.data.Dataset", docs: "ray.data.Dataset",
                    ) -> "ray.data.Dataset":
     """(doc_id, cc_id) + docs metadata -> report rows sorted by
     (cc_id, doc_id), clusters below ``min_size`` dropped."""
-    from apollo_ray.util import join_partitions
+    from apollo_ray.util import hash_join
     meta = docs.select_columns(["doc_id", "url", "lang"])
-    joined = clusters.join(meta, join_type="inner",
-                           num_partitions=join_partitions(num_partitions),
-                           on=("doc_id",))
+    joined = hash_join(clusters, meta, on=("doc_id",),
+                       num_partitions=num_partitions)
 
     def per_cc(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < min_size:

@@ -7,11 +7,12 @@ itself is UNVERIFIED bucket transitive closure; verification here is
 therefore an *optional precision tier*: candidate edges (u, v) keep
 only pairs with weighted_jaccard >= threshold before the CC stage.
 
-Distributed join strategy: ``Dataset.join`` (hash-partitioned) attaches
-the sparse bags of both endpoints, then a vectorized-per-pair kernel
-computes J.  The edge set is ~|duplicate docs|, orders of magnitude
-smaller than the corpus, so two hash joins on it are cheap relative to
-the band shuffle.
+Distributed join strategy: the sparse bags are packed into a single
+``binary`` column (Acero hash joins reject list-typed payload columns),
+``Dataset.join`` attaches both endpoints' blobs to each candidate edge,
+and a per-pair kernel computes J.  The edge set is ~|duplicate docs|,
+orders of magnitude smaller than the corpus, so two hash joins on it
+are cheap relative to the band shuffle.
 """
 
 from __future__ import annotations
@@ -23,19 +24,44 @@ import ray.data
 
 from apollo_ray.config import DedupConfig
 from apollo_ray.kernels.jaccard import weighted_jaccard_sparse
-from apollo_ray.stages.wmh_stage import list_columns_to_csr
+
+
+def pack_bags(bags: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, indices, weights) -> (doc_id, bag: binary).
+
+    Layout: ``uint32[n] indices || float32[n] weights`` (n = len/8).
+    """
+    from apollo_ray.stages.wmh_stage import list_columns_to_csr
+
+    def pack(batch: pa.Table) -> pa.Table:
+        indptr, indices, data = list_columns_to_csr(batch, "indices", "weights")
+        blobs = [indices[s:e].tobytes() + data[s:e].tobytes()
+                 for s, e in zip(indptr[:-1], indptr[1:])]
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "bag": pa.array(blobs, type=pa.binary()),
+        })
+
+    return bags.map_batches(pack, batch_format="pyarrow")
+
+
+def unpack_bag(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    n = len(blob) // 8
+    idx = np.frombuffer(blob[:4 * n], dtype=np.uint32)
+    w = np.frombuffer(blob[4 * n:], dtype=np.float32)
+    return idx, w
 
 
 def _jaccard_filter(batch: pa.Table, threshold: float) -> pa.Table:
-    ip_u, ix_u, w_u = list_columns_to_csr(batch, "indices_u", "weights_u")
-    ip_v, ix_v, w_v = list_columns_to_csr(batch, "indices_v", "weights_v")
+    bu = batch.column("bag_u").to_pylist()
+    bv = batch.column("bag_v").to_pylist()
     n = batch.num_rows
     keep = np.zeros(n, dtype=bool)
     sims = np.zeros(n, dtype=np.float32)
     for i in range(n):
-        s = weighted_jaccard_sparse(
-            ix_u[ip_u[i]:ip_u[i + 1]], w_u[ip_u[i]:ip_u[i + 1]],
-            ix_v[ip_v[i]:ip_v[i + 1]], w_v[ip_v[i]:ip_v[i + 1]])
+        iu, wu = unpack_bag(bu[i])
+        iv, wv = unpack_bag(bv[i])
+        s = weighted_jaccard_sparse(iu, wu, iv, wv)
         sims[i] = s
         keep[i] = s >= threshold
     out = pa.table({
@@ -50,16 +76,13 @@ def verify_edges(edges: "ray.data.Dataset", bags: "ray.data.Dataset",
                  cfg: DedupConfig, num_partitions: int | None = None
                  ) -> "ray.data.Dataset":
     """Keep candidate edges whose exact weighted Jaccard >= threshold."""
-    from apollo_ray.util import join_partitions
-    num_partitions = join_partitions(num_partitions)
-    bag_cols = bags.select_columns(["doc_id", "indices", "weights"])
-    ju = edges.join(bag_cols, join_type="inner",
-                    num_partitions=num_partitions,
-                    on=("u",), right_on=("doc_id",))
-    ju = ju.rename_columns({"indices": "indices_u", "weights": "weights_u"})
-    jv = ju.join(bag_cols, join_type="inner",
-                 num_partitions=num_partitions,
-                 on=("v",), right_on=("doc_id",))
-    jv = jv.rename_columns({"indices": "indices_v", "weights": "weights_v"})
+    from apollo_ray.util import hash_join
+    packed = pack_bags(bags)
+    ju = hash_join(edges, packed, on=("u",), right_on=("doc_id",),
+                   num_partitions=num_partitions)
+    ju = ju.rename_columns({"bag": "bag_u"})
+    jv = hash_join(ju, packed, on=("v",), right_on=("doc_id",),
+                   num_partitions=num_partitions)
+    jv = jv.rename_columns({"bag": "bag_v"})
     return jv.map_batches(_jaccard_filter, batch_format="pyarrow",
                           fn_kwargs={"threshold": cfg.threshold})

@@ -95,4 +95,5 @@ def compute_signatures(bags: "ray.data.Dataset", cfg: DedupConfig
     return bags.map_batches(
         WmhHasher, fn_constructor_args=(cfg, params_ref),
         batch_format="pyarrow",
-        batch_size=cfg.batch_size, concurrency=(1, cfg.wmh_concurrency))
+        batch_size=cfg.batch_size, concurrency=(1, cfg.wmh_concurrency),
+        num_cpus=0.5)

@@ -1,0 +1,146 @@
+"""Tests for the training-data operator modules (textstats,
+dedup_extras, ann, multimodal) against small in-memory fixtures."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture()
+def docs_ds(ray_session):
+    import ray.data as rd
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "text": pa.array([
+            "the cat sat on the mat",
+            "the cat sat on the mat",          # exact dup of doc 1
+            "a dog ran in the park today",
+            "the cat sat on the red mat",      # near dup of doc 1
+            "",                                 # empty doc
+        ]),
+        "lang": pa.array(["en", "en", "en", "de", "en"]),
+        "n_chars": pa.array([22, 22, 27, 26, 0], type=pa.int64()),
+    })
+    return rd.from_arrow(t)
+
+
+def test_exact_dedup_groups(docs_ds):
+    from apollo_ray.functions.dedup_extras import exact_dedup_groups
+    df = exact_dedup_groups(docs_ds).to_pandas().sort_values("rep_id")
+    assert len(df) == 4                       # 5 docs, 1 exact dup
+    row = df[df.rep_id == 1].iloc[0]
+    assert row.n_members == 2
+
+
+def test_token_and_shingle_counts(docs_ds):
+    from apollo_ray.functions.dedup_extras import shingle_counts
+    from apollo_ray.functions.textstats import token_counts
+    tc = token_counts(docs_ds).to_pandas().set_index("doc_id")["n_tokens"]
+    assert tc.loc[1] == 6 and tc.loc[5] == 0
+    sc = shingle_counts(docs_ds, k=3).to_pandas().set_index("doc_id")["n_shingles"]
+    assert sc.loc[1] == 4                      # 6 tokens -> 4 3-shingles
+    assert sc.loc[5] == 0
+
+
+def test_docfreq(docs_ds):
+    from apollo_ray.functions.textstats import docfreq
+    df = docfreq(docs_ds).to_pandas().set_index("token")["df"]
+    assert df.loc["the"] == 4                  # docs 1, 2, 3, 4
+    assert df.loc["dog"] == 1
+
+
+def test_quality_stats(docs_ds):
+    from apollo_ray.functions.textstats import quality_stats_table
+    q = quality_stats_table(docs_ds).to_pandas().set_index("doc_id")
+    assert q.loc[1, "n_tokens"] == 6
+    assert q.loc[1, "n_stopwords"] == 3        # the, on, the
+    assert q.loc[5, "n_chars"] == 0
+
+
+def test_ngram_jaccard_pairs(docs_ds):
+    from apollo_ray.functions.dedup_extras import ngram_jaccard_pairs
+    df = ngram_jaccard_pairs(docs_ds, k=3, threshold=0.99).to_pandas()
+    # only the exact dup pair has Jaccard 1.0 at threshold ~1
+    assert set(map(tuple, df[["u", "v"]].values.tolist())) == {(1, 2)}
+    df2 = ngram_jaccard_pairs(docs_ds, k=3, threshold=0.3).to_pandas()
+    pairs = set(map(tuple, df2[["u", "v"]].values.tolist()))
+    assert (1, 2) in pairs and (1, 4) in pairs
+
+
+def test_simhash_pairs(docs_ds):
+    from apollo_ray.functions.dedup_extras import simhash_pairs
+    df = simhash_pairs(docs_ds, max_hamming=0).to_pandas()
+    assert (df[["u", "v"]].values == [1, 2]).all(axis=1).any()
+
+
+def test_lang_id_fingerprint(docs_ds):
+    from apollo_ray.functions.textstats import lang_id
+    df = lang_id(docs_ds).to_pandas().set_index("doc_id")
+    # exact dup docs share a fingerprint
+    assert df.loc[1, "fingerprint"] == df.loc[2, "fingerprint"]
+    assert df.loc[1, "lang_pred"] == "en"
+
+
+def test_events_hourly(ray_session):
+    import ray.data as rd
+    from apollo_ray.functions.textstats import events_hourly, user_last_event
+    ts = pa.array(np.array([0, 1800, 3600, 7200], dtype="datetime64[s]")
+                  .astype("datetime64[us]"), type=pa.timestamp("us"))
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "ts": ts,
+        "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+    }))
+    df = events_hourly(ev).to_pandas()
+    assert len(df) == 3                        # u1: hours 0, 1; u2: hour 2
+    h0 = df[(df.user_id == 1) & (df.hour_us == 0)].iloc[0]
+    assert h0.n == 2 and h0.sum_value_r4 == 3.0
+    last = user_last_event(ev).to_pandas().set_index("user_id")
+    assert last.loc[1, "n_events"] == 3
+    assert last.loc[1, "last_ts_us"] == 3_600_000_000
+
+
+def test_ann_brute_force_and_lsh(ray_session):
+    import ray.data as rd
+    from apollo_ray.functions.ann import (cosine_close_pairs, cosine_topk,
+                                          lsh_buckets)
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    base[1] = base[0] + 0.01 * rng.standard_normal(16)   # near-dup of 0
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(40), type=pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in base],
+                              type=pa.list_(pa.float32())),
+    }))
+    close = cosine_close_pairs(emb, query_ids=[0], threshold=0.9).to_pandas()
+    assert 1 in set(close.vec_id)
+    topk = cosine_topk(emb, query_ids=[0], k=3).to_pandas()
+    assert list(topk.sort_values("cos_r3", ascending=False).vec_id)[0] == 1
+    # LSH buckets put the near-dup pair together (few planes => certain)
+    b = lsh_buckets(emb, dim=16, n_planes=4).to_pandas().set_index("vec_id")
+    assert b.loc[0, "bucket"] == b.loc[1, "bucket"]
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+    from apollo_ray.functions.multimodal import (FEATURE_DIM,
+                                                 extract_binary_features)
+    t = pa.table({
+        "item_id": pa.array([1, 2], type=pa.int64()),
+        "payload": pa.array([b"\x00\x10\x20\x30" * 100, b""], type=pa.binary()),
+    })
+    out = extract_binary_features(rd.from_arrow(t), batch_size=1).to_pandas()
+    assert len(out) == 2
+    assert out.loc[out.item_id == 1, "payload_bytes"].iloc[0] == 400
+    feats = out["features"].iloc[0]
+    assert len(feats) == FEATURE_DIM
+    # deterministic fake: histogram sums to 1
+    assert abs(sum(feats) - 1.0) < 1e-5
+
+
+def test_multimodal_strict_raises(ray_session):
+    from apollo_ray.functions.multimodal import BinaryFeatureExtractor
+    ex = BinaryFeatureExtractor(mode="strict")
+    t = pa.table({"payload": pa.array([b"xx"], type=pa.binary())})
+    with pytest.raises(NotImplementedError):
+        ex(t)

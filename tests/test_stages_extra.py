@@ -1,0 +1,124 @@
+"""Stage-level tests: verification (A4), communities, report, query."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def small_run(ray_session):
+    import ray.data as rd
+    from apollo_ray.config import DedupConfig
+    from apollo_ray.fixtures import generate_pages
+    from apollo_ray.pipelines.dedup import run_dedup
+
+    pages_t, truth_t = generate_pages(300)
+    cfg = DedupConfig(feature_dim_log2=12)
+    out = run_dedup(rd.from_arrow(pages_t), cfg, with_communities=True)
+    return pages_t, cfg, out
+
+
+def test_verify_edges_filters_below_threshold(small_run):
+    from apollo_ray.stages.edges import bucket_star_edges
+    from apollo_ray.stages.verify import verify_edges
+    pages_t, cfg, out = small_run
+    edges = bucket_star_edges(out["bands"], cfg, num_partitions=8)
+    verified = verify_edges(edges, out["bags"], cfg).to_pandas()
+    if len(verified):
+        assert (verified["similarity"] >= cfg.threshold).all()
+    # verification can only remove edges
+    assert len(verified) <= edges.count()
+
+
+def test_verified_pipeline_subset_of_unverified(ray_session):
+    import ray.data as rd
+    from apollo_ray.config import DedupConfig
+    from apollo_ray.fixtures import generate_pages
+    from apollo_ray.oracle import same_cluster_pairs
+    from apollo_ray.pipelines.dedup import run_dedup
+    pages_t, _ = generate_pages(300)
+    base_cfg = DedupConfig(feature_dim_log2=12)
+    loose = run_dedup(rd.from_arrow(pages_t), base_cfg)
+    strict = run_dedup(rd.from_arrow(pages_t), base_cfg.with_(verify=True))
+    lab_l = dict(zip(*[loose["clusters"].to_pandas()[c] for c in ("doc_id", "cc_id")]))
+    lab_s = dict(zip(*[strict["clusters"].to_pandas()[c] for c in ("doc_id", "cc_id")]))
+    p_l = same_cluster_pairs({str(k): int(v) for k, v in lab_l.items()})
+    p_s = same_cluster_pairs({str(k): int(v) for k, v in lab_s.items()})
+    assert p_s <= p_l                        # precision tier only removes pairs
+
+
+def test_communities_cover_fat_components(small_run):
+    """Communities run over exact-dedup representatives (the reference
+    collapses identical contents to one sha1 upstream, apollo/bags.py:15;
+    members inherit their representative's community).  Every CC with
+    >= 2 representatives must be processed and fully covered."""
+    pages_t, cfg, out = small_run
+    comms = out["communities"].to_pandas()
+    cl = out["clusters"].to_pandas()
+    rep_ids = set(out["reps"].to_pandas().doc_id)
+    cl_reps = cl[cl.doc_id.isin(rep_ids)]
+    sizes = cl_reps.groupby("cc_id").size()
+    fat = set(sizes[sizes >= 2].index)
+    covered = set(comms["cc_id"].unique())
+    assert covered == fat
+    for cc in fat:
+        members = set(cl_reps[cl_reps.cc_id == cc].doc_id)
+        assert set(comms[comms.cc_id == cc].doc_id) == members
+
+
+def test_community_size_stats(small_run):
+    from apollo_ray.stages.communities_stage import community_size_stats
+    _, _, out = small_run
+    stats = community_size_stats(out["communities"])
+    if stats["n_communities"]:
+        assert stats["max_size"] >= stats["median_size"] >= 1
+
+
+def test_cluster_report_and_render(small_run):
+    from apollo_ray.stages.report import cluster_report, render_markdown
+    _, _, out = small_run
+    rep = cluster_report(out["clusters"], out["docs"]).to_pandas()
+    # only clusters of size >= 2, sorted deterministically
+    sizes = rep.groupby("cc_id").size()
+    assert (sizes >= 2).all()
+    assert list(rep.cc_id) == sorted(rep.cc_id)
+    md = render_markdown(rep)
+    assert md.startswith("# Duplicate clusters")
+    assert md.count("## cluster") == len(sizes)
+
+
+def test_query_similar_finds_duplicate(small_run):
+    from apollo_ray.stages.report import query_similar
+    pages_t, cfg, out = small_run
+    docs = out["docs"].to_pandas()
+    # probe with the exact text of some doc that has a duplicate
+    cl = out["clusters"].to_pandas()
+    sizes = cl.groupby("cc_id").size()
+    fat_cc = sizes[sizes >= 2].index
+    assert len(fat_cc) > 0
+    target_doc = cl[cl.cc_id == fat_cc[0]].doc_id.iloc[0]
+    text = docs[docs.doc_id == target_doc].text.iloc[0]
+    hits = query_similar(text, out["bands"], out["bags"], cfg, precise=False)
+    assert int(target_doc) in hits or len(hits) > 0
+    hits_precise = query_similar(text, out["bands"], out["bags"], cfg,
+                                 precise=True)
+    assert set(hits_precise) <= set(hits)
+    assert int(target_doc) in hits_precise   # identical text -> J = 1
+
+
+def test_latest_per_url(ray_session):
+    import ray.data as rd
+    from apollo_ray.config import DedupConfig
+    from apollo_ray.stages.extract import extract_docs
+    ts = np.array([0, 100, 50], dtype="datetime64[s]").astype("datetime64[us]")
+    pages = rd.from_arrow(pa.table({
+        "url": pa.array(["u1", "u1", "u2"]),
+        "warc_ts": pa.array(ts, type=pa.timestamp("us")),
+        "html": pa.array([b"<body><p>a</p></body>", b"<body><p>b</p></body>",
+                          b"<body><p>c</p></body>"], type=pa.binary()),
+        "lang": pa.array(["en"] * 3),
+    }))
+    cfg = DedupConfig()
+    docs = extract_docs(pages, cfg, latest_per_url=True).to_pandas()
+    assert len(docs) == 2
+    assert set(docs[docs.url == "u1"].text) == {"b"}   # newest snapshot wins
