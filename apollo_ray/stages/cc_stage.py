@@ -221,6 +221,31 @@ def assign_clusters(all_docs: "ray.data.Dataset",
     docs label themselves.  One groupby shuffle, no driver state
     (unlike ``apollo/graph.py:99-148``).
     """
+    # Fast path: when the final star-edge set is small (it is exactly
+    # the set of non-root duplicate docs), broadcast the node->root map
+    # once and label every doc in a single streaming map — no shuffle.
+    try:
+        n_labels = final_edges.count()
+    except Exception:
+        n_labels = None
+    if n_labels is not None and n_labels <= 5_000_000:
+        import ray
+        df = final_edges.to_pandas()
+        lut = (dict(zip(df["u"].astype(np.int64), df["v"].astype(np.int64)))
+               if len(df) else {})
+        ref = ray.put(lut)
+
+        def label_lookup(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+            m = _ray.get(ref)
+            d = np.asarray(batch.column("doc_id"), dtype=np.int64)
+            cc = np.fromiter((m.get(int(x), int(x)) for x in d),
+                             dtype=np.int64, count=len(d))
+            return pa.table({"doc_id": pa.array(d, type=pa.int64()),
+                             "cc_id": pa.array(cc, type=pa.int64())})
+
+        return all_docs.map_batches(label_lookup, batch_format="pyarrow")
+
     def self_label(batch: pa.Table) -> pa.Table:
         d = np.asarray(batch.column("doc_id"), dtype=np.int64)
         return pa.table({"node": pa.array(d, type=pa.int64()),

@@ -86,12 +86,26 @@ class WmhHasher:
         })
 
 
-def compute_signatures(bags: "ray.data.Dataset", cfg: DedupConfig
-                       ) -> "ray.data.Dataset":
+_PARAMS_REF_CACHE: dict = {}
+
+
+def params_object_ref(cfg: DedupConfig):
+    """Generate + ray.put the derived WMH params once per process
+    (the wmhparams model-reuse rule, ``doc/model/wmh.md:12-14``)."""
     import ray
     from apollo_ray.kernels.wmh import derive_params
-    p = generate_params(cfg.feature_dim, cfg.size, cfg.seed)
-    params_ref = ray.put(derive_params(p["rs"], p["ln_cs"], p["betas"]))
+    key = (cfg.feature_dim, cfg.size, cfg.seed)
+    ref = _PARAMS_REF_CACHE.get(key)
+    if ref is None:
+        p = generate_params(cfg.feature_dim, cfg.size, cfg.seed)
+        ref = ray.put(derive_params(p["rs"], p["ln_cs"], p["betas"]))
+        _PARAMS_REF_CACHE[key] = ref
+    return ref
+
+
+def compute_signatures(bags: "ray.data.Dataset", cfg: DedupConfig
+                       ) -> "ray.data.Dataset":
+    params_ref = params_object_ref(cfg)
     return bags.map_batches(
         WmhHasher, fn_constructor_args=(cfg, params_ref),
         batch_format="pyarrow",
