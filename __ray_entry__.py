@@ -99,6 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                       query_ids=[0, 1, 2, 3, 4],
                                       threshold=0.3)
 
+    def q_emb_dup_pairs(sf_dir):
+        return ann.embedding_dup_pairs(_embeddings(sf_dir), threshold=0.3)
+
     # --- non-SQL-expressible (rows-only driver check) ---
 
     def q_minhash_clusters(sf_dir):
@@ -136,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q_events_hourly,
         "emb_label_counts": q_emb_label_counts,
         "ann_close_pairs": q_ann_close,
+        "emb_dup_pairs": q_emb_dup_pairs,
         "minhash_dedup_clusters": q_minhash_clusters,
         "simhash_pairs": q_simhash_pairs,
         "lang_id_fingerprint": q_lang_id,
@@ -245,6 +249,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "emb_label_counts": """
             SELECT label, count(*) AS n FROM embeddings GROUP BY label
+        """,
+        "emb_dup_pairs": """
+            SELECT a.vec_id AS u, b.vec_id AS v,
+                   round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                              AS DOUBLE), 3) AS cos_r3
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                             AS DOUBLE), 3) >= 0.3
         """,
         "ann_close_pairs": """
             SELECT a.vec_id AS query_id, b.vec_id,

@@ -113,3 +113,46 @@ def lsh_buckets(embeddings: "ray.data.Dataset", dim: int,
     return embeddings.map_batches(
         HyperplaneLsh, fn_constructor_args=(dim, n_planes, seed),
         batch_format="pyarrow", concurrency=(1, concurrency))
+
+
+def embedding_dup_pairs(embeddings: "ray.data.Dataset", threshold: float,
+                        id_col: str = "vec_id", col: str = "embedding"
+                        ) -> "ray.data.Dataset":
+    """(u, v, cos_r3) pairs with round(cosine, 3) >= threshold —
+    embedding-cosine near-duplicate detection.
+
+    Baseline implementation: the normalized corpus matrix is broadcast
+    once (``ray.put``) and each batch does one (B x d) @ (d x N)
+    matmul — exact, zero shuffles, O(N^2) compute spread over the
+    cluster.  The LSH-bucketed variant (``lsh_buckets`` + per-bucket
+    rescoring) is the sub-quadratic scale path when N^2 is infeasible.
+    """
+    import ray as _ray
+
+    mats = []
+    ids = []
+    for t in embeddings.map_batches(lambda b: b, batch_format="pyarrow") \
+            .to_arrow_refs():
+        tab = _ray.get(t)
+        mats.append(_batch_matrix(tab, col))
+        ids.append(np.asarray(tab.column(id_col), dtype=np.int64))
+    full = _normalize(np.vstack(mats))
+    full_ids = np.concatenate(ids)
+    ref = _ray.put((full_ids, full))
+
+    def score(batch: pa.Table) -> pa.Table:
+        all_ids, all_m = _ray.get(ref)
+        ids_b = np.asarray(batch.column(id_col), dtype=np.int64)
+        m = _normalize(_batch_matrix(batch, col))
+        cos = np.round(m @ all_m.T, 3)
+        bi, ci = np.nonzero(cos >= threshold)
+        u = ids_b[bi]
+        v = all_ids[ci]
+        keep = u < v                   # each unordered pair once, no self
+        return pa.table({
+            "u": pa.array(u[keep], type=pa.int64()),
+            "v": pa.array(v[keep], type=pa.int64()),
+            "cos_r3": pa.array(cos[bi, ci][keep], type=pa.float64()),
+        })
+
+    return embeddings.map_batches(score, batch_format="pyarrow")

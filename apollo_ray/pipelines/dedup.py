@@ -100,14 +100,27 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
     else:
         reps, reps_hit = docs, docs_hit
         member_edges = None
-    # bags and signatures are linear links in the chain unless a second
-    # consumer needs them (verify reads bags); keep them lazy then so
-    # bags -> wmh -> bands stream as one execution
-    bags, bags_hit = stage("bags", lambda: build_bags(reps, cfg), reps_hit,
-                           fork=cfg.verify)
-    sigs, sigs_hit = stage("signatures", lambda: compute_signatures(bags, cfg),
-                           bags_hit, fork=False)
-    bands, bands_hit = stage("bands", lambda: explode_bands(sigs, cfg), sigs_hit)
+    if ckpt_root is None and not cfg.verify:
+        # fast path: one fused actor pool computes bands directly
+        # (tests pin it byte-identical to the staged path); bags and
+        # signatures stay lazy and are only computed if a caller
+        # consumes them from the returned dict
+        from apollo_ray.stages.fused import fused_bands
+        bags = build_bags(reps, cfg)
+        sigs = compute_signatures(bags, cfg)
+        bands, bands_hit = stage("bands", lambda: fused_bands(reps, cfg),
+                                 reps_hit)
+    else:
+        # staged path: separate checkpoints per artifact (the reference
+        # persists bags, hashes and hashtables separately too,
+        # apollo/cassandra_utils.py:74-86), and verify needs the bags
+        bags, bags_hit = stage("bags", lambda: build_bags(reps, cfg), reps_hit,
+                               fork=cfg.verify)
+        sigs, sigs_hit = stage("signatures",
+                               lambda: compute_signatures(bags, cfg),
+                               bags_hit, fork=False)
+        bands, bands_hit = stage("bands", lambda: explode_bands(sigs, cfg),
+                                 sigs_hit)
     if with_stats:
         metrics["bucket_stats"] = bucket_stats(bands)
 

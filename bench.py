@@ -85,8 +85,10 @@ def bench_once() -> dict:
     # representative operator queries over the driver testdata
     import __ray_entry__ as entrymod
     qs = entrymod.queries()
-    for name in ("exact_dedup_groups", "docfreq", "ngram_jaccard_pairs",
-                 "events_hourly", "ann_close_pairs", "simhash_pairs"):
+    qnames = () if os.environ.get("GRAFT_SKIP_QUERIES") else (
+        "exact_dedup_groups", "docfreq", "ngram_jaccard_pairs",
+        "events_hourly", "ann_close_pairs", "simhash_pairs")
+    for name in qnames:
         t0 = time.monotonic()
         res = qs[name](SF_DIR)
         import ray.data as rdm
@@ -113,7 +115,8 @@ def bench_once() -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_SKIP_QUERIES="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
