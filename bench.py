@@ -125,7 +125,8 @@ def run_scaling() -> dict:
     scaling_rows = int(os.environ.get("GRAFT_SCALING_ROWS", "200000"))
     os.environ["GRAFT_BENCH_ROWS"] = str(scaling_rows)
     ensure_fixture(scaling_rows)        # shared, generated once
-    lo, hi = 8, 32
+    levels = os.environ.get("GRAFT_SCALING_LEVELS", "8,32")
+    lo, hi = (int(x) for x in levels.split(","))
     r_lo = run(lo)
     r_hi = run(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
