@@ -23,6 +23,8 @@ from dataclasses import asdict, dataclass, field, replace
 class DedupConfig:
     # --- feature extraction (webtext analog of apollo's UAST extractors) ---
     shingle_k: int = 5            # token k-shingles (analog of --uast2seq-seq-len)
+    extra_shingle_ks: tuple = ()  # additional shingle families (the multi-extractor -f analog)
+    family_weights: tuple = ()    # per-family weight multipliers (M7 --<ex>-weight); () => all 1.0
     feature_dim_log2: int = 16    # feature-hash into D = 2**k columns (vocab cap analog)
     tokenizer: str = "whitespace"  # "whitespace" | "words"
     weighting: str = "logtf"      # "logtf" | "tf" | "logtf_logidf" (idf needs docfreq pass)
@@ -55,6 +57,23 @@ class DedupConfig:
     @property
     def feature_dim(self) -> int:
         return 1 << self.feature_dim_log2
+
+    @property
+    def needs_docfreq(self) -> bool:
+        """True when a global document-frequency pass is required
+        (idf weighting or a min-docfreq filter)."""
+        return self.weighting == "logtf_logidf" or self.min_docfreq > 1
+
+    @property
+    def bag_kwargs(self) -> dict:
+        """Static doc_to_bag keyword arguments derived from the config."""
+        return {
+            "tokenizer": self.tokenizer,
+            "weighting": self.weighting,
+            "extra_ks": tuple(self.extra_shingle_ks),
+            "family_weights": (tuple(self.family_weights)
+                               if self.family_weights else None),
+        }
 
     def config_hash(self) -> str:
         """Stable hash identifying this config for checkpoint lineage."""

@@ -52,7 +52,9 @@ def tokenize(text: str, mode: str = "whitespace") -> list[str]:
 
 
 def doc_to_bag(text: str, hasher: TokenHasher, k: int, dim_log2: int,
-               tokenizer: str = "whitespace", weighting: str = "logtf"
+               tokenizer: str = "whitespace", weighting: str = "logtf",
+               extra_ks: tuple = (), family_weights: tuple | None = None,
+               df: np.ndarray | None = None, ndocs: int = 0, min_df: int = 1
                ) -> tuple[np.ndarray, np.ndarray]:
     """One document -> sparse weighted bag (sorted indices, weights).
 
@@ -62,21 +64,62 @@ def doc_to_bag(text: str, hasher: TokenHasher, k: int, dim_log2: int,
     ``doc/cmd/bags.md:15``): no global state, bounded dimension, the
     collision rate at D=2^16..2^20 is negligible for shingle bags.
 
-    Weights: ``logtf`` -> 1 + ln(tf)  (the tf half of log_tf_log_idf);
-    ``tf`` -> raw counts.  Returns float32 weights, uint32 indices.
+    Feature families (the analog of apollo's multiple extractors
+    selected by ``-f``, ``doc/cmd/features.md:8-19``): the primary
+    ``k`` plus each k in ``extra_ks`` contributes shingles into the
+    shared hashed space; ``family_weights`` scales each family's
+    weights (M7, the per-extractor ``--<ex>-weight`` multiplier applied
+    by scaling the family's columns, ``apollo/hasher.py:102-131``).
+
+    Weights: ``tf`` -> raw counts; ``logtf`` -> 1 + ln(tf) (the tf half
+    of log_tf_log_idf); ``logtf_logidf`` -> (1 + ln(tf)) * ln(ndocs/df)
+    with a global document-frequency array (M4, the
+    ``log_tf_log_idf`` weighting of ``apollo/hasher.py:227``).  With a
+    ``df`` array, features with df < ``min_df`` are dropped (M5,
+    ``--min-docfreq``, ``doc/cmd/bags.md:12``).
+
+    Returns float32 weights, uint32 sorted indices.
     """
     tokens = tokenize(text, tokenizer)
     th = hasher.hash_tokens(tokens)
-    sh = shingle_hashes(th, k)
-    if len(sh) == 0:
+    ks = (k, *extra_ks)
+    if family_weights is None:
+        family_weights = (1.0,) * len(ks)
+    idx_parts: list[np.ndarray] = []
+    w_parts: list[np.ndarray] = []
+    for fam_k, fam_w in zip(ks, family_weights):
+        sh = shingle_hashes(th, fam_k)
+        if len(sh) == 0:
+            continue
+        cols = (sh >> np.uint64(64 - dim_log2)).astype(np.uint32)
+        idx, tf = np.unique(cols, return_counts=True)
+        if weighting == "tf":
+            w = tf.astype(np.float32)
+        else:  # logtf | logtf_logidf (idf applied after the merge)
+            w = (1.0 + np.log(tf)).astype(np.float32)
+        w *= np.float32(fam_w)
+        idx_parts.append(idx.astype(np.uint32))
+        w_parts.append(w)
+    if not idx_parts:
         return np.empty(0, dtype=np.uint32), np.empty(0, dtype=np.float32)
-    cols = (sh >> np.uint64(64 - dim_log2)).astype(np.uint32)
-    idx, tf = np.unique(cols, return_counts=True)
-    if weighting == "tf":
-        w = tf.astype(np.float32)
-    else:  # logtf
-        w = (1.0 + np.log(tf)).astype(np.float32)
-    return idx.astype(np.uint32), w
+    if len(idx_parts) == 1:
+        idx, w = idx_parts[0], w_parts[0]
+    else:
+        all_idx = np.concatenate(idx_parts)
+        all_w = np.concatenate(w_parts)
+        idx, inv = np.unique(all_idx, return_inverse=True)
+        w = np.zeros(len(idx), dtype=np.float32)
+        np.add.at(w, inv, all_w)
+        idx = idx.astype(np.uint32)
+    if df is not None:
+        fdf = df[idx]
+        keep = fdf >= min_df
+        idx, w, fdf = idx[keep], w[keep], fdf[keep]
+        if weighting == "logtf_logidf" and ndocs > 0 and len(idx):
+            w = (w * np.log(ndocs / fdf)).astype(np.float32)
+            pos = w > 0
+            idx, w = idx[pos], w[pos]
+    return idx, w
 
 
 # --- text-analysis operators (training-data pipeline extras) ---

@@ -57,9 +57,19 @@ def oracle_clusters(urls: list[str], htmls: list[bytes], cfg: DedupConfig
     indptr = [0]
     indices: list[np.ndarray] = []
     weights: list[np.ndarray] = []
+    df = ndocs = None
+    if cfg.needs_docfreq:
+        dim = cfg.feature_dim
+        df = np.zeros(dim, dtype=np.int64)
+        for r in reps:
+            idx, _ = doc_to_bag(rep_texts[r], hasher, cfg.shingle_k,
+                                cfg.feature_dim_log2, **cfg.bag_kwargs)
+            df[idx] += 1
+        ndocs = len(reps)
     for r in reps:
         idx, w = doc_to_bag(rep_texts[r], hasher, cfg.shingle_k,
-                            cfg.feature_dim_log2, cfg.tokenizer, cfg.weighting)
+                            cfg.feature_dim_log2, df=df, ndocs=ndocs or 0,
+                            min_df=cfg.min_docfreq, **cfg.bag_kwargs)
         indices.append(idx)
         weights.append(w)
         indptr.append(indptr[-1] + len(idx))

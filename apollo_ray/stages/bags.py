@@ -108,16 +108,58 @@ def exact_member_edges(reps: "ray.data.Dataset") -> "ray.data.Dataset":
     return reps.map_batches(explode, batch_format="pyarrow")
 
 
+def compute_feature_docfreq(reps: "ray.data.Dataset", cfg: DedupConfig
+                            ) -> tuple[np.ndarray, int]:
+    """Global document frequency over the hashed feature space (A1 —
+    the ``OrderedDocumentFrequencies`` pass, ``apollo/bags.py:48-49``).
+
+    Because features are hashed into a fixed dimension D, the docfreq
+    "model" is a dense int64 array of size D: each batch emits a
+    partial histogram (features counted once per doc), the driver sums
+    the ~0.5 MB partials — a tree-reduce at real cluster scale, never a
+    per-feature shuffle.  Returns (df array, n_docs).
+    """
+    dim = cfg.feature_dim
+
+    def hist(batch: pa.Table) -> pa.Table:
+        hasher = TokenHasher(seed=cfg.seed)
+        h = np.zeros(dim, dtype=np.int64)
+        n = 0
+        for t in batch.column("text").to_pylist():
+            idx, _ = doc_to_bag(t, hasher, cfg.shingle_k,
+                                cfg.feature_dim_log2, **cfg.bag_kwargs)
+            if len(idx):
+                h[idx] += 1
+            n += 1
+        return pa.table({"df": pa.array([h], type=pa.list_(pa.int64())),
+                         "n": pa.array([n], type=pa.int64())})
+
+    total = np.zeros(dim, dtype=np.int64)
+    ndocs = 0
+    for b in reps.map_batches(hist, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for row, n in zip(b.column("df").to_pylist(), b.column("n").to_pylist()):
+            total += np.asarray(row, dtype=np.int64)
+            ndocs += int(n)
+    return total, ndocs
+
+
 class BagBuilder:
     """Actor-pool callable: text -> sparse weighted bag.
 
-    State (compiled hasher + memo) built once per actor; per-batch work
-    is C-speed splits + numpy shingle mixing.
+    State (compiled hasher + memo + broadcast docfreq array) built once
+    per actor; per-batch work is C-speed splits + numpy shingle mixing.
     """
 
-    def __init__(self, cfg: DedupConfig):
+    def __init__(self, cfg: DedupConfig, df_ref=None, ndocs: int = 0):
         self.cfg = cfg
         self.hasher = TokenHasher(seed=cfg.seed)
+        self.ndocs = ndocs
+        if df_ref is not None:
+            import ray
+            self.df = ray.get(df_ref)
+        else:
+            self.df = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -126,8 +168,9 @@ class BagBuilder:
         weights: list[np.ndarray] = []
         for t in texts:
             idx, w = doc_to_bag(t, self.hasher, cfg.shingle_k,
-                                cfg.feature_dim_log2, cfg.tokenizer,
-                                cfg.weighting)
+                                cfg.feature_dim_log2, df=self.df,
+                                ndocs=self.ndocs, min_df=cfg.min_docfreq,
+                                **cfg.bag_kwargs)
             indices.append(idx)
             weights.append(w)
         n_members = (
@@ -143,11 +186,20 @@ class BagBuilder:
         })
 
 
-def build_bags(reps: "ray.data.Dataset", cfg: DedupConfig) -> "ray.data.Dataset":
+def build_bags(reps: "ray.data.Dataset", cfg: DedupConfig,
+               df: np.ndarray | None = None, ndocs: int = 0
+               ) -> "ray.data.Dataset":
+    if cfg.needs_docfreq and df is None:
+        df, ndocs = compute_feature_docfreq(reps, cfg)
+    df_ref = None
+    if df is not None:
+        import ray
+        df_ref = ray.put(df)
     # fractional CPUs: three chained actor pools must never pin every
     # core, or downstream shuffle tasks starve (observed deadlock at 4
     # CPUs); 0.5 leaves task slots free at any pool scale
     return reps.map_batches(
-        BagBuilder, fn_constructor_args=(cfg,), batch_format="pyarrow",
+        BagBuilder, fn_constructor_args=(cfg, df_ref, ndocs),
+        batch_format="pyarrow",
         batch_size=cfg.batch_size, concurrency=(1, cfg.wmh_concurrency),
         num_cpus=0.5)

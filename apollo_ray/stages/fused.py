@@ -38,7 +38,7 @@ _WORKER_STATE: dict = {}
 _FUSED_NNZ_BUDGET = 1 << 14  # small buffers: cheap first-touch per worker
 
 
-def _get_state(cfg: DedupConfig, params_ref) -> dict:
+def _get_state(cfg: DedupConfig, params_ref, df_ref=None) -> dict:
     key = cfg.config_hash()
     st = _WORKER_STATE.get(key)
     if st is None:
@@ -46,6 +46,7 @@ def _get_state(cfg: DedupConfig, params_ref) -> dict:
         st = {
             "hasher": TokenHasher(seed=cfg.seed),
             "dparams": ray.get(params_ref),   # zero-copy plasma read
+            "df": ray.get(df_ref) if df_ref is not None else None,
             "bufs": make_work_buffers(cfg.size, _FUSED_NNZ_BUDGET),
             "band": band_params(cfg),
         }
@@ -54,9 +55,9 @@ def _get_state(cfg: DedupConfig, params_ref) -> dict:
     return st
 
 
-def fused_hash_batch(batch: pa.Table, cfg: DedupConfig, params_ref
-                     ) -> pa.Table:
-    st = _get_state(cfg, params_ref)
+def fused_hash_batch(batch: pa.Table, cfg: DedupConfig, params_ref,
+                     df_ref=None, ndocs: int = 0) -> pa.Table:
+    st = _get_state(cfg, params_ref, df_ref)
     hasher = st["hasher"]
     htnum, band_size = st["band"]
     texts = batch.column("text").to_pylist()
@@ -67,7 +68,8 @@ def fused_hash_batch(batch: pa.Table, cfg: DedupConfig, params_ref
     keep_rows: list[int] = []
     for i, t in enumerate(texts):
         idx, w = doc_to_bag(t, hasher, cfg.shingle_k, cfg.feature_dim_log2,
-                            cfg.tokenizer, cfg.weighting)
+                            df=st["df"], ndocs=ndocs,
+                            min_df=cfg.min_docfreq, **cfg.bag_kwargs)
         if len(idx) == 0:
             continue  # empty docs cannot be hashed (apollo/hasher.py:245)
         keep_rows.append(i)
@@ -98,6 +100,14 @@ def fused_bands(reps: "ray.data.Dataset", cfg: DedupConfig
                 ) -> "ray.data.Dataset":
     from apollo_ray.stages.wmh_stage import params_object_ref
     params_ref = params_object_ref(cfg)
+    df_ref = None
+    ndocs = 0
+    if cfg.needs_docfreq:
+        import ray
+        from apollo_ray.stages.bags import compute_feature_docfreq
+        df, ndocs = compute_feature_docfreq(reps, cfg)
+        df_ref = ray.put(df)
     return reps.map_batches(
         fused_hash_batch, batch_format="pyarrow", batch_size=cfg.batch_size,
-        fn_kwargs={"cfg": cfg, "params_ref": params_ref})
+        fn_kwargs={"cfg": cfg, "params_ref": params_ref,
+                   "df_ref": df_ref, "ndocs": ndocs})

@@ -49,6 +49,19 @@ def cluster_report(clusters: "ray.data.Dataset", docs: "ray.data.Dataset",
         .sort(["cc_id", "doc_id"])
 
 
+def format_url(repo: str, commit: str, path: str) -> str:
+    """Browsable-URL formatter (M10, ``apollo/query.py:84-91``
+    semantics: github/gitlab -> /blob/, bitbucket -> /src/, else a
+    bracketed triple)."""
+    if repo.endswith(".git"):
+        repo = repo[:-4]
+    if repo.startswith(("github.com", "gitlab.com")):
+        return "https://%s/blob/%s/%s" % (repo, commit, path)
+    if repo.startswith("bitbucket.org"):
+        return "https://%s/src/%s/%s" % (repo, commit, path)
+    return "[%s %s %s]" % (repo, commit, path)
+
+
 def render_markdown(report_df: pd.DataFrame) -> str:
     """Markdown dump of a (small, already-collected) report table."""
     lines = ["# Duplicate clusters", ""]
@@ -76,7 +89,7 @@ class ProbeHasher:
         from apollo_ray.stages.bands import bucket_keys
         cfg = self.cfg
         idx, w = doc_to_bag(text, self.hasher, cfg.shingle_k,
-                            cfg.feature_dim_log2, cfg.tokenizer, cfg.weighting)
+                            cfg.feature_dim_log2, **cfg.bag_kwargs)
         indptr = np.array([0, len(idx)], dtype=np.int64)
         sig = weighted_minhash_batch(indptr, idx, w, self.rs, self.ln_cs,
                                      self.betas)[0]
