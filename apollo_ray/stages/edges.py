@@ -26,28 +26,42 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min
 
 from apollo_ray.config import DedupConfig
-from apollo_ray.hashing import mix_to_partition, pair_mix
+from apollo_ray.hashing import mix_to_partition, pair_mix, splitmix64
 
 
-def _add_pkey(batch: pa.Table, num_partitions: int) -> pa.Table:
+def _add_salted_pkey(batch: pa.Table, num_partitions: int, salt: int
+                     ) -> pa.Table:
     b = np.asarray(batch.column("bucket"), dtype=np.int64)
-    pkey = mix_to_partition(b, num_partitions)
+    if salt > 1:
+        d = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        key = (b.astype(np.uint64)
+               ^ splitmix64((d % salt).astype(np.uint64))).astype(np.int64)
+    else:
+        key = b
+    pkey = mix_to_partition(key, num_partitions)
     return batch.append_column("pkey", pa.array(pkey, type=pa.int32()))
 
 
-def _star_edges_in_partition(group: pa.Table) -> pa.Table:
+def _star_edges_in_partition(group: pa.Table, emit_reps: bool) -> pa.Table:
+    """Vectorized per-partition star edges: for every bucket segment
+    emit (member -> local_min); with ``emit_reps`` also emit one
+    (bucket, local_min) representative row per segment for the
+    second-level link pass."""
     bucket = np.asarray(group.column("bucket"), dtype=np.int64)
     doc = np.asarray(group.column("doc_id"), dtype=np.int64)
     order = np.lexsort((doc, bucket))
     b_s, d_s = bucket[order], doc[order]
+    empty = pa.table({"u": pa.array([], type=pa.int64()),
+                      "v": pa.array([], type=pa.int64()),
+                      "rep_bucket": pa.array([], type=pa.int64())})
     if len(b_s) == 0:
-        return pa.table({"u": pa.array([], type=pa.int64()),
-                         "v": pa.array([], type=pa.int64())})
+        return empty
     new_seg = np.empty(len(b_s), dtype=bool)
     new_seg[0] = True
     new_seg[1:] = b_s[1:] != b_s[:-1]
@@ -59,17 +73,61 @@ def _star_edges_in_partition(group: pa.Table) -> pa.Table:
     u, v = u[keep], v[keep]          # but keep the guard cheap and explicit
     # dedup identical (u, v) pairs emitted by different buckets/bands
     _, first_idx = np.unique(pair_mix(u, v), return_index=True)
-    return pa.table({"u": pa.array(u[first_idx], type=pa.int64()),
-                     "v": pa.array(v[first_idx], type=pa.int64())})
+    u, v = u[first_idx], v[first_idx]
+    rb = np.full(len(u), -1, dtype=np.int64)
+    if emit_reps:
+        u = np.concatenate([u, seg_min])
+        v = np.concatenate([v, seg_min])
+        rb = np.concatenate([rb, b_s[new_seg]])
+    return pa.table({"u": pa.array(u, type=pa.int64()),
+                     "v": pa.array(v, type=pa.int64()),
+                     "rep_bucket": pa.array(rb, type=pa.int64())})
 
 
 def bucket_star_edges(bands: "ray.data.Dataset", cfg: DedupConfig,
                       num_partitions: int = 64) -> "ray.data.Dataset":
-    """bands (band_id, bucket, doc_id) -> candidate edges (u, v), v < u."""
-    keyed = bands.map_batches(_add_pkey, batch_format="pyarrow",
-                              fn_kwargs={"num_partitions": num_partitions})
-    return keyed.groupby("pkey").map_groups(
-        _star_edges_in_partition, batch_format="pyarrow")
+    """bands (band_id, bucket, doc_id) -> candidate edges (u, v).
+
+    Two-level salted grouping (SURVEY §4 skew design): level 1 groups
+    by ``(bucket, doc_id % S)`` so a mega-bucket (a boilerplate band
+    value shared by millions of docs) is split across S partitions,
+    each emitting stars to its LOCAL minimum plus one representative
+    row; level 2 groups only the representatives (<= S rows per bucket)
+    by bucket and links the local minima.  Connectivity is preserved
+    exactly (star-of-stars = star); per-partition peak memory is capped
+    at |bucket|/S ids regardless of skew.
+    """
+    salt = max(1, cfg.bucket_salt)
+    keyed = bands.map_batches(_add_salted_pkey, batch_format="pyarrow",
+                              fn_kwargs={"num_partitions": num_partitions,
+                                         "salt": salt})
+    level1 = keyed.groupby("pkey").map_groups(
+        _star_edges_in_partition, batch_format="pyarrow",
+        fn_kwargs={"emit_reps": salt > 1}).materialize()
+
+    def just_edges(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("rep_bucket"), -1)
+        return batch.filter(mask).select(["u", "v"])
+
+    edges1 = level1.map_batches(just_edges, batch_format="pyarrow")
+    if salt <= 1:
+        return edges1
+
+    def reps_as_bands(batch: pa.Table) -> pa.Table:
+        mask = pc.not_equal(batch.column("rep_bucket"), -1)
+        sub = batch.filter(mask)
+        return pa.table({"bucket": sub.column("rep_bucket"),
+                         "doc_id": sub.column("u")})
+
+    reps = level1.map_batches(reps_as_bands, batch_format="pyarrow")
+    keyed2 = reps.map_batches(_add_salted_pkey, batch_format="pyarrow",
+                              fn_kwargs={"num_partitions": num_partitions,
+                                         "salt": 1})
+    edges2 = keyed2.groupby("pkey").map_groups(
+        _star_edges_in_partition, batch_format="pyarrow",
+        fn_kwargs={"emit_reps": False}) \
+        .map_batches(lambda t: t.select(["u", "v"]), batch_format="pyarrow")
+    return edges1.union(edges2)
 
 
 def bucket_stats(bands: "ray.data.Dataset") -> dict:
