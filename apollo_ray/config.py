@@ -29,6 +29,7 @@ class DedupConfig:
     tokenizer: str = "whitespace"  # "whitespace" | "words"
     weighting: str = "logtf"      # "logtf" | "tf" | "logtf_logidf" (idf needs docfreq pass)
     min_docfreq: int = 1          # drop features seen in fewer docs (--min-docfreq)
+    vocabulary_size: int = 0      # keep only the top-N features by df (0 = all; --vocabulary-size analog)
 
     # --- Weighted MinHash (apollo `hash` command) ---
     size: int = 128               # samples per signature (--size)
@@ -61,8 +62,9 @@ class DedupConfig:
     @property
     def needs_docfreq(self) -> bool:
         """True when a global document-frequency pass is required
-        (idf weighting or a min-docfreq filter)."""
-        return self.weighting == "logtf_logidf" or self.min_docfreq > 1
+        (idf weighting, a min-docfreq filter, or a vocabulary cap)."""
+        return (self.weighting == "logtf_logidf" or self.min_docfreq > 1
+                or self.vocabulary_size > 0)
 
     @property
     def bag_kwargs(self) -> dict:

@@ -156,3 +156,81 @@ def embedding_dup_pairs(embeddings: "ray.data.Dataset", threshold: float,
         })
 
     return embeddings.map_batches(score, batch_format="pyarrow")
+
+
+class IvfAssigner:
+    """Actor-pool stage: assign each vector to its nearest of
+    ``n_centroids`` sampled centroids (one coarse-quantizer pass — the
+    IVF scale path; centroids drawn deterministically from the seed so
+    every actor builds the same table)."""
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = _normalize(np.asarray(centroids, dtype=np.float64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch))
+        cid = np.argmax(m @ self.centroids.T, axis=1).astype(np.int32)
+        return batch.append_column("centroid_id", pa.array(cid, type=pa.int32()))
+
+
+def sample_centroids(embeddings: "ray.data.Dataset", n_centroids: int,
+                     seed: int = 42, col: str = "embedding") -> np.ndarray:
+    """Deterministic centroid sample (a k-means-free coarse quantizer:
+    random data points, the classic IVF-flat baseline)."""
+    n = embeddings.count()
+    take = embeddings.random_sample(min(1.0, (4 * n_centroids) / max(1, n)),
+                                    seed=seed).take(4 * n_centroids)
+    rng = np.random.default_rng(seed)
+    rows = [take[i][col] for i in rng.permutation(len(take))[:n_centroids]]
+    return np.asarray(rows, dtype=np.float64)
+
+
+def ivf_topk(embeddings: "ray.data.Dataset", query_vecs: np.ndarray,
+             query_ids: list[int], k: int = 10, n_centroids: int = 16,
+             nprobe: int = 4, seed: int = 42, id_col: str = "vec_id"
+             ) -> "ray.data.Dataset":
+    """IVF-flat approximate top-k: corpus bucketed by nearest centroid;
+    each query scores only vectors in its ``nprobe`` closest centroid
+    buckets.  Recall vs brute force is measured in tests, not assumed.
+    """
+    import pandas as pd
+    import ray as _ray
+    centroids = sample_centroids(embeddings, n_centroids, seed)
+    cn = _normalize(centroids)
+    assigned = embeddings.map_batches(
+        IvfAssigner, fn_constructor_args=(centroids,),
+        batch_format="pyarrow", concurrency=(1, 4))
+    qm = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    q_probe = np.argsort(-(qm @ cn.T), axis=1)[:, :nprobe]   # (Q, nprobe)
+    probe_ref = _ray.put((np.asarray(query_ids, dtype=np.int64), qm, q_probe))
+
+    def score(batch: pa.Table) -> pa.Table:
+        q_ids, qmat, probes = _ray.get(probe_ref)
+        cid = np.asarray(batch.column("centroid_id"), dtype=np.int32)
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        m = _normalize(_batch_matrix(batch))
+        out_q, out_v, out_c = [], [], []
+        for qi in range(len(q_ids)):
+            mask = np.isin(cid, probes[qi]) & (ids != q_ids[qi])
+            if not mask.any():
+                continue
+            cos = m[mask] @ qmat[qi]
+            out_q.append(np.full(mask.sum(), q_ids[qi], dtype=np.int64))
+            out_v.append(ids[mask])
+            out_c.append(np.round(cos, 3))
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "cos_r3": pa.array([], type=pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+            "cos_r3": pa.array(np.concatenate(out_c), type=pa.float64()),
+        })
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cos_r3", "vec_id"],
+                             ascending=[False, True]).head(k)
+
+    return assigned.map_batches(score, batch_format="pyarrow") \
+        .groupby("query_id").map_groups(topk, batch_format="pandas")

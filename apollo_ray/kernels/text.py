@@ -122,6 +122,21 @@ def doc_to_bag(text: str, hasher: TokenHasher, k: int, dim_log2: int,
     return idx, w
 
 
+def effective_min_df(df: np.ndarray, cfg) -> int:
+    """Combine ``min_docfreq`` with the ``vocabulary_size`` cap (M6,
+    ``doc/cmd/bags.md:15``): keeping the top-N features by df equals a
+    df floor at the N-th largest value (ties at the cutoff are kept —
+    deterministic, marginally more than N)."""
+    m = cfg.min_docfreq
+    if cfg.vocabulary_size:
+        nz = df[df > 0]
+        if len(nz) > cfg.vocabulary_size:
+            cutoff = np.partition(nz, len(nz) - cfg.vocabulary_size)[
+                len(nz) - cfg.vocabulary_size]
+            m = max(m, int(cutoff))
+    return m
+
+
 # --- text-analysis operators (training-data pipeline extras) ---
 
 _STOPWORDS = frozenset(

@@ -66,10 +66,14 @@ def oracle_clusters(urls: list[str], htmls: list[bytes], cfg: DedupConfig
                                 cfg.feature_dim_log2, **cfg.bag_kwargs)
             df[idx] += 1
         ndocs = len(reps)
+    min_df = cfg.min_docfreq
+    if df is not None:
+        from apollo_ray.kernels.text import effective_min_df
+        min_df = effective_min_df(df, cfg)
     for r in reps:
         idx, w = doc_to_bag(rep_texts[r], hasher, cfg.shingle_k,
                             cfg.feature_dim_log2, df=df, ndocs=ndocs or 0,
-                            min_df=cfg.min_docfreq, **cfg.bag_kwargs)
+                            min_df=min_df, **cfg.bag_kwargs)
         indices.append(idx)
         weights.append(w)
         indptr.append(indptr[-1] + len(idx))

@@ -144,6 +144,9 @@ def compute_feature_docfreq(reps: "ray.data.Dataset", cfg: DedupConfig
     return total, ndocs
 
 
+from apollo_ray.kernels.text import effective_min_df  # noqa: F401
+
+
 class BagBuilder:
     """Actor-pool callable: text -> sparse weighted bag.
 
@@ -158,8 +161,10 @@ class BagBuilder:
         if df_ref is not None:
             import ray
             self.df = ray.get(df_ref)
+            self.min_df = effective_min_df(self.df, cfg)
         else:
             self.df = None
+            self.min_df = cfg.min_docfreq
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -169,7 +174,7 @@ class BagBuilder:
         for t in texts:
             idx, w = doc_to_bag(t, self.hasher, cfg.shingle_k,
                                 cfg.feature_dim_log2, df=self.df,
-                                ndocs=self.ndocs, min_df=cfg.min_docfreq,
+                                ndocs=self.ndocs, min_df=self.min_df,
                                 **cfg.bag_kwargs)
             indices.append(idx)
             weights.append(w)

@@ -43,10 +43,14 @@ def _get_state(cfg: DedupConfig, params_ref, df_ref=None) -> dict:
     st = _WORKER_STATE.get(key)
     if st is None:
         import ray
+        from apollo_ray.stages.bags import effective_min_df
+        df = ray.get(df_ref) if df_ref is not None else None
         st = {
             "hasher": TokenHasher(seed=cfg.seed),
             "dparams": ray.get(params_ref),   # zero-copy plasma read
-            "df": ray.get(df_ref) if df_ref is not None else None,
+            "df": df,
+            "min_df": (effective_min_df(df, cfg) if df is not None
+                       else cfg.min_docfreq),
             "bufs": make_work_buffers(cfg.size, _FUSED_NNZ_BUDGET),
             "band": band_params(cfg),
         }
@@ -69,7 +73,7 @@ def fused_hash_batch(batch: pa.Table, cfg: DedupConfig, params_ref,
     for i, t in enumerate(texts):
         idx, w = doc_to_bag(t, hasher, cfg.shingle_k, cfg.feature_dim_log2,
                             df=st["df"], ndocs=ndocs,
-                            min_df=cfg.min_docfreq, **cfg.bag_kwargs)
+                            min_df=st["min_df"], **cfg.bag_kwargs)
         if len(idx) == 0:
             continue  # empty docs cannot be hashed (apollo/hasher.py:245)
         keep_rows.append(i)

@@ -62,6 +62,29 @@ def format_url(repo: str, commit: str, path: str) -> str:
     return "[%s %s %s]" % (repo, commit, path)
 
 
+DEFAULT_TEMPLATE = """# Duplicate clusters ({{ clusters|length }})
+{% for cc_id, rows in clusters %}
+## cluster {{ cc_id }} ({{ rows|length }} docs)
+{% for row in rows %}- {{ row.url }}
+{% endfor %}{% endfor %}"""
+
+
+def render_template(report_df: pd.DataFrame, template: str | None = None) -> str:
+    """Jinja2-rendered report (S10, the ``--template`` surface of
+    ``apollo/__main__.py:65-69`` / ``stream_template``
+    ``apollo/query.py:94-106``).  ``template`` is a Jinja source string
+    (or None for the built-in); the context mirrors the reference's
+    ``communities=...`` iterable: ``clusters`` = [(cc_id, [rows...])]."""
+    import jinja2
+    from apollo_ray.stages.report import format_url
+    env = jinja2.Environment(trim_blocks=True, lstrip_blocks=True,
+                             keep_trailing_newline=False)
+    tpl = env.from_string(template or DEFAULT_TEMPLATE)
+    clusters = [(int(cc), list(g.itertuples()))
+                for cc, g in report_df.groupby("cc_id", sort=True)]
+    return tpl.render(clusters=clusters, format_url=format_url)
+
+
 def render_markdown(report_df: pd.DataFrame) -> str:
     """Markdown dump of a (small, already-collected) report table."""
     lines = ["# Duplicate clusters", ""]

@@ -144,3 +144,49 @@ def test_multimodal_strict_raises(ray_session):
     t = pa.table({"payload": pa.array([b"xx"], type=pa.binary())})
     with pytest.raises(NotImplementedError):
         ex(t)
+
+
+def test_ivf_topk_recall_vs_bruteforce(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from apollo_ray.functions.ann import cosine_topk, ivf_topk
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((300, 16)).astype(np.float32)
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(300), type=pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in base],
+                              type=pa.list_(pa.float32())),
+    }))
+    qids = [0, 1, 2]
+    bf = cosine_topk(emb, query_ids=qids, k=5).to_pandas()
+    ivf = ivf_topk(emb, base[qids], qids, k=5, n_centroids=8,
+                   nprobe=6).to_pandas()
+    # high nprobe (6 of 8 buckets) => recall vs brute force near 1
+    hits = 0
+    for q in qids:
+        want = set(bf[bf.query_id == q].vec_id)
+        got = set(ivf[ivf.query_id == q].vec_id)
+        hits += len(want & got) / max(1, len(want))
+    assert hits / len(qids) >= 0.6
+
+
+def test_vocabulary_cap():
+    from apollo_ray.config import DedupConfig
+    from apollo_ray.kernels.text import effective_min_df
+    df = np.array([0, 5, 3, 9, 1, 1], dtype=np.int64)
+    cfg = DedupConfig(vocabulary_size=2)
+    # top-2 dfs are 9 and 5 -> cutoff 5
+    assert effective_min_df(df, cfg) == 5
+    assert effective_min_df(df, DedupConfig()) == 1
+    assert effective_min_df(df, DedupConfig(vocabulary_size=100)) == 1
+
+
+def test_render_template(ray_session):
+    import pandas as pd
+    from apollo_ray.stages.report import render_template
+    df = pd.DataFrame({"cc_id": [1, 1, 7], "doc_id": [1, 2, 7],
+                       "url": ["u1", "u2", "u7"]})
+    out = render_template(df)
+    assert "cluster 1 (2 docs)" in out and "- u2" in out
+    custom = render_template(df, "{% for c, rows in clusters %}{{ c }};{% endfor %}")
+    assert custom == "1;7;"
