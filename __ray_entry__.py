@@ -89,6 +89,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_events_hourly(sf_dir):
         return textstats.events_hourly(_events(sf_dir))
 
+    def q_user_sessions(sf_dir):
+        return textstats.user_sessions(_events(sf_dir))
+
     def q_emb_label_counts(sf_dir):
         from ray.data.aggregate import Count
         return _embeddings(sf_dir).groupby("label").aggregate(
@@ -137,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": q_ngram_pairs,
         "user_last_event": q_user_last_event,
         "events_hourly": q_events_hourly,
+        "user_sessions": q_user_sessions,
         "emb_label_counts": q_emb_label_counts,
         "ann_close_pairs": q_ann_close,
         "emb_dup_pairs": q_emb_dup_pairs,
@@ -246,6 +250,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    round(sum(value), 4) AS sum_value_r4
             FROM events GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "user_sessions": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                               OVER (PARTITION BY user_id ORDER BY ts)
+                               > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
+              FROM events)
+            SELECT user_id,
+                   1 + sum(CASE WHEN new_s IS NULL THEN 0 ELSE new_s END)
+                       AS n_sessions,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id
         """,
         "emb_label_counts": """
             SELECT label, count(*) AS n FROM embeddings GROUP BY label

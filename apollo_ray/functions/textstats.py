@@ -143,3 +143,24 @@ def events_hourly(events: "ray.data.Dataset") -> "ray.data.Dataset":
         return df.drop(columns=["sum_value"])
 
     return agg.map_batches(round_col, batch_format="pandas")
+
+
+def user_sessions(events: "ray.data.Dataset", gap_sec: int = 1800
+                  ) -> "ray.data.Dataset":
+    """(user_id, n_sessions, n_events) — session counting with an
+    inactivity gap (the streaming-shaped windowing pattern: the input
+    is treated as a keyed log, each key's events sorted by time inside
+    ``map_groups``; SURVEY §2.9 / ray_guide streaming section)."""
+    import pandas as pd
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].astype("int64").to_numpy())
+        gaps = np.diff(ts) > gap_sec * 1_000_000
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_sessions": [int(1 + gaps.sum())],
+            "n_events": [len(ts)],
+        })
+
+    return events.groupby("user_id").map_groups(sessions,
+                                                batch_format="pandas")
