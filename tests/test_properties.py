@@ -1,0 +1,70 @@
+"""Property-based tests (hypothesis) for the numeric kernels — beyond
+the reference's test surface (SURVEY §5: the reference has no
+property-based tests)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from apollo_ray.kernels.cc import find_connected_components
+from apollo_ray.kernels.jaccard import (weighted_jaccard,
+                                        weighted_jaccard_sparse)
+from apollo_ray.kernels.lsh import calc_hashtable_params
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 50), st.integers(0, 50)),
+                max_size=60))
+def test_cc_partition_properties(edges):
+    buckets = [list(e) for e in edges]
+    res = find_connected_components(buckets)
+    seen = set()
+    for label, members in res.items():
+        assert label == min(members)          # label = component minimum
+        assert not (seen & members)           # components are disjoint
+        seen |= members
+    assert seen == {x for e in edges for x in e}
+    # every edge's endpoints share a component
+    lab = {x: l for l, mem in res.items() for x in mem}
+    for a, b in edges:
+        assert lab[a] == lab[b]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2 ** 31), st.integers(1, 200), st.integers(1, 200))
+def test_sparse_jaccard_equals_dense(seed, n1, n2):
+    rng = np.random.default_rng(seed)
+    dim = 300
+    v1 = np.zeros(dim, dtype=np.float32)
+    v2 = np.zeros(dim, dtype=np.float32)
+    v1[rng.choice(dim, min(n1, dim), replace=False)] = \
+        rng.random(min(n1, dim)).astype(np.float32) + 0.01
+    v2[rng.choice(dim, min(n2, dim), replace=False)] = \
+        rng.random(min(n2, dim)).astype(np.float32) + 0.01
+    i1 = np.flatnonzero(v1).astype(np.uint32)
+    i2 = np.flatnonzero(v2).astype(np.uint32)
+    s = weighted_jaccard_sparse(i1, v1[i1], i2, v2[i2])
+    d = weighted_jaccard(v1, v2)
+    assert abs(s - d) < 1e-5
+    assert 0.0 <= s <= 1.0
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.floats(0.3, 0.95), st.sampled_from([32, 64, 128]))
+def test_lsh_params_valid(threshold, size):
+    b, r = calc_hashtable_params(round(threshold, 2), size)
+    assert 1 <= b and 1 <= r and b * r <= size
+
+
+def test_empty_pipeline(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from apollo_ray.config import DedupConfig
+    from apollo_ray.pipelines.dedup import run_dedup
+    empty = pa.table({"url": pa.array([], type=pa.string()),
+                      "warc_ts": pa.array([], type=pa.timestamp("us")),
+                      "html": pa.array([], type=pa.binary()),
+                      "text": pa.array([], type=pa.string()),
+                      "lang": pa.array([], type=pa.string())})
+    out = run_dedup(rd.from_arrow(empty), DedupConfig(feature_dim_log2=12))
+    assert out["clusters"].count() == 0
