@@ -20,16 +20,21 @@ import json
 import sys
 
 
-def _init_ray(num_cpus: int | None):
+def _init_ray(num_cpus: int | None) -> bool:
+    """Returns True when this call created the Ray session (and the
+    command should shut it down on exit)."""
     import ray
+    created = False
     if not ray.is_initialized():
         kwargs = {"address": "local", "include_dashboard": False,
                   "logging_level": "ERROR"}
         if num_cpus:
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
+        created = True
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
+    return created
 
 
 def _cfg_from_args(args) -> "DedupConfig":
@@ -50,7 +55,7 @@ def cmd_run(args) -> int:
     import ray.data as rd
     from apollo_ray.pipelines.dedup import run_dedup
     from apollo_ray.sources.io import read_pages
-    _init_ray(args.num_cpus)
+    owns = _init_ray(args.num_cpus)
     cfg = _cfg_from_args(args)
     pages = read_pages(args.input, lang_filter=args.lang.split(",") if args.lang else None)
     out = run_dedup(pages, cfg, ckpt_root=args.ckpt,
@@ -59,7 +64,8 @@ def cmd_run(args) -> int:
                     with_stats=args.stats)
     n = out["clusters"].count()
     print(json.dumps({"docs": n, "metrics": out["metrics"]}, default=str))
-    ray.shutdown()
+    if owns:
+        ray.shutdown()
     return 0
 
 
@@ -74,7 +80,7 @@ def cmd_reset(args) -> int:
 def cmd_query(args) -> int:
     import ray
     from apollo_ray.sources.io import read_stage
-    _init_ray(args.num_cpus)
+    owns = _init_ray(args.num_cpus)
     cfg = _cfg_from_args(args)
     with open(args.file) as f:
         text = f.read()
@@ -83,7 +89,8 @@ def cmd_query(args) -> int:
     bags = read_stage(args.ckpt, "bags")
     hits = query_similar(text, bands, bags, cfg, precise=args.precise)
     print(json.dumps({"similar": hits}))
-    ray.shutdown()
+    if owns:
+        ray.shutdown()
     return 0
 
 
@@ -91,12 +98,13 @@ def cmd_report(args) -> int:
     import ray
     from apollo_ray.sources.io import read_stage
     from apollo_ray.stages.report import cluster_report, render_markdown
-    _init_ray(args.num_cpus)
+    owns = _init_ray(args.num_cpus)
     clusters = read_stage(args.ckpt, "clusters")
     docs = read_stage(args.ckpt, "docs")
     rep = cluster_report(clusters, docs).to_pandas()
     sys.stdout.write(render_markdown(rep))
-    ray.shutdown()
+    if owns:
+        ray.shutdown()
     return 0
 
 

@@ -31,13 +31,40 @@ def add_text_hash(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return docs.map_batches(f, batch_format="pyarrow")
 
 
-def exact_dedup_groups(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+def exact_dedup_groups(docs: "ray.data.Dataset",
+                       num_partitions: int = 64) -> "ray.data.Dataset":
     """(rep_id, n_members) per distinct text — group by content hash,
-    keep the min doc_id (D2 semantics, ``apollo/bags.py:15``)."""
-    agg = add_text_hash(docs).groupby("text_hash").aggregate(
-        Min("doc_id", alias_name="rep_id"), Count(alias_name="n_members"))
-    return agg.map_batches(
-        lambda t: t.select(["rep_id", "n_members"]), batch_format="pyarrow")
+    keep the min doc_id (D2 semantics, ``apollo/bags.py:15``).
+
+    Vectorized pkey grouping (one np.lexsort per partition) instead of
+    ``groupby().aggregate()`` — Ray's sort-based aggregate pays
+    per-group overhead, fatal at one-group-per-distinct-text scale."""
+    hashed = add_text_hash(docs)
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        th = np.asarray(batch.column("text_hash"), dtype=np.int64)
+        return batch.append_column(
+            "pkey", pa.array(mix_to_partition(th, num_partitions),
+                             type=pa.int32()))
+
+    def reduce_part(group: pa.Table) -> pa.Table:
+        th = np.asarray(group.column("text_hash"), dtype=np.int64)
+        d = np.asarray(group.column("doc_id"), dtype=np.int64)
+        if len(th) == 0:
+            return pa.table({"rep_id": pa.array([], type=pa.int64()),
+                             "n_members": pa.array([], type=pa.int64())})
+        order = np.lexsort((d, th))
+        th_s, d_s = th[order], d[order]
+        first = np.empty(len(th_s), dtype=bool)
+        first[0] = True
+        first[1:] = th_s[1:] != th_s[:-1]
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, len(th_s)))
+        return pa.table({"rep_id": pa.array(d_s[first], type=pa.int64()),
+                         "n_members": pa.array(counts, type=pa.int64())})
+
+    return hashed.map_batches(add_pkey, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(reduce_part, batch_format="pyarrow")
 
 
 def shingle_counts(docs: "ray.data.Dataset", k: int = 3,
@@ -62,10 +89,14 @@ def shingle_counts(docs: "ray.data.Dataset", k: int = 3,
 
 
 def _explode_shingles(batch: pa.Table, k: int, seed: int) -> pa.Table:
+    """Rows (shingle, doc_id, n_sh) — the doc's distinct-shingle count
+    rides along on every row, so downstream Jaccard needs NO join back
+    to a per-doc sizes table (8 extra bytes/row buys two hash joins)."""
     from apollo_ray.hashing import shingle_hashes
     hasher = TokenHasher(seed=seed)
     doc_out: list[np.ndarray] = []
     sh_out: list[np.ndarray] = []
+    n_out: list[np.ndarray] = []
     for did, t in zip(batch.column("doc_id").to_pylist(),
                       batch.column("text").to_pylist()):
         toks = t.split()
@@ -74,11 +105,14 @@ def _explode_shingles(batch: pa.Table, k: int, seed: int) -> pa.Table:
         h = np.unique(shingle_hashes(hasher.hash_tokens(toks), k))
         sh_out.append(h.astype(np.int64) >> 1)
         doc_out.append(np.full(len(h), did, dtype=np.int64))
+        n_out.append(np.full(len(h), len(h), dtype=np.int64))
     if not doc_out:
         return pa.table({"shingle": pa.array([], type=pa.int64()),
-                         "doc_id": pa.array([], type=pa.int64())})
+                         "doc_id": pa.array([], type=pa.int64()),
+                         "n_sh": pa.array([], type=pa.int64())})
     return pa.table({"shingle": pa.array(np.concatenate(sh_out), type=pa.int64()),
-                     "doc_id": pa.array(np.concatenate(doc_out), type=pa.int64())})
+                     "doc_id": pa.array(np.concatenate(doc_out), type=pa.int64()),
+                     "n_sh": pa.array(np.concatenate(n_out), type=pa.int64())})
 
 
 def ngram_jaccard_pairs(docs: "ray.data.Dataset", k: int = 3,
@@ -98,13 +132,10 @@ def ngram_jaccard_pairs(docs: "ray.data.Dataset", k: int = 3,
     contribute almost nothing to Jaccard >= 0.5 decisions).  The cap
     never fires at oracle-comparison scale.
     """
-    from apollo_ray.util import hash_join
-    jp = num_partitions
     if num_partitions is None:
         num_partitions = 32
     shingles = docs.map_batches(_explode_shingles, batch_format="pyarrow",
                                 fn_kwargs={"k": k, "seed": seed})
-    sizes = shingles.groupby("doc_id").aggregate(Count(alias_name="n_sh"))
 
     def add_pkey(batch: pa.Table) -> pa.Table:
         s = np.asarray(batch.column("shingle"), dtype=np.int64)
@@ -114,53 +145,78 @@ def ngram_jaccard_pairs(docs: "ray.data.Dataset", k: int = 3,
     def emit_pairs(group: pa.Table) -> pa.Table:
         s = np.asarray(group.column("shingle"), dtype=np.int64)
         d = np.asarray(group.column("doc_id"), dtype=np.int64)
+        nsh = np.asarray(group.column("n_sh"), dtype=np.int64)
         order = np.lexsort((d, s))
-        s_s, d_s = s[order], d[order]
-        new_seg = np.empty(len(s_s), dtype=bool)
+        s_s, d_s, n_s = s[order], d[order], nsh[order]
+        empty = pa.table({"u": pa.array([], type=pa.int64()),
+                          "v": pa.array([], type=pa.int64()),
+                          "n_u": pa.array([], type=pa.int64()),
+                          "n_v": pa.array([], type=pa.int64())})
         if len(s_s) == 0:
-            return pa.table({"u": pa.array([], type=pa.int64()),
-                             "v": pa.array([], type=pa.int64())})
+            return empty
+        new_seg = np.empty(len(s_s), dtype=bool)
         new_seg[0] = True
         new_seg[1:] = s_s[1:] != s_s[:-1]
-        seg_id = np.cumsum(new_seg) - 1
         starts = np.flatnonzero(new_seg)
         counts = np.diff(np.append(starts, len(s_s)))
-        us, vs = [], []
-        for st, c in zip(starts, counts):
-            if c < 2 or c > max_posting:
+        us, vs, nus, nvs = [], [], [], []
+        # size-2 posting lists dominate; emit them in one vectorized shot
+        m2 = counts == 2
+        if m2.any():
+            s2 = starts[m2]
+            us.append(d_s[s2]); vs.append(d_s[s2 + 1])
+            nus.append(n_s[s2]); nvs.append(n_s[s2 + 1])
+        for st, c in zip(starts[counts > 2], counts[counts > 2]):
+            if c > max_posting:
                 continue
-            mem = d_s[st:st + c]
             iu, iv = np.triu_indices(c, k=1)
-            us.append(mem[iu])
-            vs.append(mem[iv])
+            us.append(d_s[st:st + c][iu]); vs.append(d_s[st:st + c][iv])
+            nus.append(n_s[st:st + c][iu]); nvs.append(n_s[st:st + c][iv])
         if not us:
-            return pa.table({"u": pa.array([], type=pa.int64()),
-                             "v": pa.array([], type=pa.int64())})
-        u = np.concatenate(us)
-        v = np.concatenate(vs)
-        lo = np.minimum(u, v)
-        hi = np.maximum(u, v)
-        return pa.table({"u": pa.array(lo, type=pa.int64()),
-                         "v": pa.array(hi, type=pa.int64())})
+            return empty
+        u = np.concatenate(us); v = np.concatenate(vs)
+        nu = np.concatenate(nus); nv = np.concatenate(nvs)
+        swap = u > v
+        u2 = np.where(swap, v, u); v2 = np.where(swap, u, v)
+        nu2 = np.where(swap, nv, nu); nv2 = np.where(swap, nu, nv)
+        return pa.table({"u": pa.array(u2, type=pa.int64()),
+                         "v": pa.array(v2, type=pa.int64()),
+                         "n_u": pa.array(nu2, type=pa.int64()),
+                         "n_v": pa.array(nv2, type=pa.int64())})
 
     pairs = shingles.map_batches(add_pkey, batch_format="pyarrow") \
         .groupby("pkey").map_groups(emit_pairs, batch_format="pyarrow")
-    inter = pairs.groupby(["u", "v"]).aggregate(Count(alias_name="c"))
-    ju = hash_join(inter, sizes, on=("u",), right_on=("doc_id",),
-                   num_partitions=jp)
-    ju = ju.rename_columns({"n_sh": "n_u"})
-    jv = hash_join(ju, sizes, on=("v",), right_on=("doc_id",),
-                   num_partitions=jp)
-    jv = jv.rename_columns({"n_sh": "n_v"})
 
-    def flt(batch: pa.Table) -> pa.Table:
-        c = np.asarray(batch.column("c"), dtype=np.float64)
-        nu = np.asarray(batch.column("n_u"), dtype=np.float64)
-        nv = np.asarray(batch.column("n_v"), dtype=np.float64)
-        keep = c / (nu + nv - c) >= threshold
-        return batch.select(["u", "v"]).filter(pa.array(keep))
+    # count shared shingles per (u, v) with the same pkey trick —
+    # Ray's sort-based multi-key groupby().aggregate() is orders of
+    # magnitude slower than one vectorized np.unique per partition
+    def add_pair_pkey(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch.column("u"), dtype=np.int64)
+        v = np.asarray(batch.column("v"), dtype=np.int64)
+        key = pair_mix(u, v).astype(np.int64) >> 1
+        return batch.append_column(
+            "pkey", pa.array(mix_to_partition(key, num_partitions),
+                             type=pa.int32()))
 
-    return jv.map_batches(flt, batch_format="pyarrow")
+    def count_and_filter(group: pa.Table) -> pa.Table:
+        u = np.asarray(group.column("u"), dtype=np.int64)
+        v = np.asarray(group.column("v"), dtype=np.int64)
+        nu = np.asarray(group.column("n_u"), dtype=np.int64)
+        nv = np.asarray(group.column("n_v"), dtype=np.int64)
+        if len(u) == 0:
+            return pa.table({"u": pa.array([], type=pa.int64()),
+                             "v": pa.array([], type=pa.int64())})
+        key = pair_mix(u, v)
+        uniq, first, c = np.unique(key, return_index=True,
+                                   return_counts=True)
+        fu, fv = u[first], v[first]
+        fnu, fnv = nu[first].astype(np.float64), nv[first].astype(np.float64)
+        keep = c / (fnu + fnv - c) >= threshold
+        return pa.table({"u": pa.array(fu[keep], type=pa.int64()),
+                         "v": pa.array(fv[keep], type=pa.int64())})
+
+    return pairs.map_batches(add_pair_pkey, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(count_and_filter, batch_format="pyarrow")
 
 
 def simhash_pairs(docs: "ray.data.Dataset", k: int = 3, bands: int = 4,
@@ -219,8 +275,13 @@ def simhash_pairs(docs: "ray.data.Dataset", k: int = 3, bands: int = 4,
         starts = np.flatnonzero(new_seg)
         counts = np.diff(np.append(starts, len(bk)))
         us, vs, su, sv = [], [], [], []
-        for st, c in zip(starts, counts):
-            if c < 2 or c > max_bucket:
+        m2 = counts == 2
+        if m2.any():
+            s2 = starts[m2]
+            us.append(d[s2]); vs.append(d[s2 + 1])
+            su.append(sg[s2]); sv.append(sg[s2 + 1])
+        for st, c in zip(starts[counts > 2], counts[counts > 2]):
+            if c > max_bucket:
                 continue
             iu, iv = np.triu_indices(c, k=1)
             us.append(d[st:st + c][iu])
@@ -245,7 +306,33 @@ def simhash_pairs(docs: "ray.data.Dataset", k: int = 3, bands: int = 4,
 
     keyed = sigs.map_batches(add_pkey, batch_format="pyarrow")
     pairs = keyed.groupby("pkey").map_groups(emit, batch_format="pyarrow")
+
     # a pair can still appear in two partitions (different bands) ->
-    # final distinct
-    return pairs.groupby(["u", "v"]).aggregate(Min("hamming",
-                                                   alias_name="hamming"))
+    # final distinct, vectorized per pair-hash partition
+    def add_pair_pkey(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch.column("u"), dtype=np.int64)
+        v = np.asarray(batch.column("v"), dtype=np.int64)
+        key = pair_mix(u, v).astype(np.int64) >> 1
+        return batch.append_column(
+            "pkey", pa.array(mix_to_partition(key, num_partitions),
+                             type=pa.int32()))
+
+    def distinct_pairs(group: pa.Table) -> pa.Table:
+        u = np.asarray(group.column("u"), dtype=np.int64)
+        v = np.asarray(group.column("v"), dtype=np.int64)
+        h = np.asarray(group.column("hamming"), dtype=np.int64)
+        if len(u) == 0:
+            return group.select(["u", "v", "hamming"])
+        key = pair_mix(u, v)
+        order = np.lexsort((h, key))
+        k_s = key[order]
+        first = np.empty(len(k_s), dtype=bool)
+        first[0] = True
+        first[1:] = k_s[1:] != k_s[:-1]
+        sel = order[first]
+        return pa.table({"u": pa.array(u[sel], type=pa.int64()),
+                         "v": pa.array(v[sel], type=pa.int64()),
+                         "hamming": pa.array(h[sel], type=pa.int64())})
+
+    return pairs.map_batches(add_pair_pkey, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(distinct_pairs, batch_format="pyarrow")

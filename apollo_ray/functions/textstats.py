@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
@@ -62,17 +63,31 @@ def docfreq(docs: "ray.data.Dataset", min_df: int = 1) -> "ray.data.Dataset":
     Per-doc-unique tokens are exploded inside map_batches (map-side
     dedup), then one groupby-count shuffle over (token) rows.
     """
+    from apollo_ray.hashing import hash_utf8, mix_to_partition
+
     def explode_unique(batch: pa.Table) -> pa.Table:
         toks: list[str] = []
         for t in batch.column("text").to_pylist():
             toks.extend(set(t.split()))
-        return pa.table({"token": pa.array(toks, type=pa.string())})
+        pkey = mix_to_partition(
+            np.fromiter((hash_utf8(t) for t in toks), dtype=np.int64,
+                        count=len(toks)), 64)
+        return pa.table({"token": pa.array(toks, type=pa.string()),
+                         "pkey": pa.array(pkey, type=pa.int32())})
 
-    out = docs.map_batches(explode_unique, batch_format="pyarrow") \
-        .groupby("token").aggregate(Count(alias_name="df"))
-    if min_df > 1:
-        out = out.filter(expr="df >= %d" % min_df)
-    return out
+    # vectorized per-partition counting (pyarrow value_counts) instead
+    # of Ray's per-group aggregate — token cardinality is unbounded
+    def count_part(group: pa.Table) -> pa.Table:
+        vc = group.column("token").combine_chunks().value_counts()
+        tok = vc.field("values")
+        cnt = vc.field("counts").cast(pa.int64())
+        out = pa.table({"token": tok, "df": cnt})
+        if min_df > 1:
+            out = out.filter(pc.greater_equal(out.column("df"), min_df))
+        return out
+
+    return docs.map_batches(explode_unique, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(count_part, batch_format="pyarrow")
 
 
 class LangIdScorer:

@@ -258,8 +258,28 @@ def assign_clusters(all_docs: "ray.data.Dataset",
     selfs = all_docs.map_batches(self_label, batch_format="pyarrow")
     labels = final_edges.map_batches(edge_label, batch_format="pyarrow")
     merged = selfs.union(labels)
-    out = merged.groupby("node").aggregate(Min("label", alias_name="cc_id"))
-    return out.map_batches(
-        lambda t: pa.table({"doc_id": t.column("node").cast(pa.int64()),
-                            "cc_id": t.column("cc_id").cast(pa.int64())}),
-        batch_format="pyarrow")
+
+    # per-node min label via the vectorized pkey pattern — Ray's
+    # sort-based groupby().aggregate() pays per-group overhead, fatal
+    # at one-group-per-doc cardinality
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch.column("node"), dtype=np.int64)
+        return batch.append_column(
+            "pkey", pa.array(mix_to_partition(n, 64), type=pa.int32()))
+
+    def min_per_node(group: pa.Table) -> pa.Table:
+        n = np.asarray(group.column("node"), dtype=np.int64)
+        lab = np.asarray(group.column("label"), dtype=np.int64)
+        if len(n) == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "cc_id": pa.array([], type=pa.int64())})
+        order = np.lexsort((lab, n))
+        n_s, l_s = n[order], lab[order]
+        first = np.empty(len(n_s), dtype=bool)
+        first[0] = True
+        first[1:] = n_s[1:] != n_s[:-1]
+        return pa.table({"doc_id": pa.array(n_s[first], type=pa.int64()),
+                         "cc_id": pa.array(l_s[first], type=pa.int64())})
+
+    return merged.map_batches(add_pkey, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(min_per_node, batch_format="pyarrow")

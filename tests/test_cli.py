@@ -1,0 +1,46 @@
+"""CLI surface test: run -> report -> query -> reset round trip."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+
+def test_cli_round_trip(tmp_path, capsys, ray_session):
+    from apollo_ray.cli import main
+    from apollo_ray.fixtures import generate_pages
+
+    pages_dir = tmp_path / "pages"
+    pages_dir.mkdir()
+    pages_t, _ = generate_pages(200)
+    pq.write_table(pages_t, str(pages_dir / "part-0.parquet"))
+    ckpt = str(tmp_path / "ckpt")
+
+    assert main(["run", "--input", str(pages_dir), "--ckpt", ckpt,
+                 "--feature-dim-log2", "12"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["docs"] == 200
+    assert os.path.exists(os.path.join(ckpt, "clusters", "_SUCCESS.json"))
+
+    # re-run: everything cached
+    assert main(["run", "--input", str(pages_dir), "--ckpt", ckpt,
+                 "--feature-dim-log2", "12"]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["metrics"].get("clusters_cached") is True
+
+    assert main(["report", "--ckpt", ckpt]) == 0
+    rep = capsys.readouterr().out
+    assert rep.startswith("# Duplicate clusters")
+
+    probe = tmp_path / "probe.txt"
+    probe.write_text(pages_t.column("text")[0].as_py())
+    assert main(["query", "--ckpt", ckpt, "--file", str(probe),
+                 "--feature-dim-log2", "12"]) == 0
+    hits = json.loads(capsys.readouterr().out.strip())["similar"]
+    assert len(hits) >= 1
+
+    assert main(["reset", "--ckpt", ckpt, "--stages", "bands,edges"]) == 0
+    capsys.readouterr()
+    assert not os.path.exists(os.path.join(ckpt, "bands"))
+    assert os.path.exists(os.path.join(ckpt, "clusters"))
