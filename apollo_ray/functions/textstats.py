@@ -14,7 +14,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 from apollo_ray.hashing import TokenHasher
 from apollo_ray.kernels.text import _STOPWORDS, detect_lang, fingerprint

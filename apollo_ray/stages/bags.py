@@ -27,7 +27,7 @@ Cassandra ``bags`` table, ``apollo/cassandra_utils.py:74-75``).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+
 import pyarrow as pa
 
 import ray.data

@@ -29,7 +29,7 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import AggregateFn, Min
+from ray.data.aggregate import AggregateFn
 
 from apollo_ray.hashing import mix_to_partition, pair_mix
 

@@ -22,7 +22,7 @@ import pyarrow as pa
 import ray.data
 
 from apollo_ray.config import DedupConfig
-from apollo_ray.hashing import TokenHasher, fold_u32_rows
+from apollo_ray.hashing import TokenHasher
 from apollo_ray.kernels.jaccard import weighted_jaccard_sparse
 from apollo_ray.kernels.text import doc_to_bag
 from apollo_ray.kernels.wmh import generate_params, weighted_minhash_batch
