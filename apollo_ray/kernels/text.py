@@ -82,6 +82,21 @@ def doc_to_bag(text: str, hasher: TokenHasher, k: int, dim_log2: int,
     """
     tokens = tokenize(text, tokenizer)
     th = hasher.hash_tokens(tokens)
+    return bag_from_token_hashes(th, k, dim_log2, weighting=weighting,
+                                 extra_ks=extra_ks,
+                                 family_weights=family_weights,
+                                 df=df, ndocs=ndocs, min_df=min_df)
+
+
+def bag_from_token_hashes(th: np.ndarray, k: int, dim_log2: int,
+                          weighting: str = "logtf", extra_ks: tuple = (),
+                          family_weights: tuple | None = None,
+                          df: np.ndarray | None = None, ndocs: int = 0,
+                          min_df: int = 1
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """Core of :func:`doc_to_bag` operating on a precomputed token-hash
+    sequence (shared by the per-doc path and the batch-vectorized
+    tokenizer path, guaranteeing identical bags)."""
     ks = (k, *extra_ks)
     if family_weights is None:
         family_weights = (1.0,) * len(ks)
@@ -120,6 +135,50 @@ def doc_to_bag(text: str, hasher: TokenHasher, k: int, dim_log2: int,
             pos = w > 0
             idx, w = idx[pos], w[pos]
     return idx, w
+
+
+def batch_token_hashes(texts_arr, hasher: TokenHasher,
+                       tokenizer: str = "whitespace"
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized tokenization + hashing for a batch of texts.
+
+    Arrow does the splitting in C (`utf8_split_whitespace` matches
+    Python ``str.split`` on unicode whitespace) and dictionary-encodes
+    the flat token stream, so the 64-bit token hash is computed once
+    per DISTINCT token in the batch instead of once per occurrence —
+    the per-token Python loop disappears.
+
+    Returns (flat uint64 token hashes, int64 doc offsets).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    if not isinstance(texts_arr, (pa.Array, pa.ChunkedArray)):
+        texts_arr = pa.array(texts_arr, type=pa.string())
+    if tokenizer != "whitespace":
+        raise NotImplementedError("batch path supports whitespace tokenizer")
+    toks = pc.utf8_split_whitespace(texts_arr)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lengths = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    flat = toks.flatten()
+    enc = flat.dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    vocab = enc.dictionary.to_pylist()
+    vocab_hashes = hasher.hash_tokens(vocab)
+    idx = np.asarray(enc.indices, dtype=np.int64)
+    # Arrow keeps empty tokens at string boundaries (str.split drops
+    # them): filter them out and recount per-doc lengths
+    nonempty_vocab = np.fromiter((len(t) > 0 for t in vocab), dtype=bool,
+                                 count=len(vocab))
+    keep = nonempty_vocab[idx]
+    if not keep.all():
+        doc_of = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+        lengths = np.bincount(doc_of[keep], minlength=len(lengths))
+        idx = idx[keep]
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    return vocab_hashes[idx], offsets
 
 
 def effective_min_df(df: np.ndarray, cfg) -> int:

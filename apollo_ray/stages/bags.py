@@ -167,15 +167,25 @@ class BagBuilder:
             self.min_df = cfg.min_docfreq
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from apollo_ray.kernels.text import (bag_from_token_hashes,
+                                             batch_token_hashes, tokenize)
         cfg = self.cfg
-        texts = batch.column("text").to_pylist()
+        bag_kwargs = dict(cfg.bag_kwargs)
+        tokenizer = bag_kwargs.pop("tokenizer")
+        if tokenizer == "whitespace":
+            th_flat, offs = batch_token_hashes(batch.column("text"),
+                                               self.hasher)
+            th_of = [th_flat[offs[i]:offs[i + 1]]
+                     for i in range(batch.num_rows)]
+        else:
+            th_of = [self.hasher.hash_tokens(tokenize(t, tokenizer))
+                     for t in batch.column("text").to_pylist()]
         indices: list[np.ndarray] = []
         weights: list[np.ndarray] = []
-        for t in texts:
-            idx, w = doc_to_bag(t, self.hasher, cfg.shingle_k,
-                                cfg.feature_dim_log2, df=self.df,
-                                ndocs=self.ndocs, min_df=self.min_df,
-                                **cfg.bag_kwargs)
+        for i in range(batch.num_rows):
+            idx, w = bag_from_token_hashes(
+                th_of[i], cfg.shingle_k, cfg.feature_dim_log2, df=self.df,
+                ndocs=self.ndocs, min_df=self.min_df, **bag_kwargs)
             indices.append(idx)
             weights.append(w)
         n_members = (

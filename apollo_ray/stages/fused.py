@@ -29,7 +29,8 @@ import ray.data
 
 from apollo_ray.config import DedupConfig
 from apollo_ray.hashing import TokenHasher
-from apollo_ray.kernels.text import doc_to_bag
+from apollo_ray.kernels.text import (bag_from_token_hashes,
+                                     batch_token_hashes, tokenize)
 from apollo_ray.kernels.wmh import make_work_buffers, wmh_batch_t
 from apollo_ray.stages.bands import band_params, bucket_keys
 
@@ -64,16 +65,23 @@ def fused_hash_batch(batch: pa.Table, cfg: DedupConfig, params_ref,
     st = _get_state(cfg, params_ref, df_ref)
     hasher = st["hasher"]
     htnum, band_size = st["band"]
-    texts = batch.column("text").to_pylist()
     doc_ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+    bag_kwargs = dict(cfg.bag_kwargs)
+    tokenizer = bag_kwargs.pop("tokenizer")
+    if tokenizer == "whitespace":
+        th_flat, offs = batch_token_hashes(batch.column("text"), hasher)
+        th_of = [th_flat[offs[i]:offs[i + 1]] for i in range(batch.num_rows)]
+    else:
+        texts = batch.column("text").to_pylist()
+        th_of = [hasher.hash_tokens(tokenize(t, tokenizer)) for t in texts]
     indptr = [0]
     idx_parts: list[np.ndarray] = []
     w_parts: list[np.ndarray] = []
     keep_rows: list[int] = []
-    for i, t in enumerate(texts):
-        idx, w = doc_to_bag(t, hasher, cfg.shingle_k, cfg.feature_dim_log2,
-                            df=st["df"], ndocs=ndocs,
-                            min_df=st["min_df"], **cfg.bag_kwargs)
+    for i in range(batch.num_rows):
+        idx, w = bag_from_token_hashes(
+            th_of[i], cfg.shingle_k, cfg.feature_dim_log2,
+            df=st["df"], ndocs=ndocs, min_df=st["min_df"], **bag_kwargs)
         if len(idx) == 0:
             continue  # empty docs cannot be hashed (apollo/hasher.py:245)
         keep_rows.append(i)

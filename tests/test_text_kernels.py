@@ -84,3 +84,14 @@ def test_fingerprint_stability():
     f1 = fingerprint("a b c d e f g h i j k l", th)
     f2 = fingerprint("a b c d e f g h i j k l", TokenHasher())
     assert f1 == f2 != 0
+
+
+def test_batch_tokenizer_equals_per_doc():
+    from apollo_ray.kernels.text import batch_token_hashes, tokenize
+    texts = ["a  b c", " lead and trail ", "", "one", "x\ty\nz", "dup dup dup"]
+    th = TokenHasher(seed=3)
+    flat, offs = batch_token_hashes(texts, th)
+    for i, t in enumerate(texts):
+        expect = TokenHasher(seed=3).hash_tokens(tokenize(t))
+        got = flat[offs[i]:offs[i + 1]]
+        np.testing.assert_array_equal(got, expect)
