@@ -45,6 +45,37 @@ def build_linear_edges(doc_ids: np.ndarray, bucket_ids: np.ndarray
     return edges_u, edges_v, weights
 
 
+def build_quadratic_edges(doc_ids: np.ndarray, bucket_ids: np.ndarray,
+                          max_pairs: int = 200_000
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """All-pairs-within-bucket doc<->doc edges for one CC (the
+    reference's quadratic mode, ``apollo/graph.py:234-249``), distinct
+    pairs, capped at ``max_pairs`` emitted edges."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    bucket_ids = np.asarray(bucket_ids, dtype=np.int64)
+    order = np.lexsort((doc_ids, bucket_ids))
+    b_s, d_s = bucket_ids[order], doc_ids[order]
+    pairs: set[tuple[int, int]] = set()
+    start = 0
+    for i in range(1, len(b_s) + 1):
+        if i == len(b_s) or b_s[i] != b_s[start]:
+            members = np.unique(d_s[start:i])
+            for a in range(len(members)):
+                for b in range(a + 1, len(members)):
+                    pairs.add((int(members[a]), int(members[b])))
+                    if len(pairs) >= max_pairs:
+                        break
+                if len(pairs) >= max_pairs:
+                    break
+            start = i
+        if len(pairs) >= max_pairs:
+            break
+    if not pairs:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    arr = np.asarray(sorted(pairs), dtype=np.int64)
+    return arr[:, 0], arr[:, 1]
+
+
 def label_propagation(edges_u: np.ndarray, edges_v: np.ndarray,
                       weights: np.ndarray | None = None,
                       max_rounds: int = 50) -> dict[int, int]:

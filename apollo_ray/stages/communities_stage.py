@@ -29,16 +29,27 @@ import pyarrow as pa
 import ray.data
 
 from apollo_ray.config import DedupConfig
-from apollo_ray.kernels.communities import build_linear_edges, detect
+from apollo_ray.kernels.communities import (build_linear_edges,
+                                            build_quadratic_edges, detect)
 
 
 def detect_communities(clusters: "ray.data.Dataset",
                        memberships: "ray.data.Dataset",
                        cfg: DedupConfig,
                        algorithm: str = "label_propagation",
-                       num_partitions: int | None = None) -> "ray.data.Dataset":
+                       edges: str = "linear",
+                       num_partitions: int | None = None,
+                       max_quadratic_pairs: int = 200_000
+                       ) -> "ray.data.Dataset":
     """clusters (doc_id, cc_id) x memberships (doc_id, bucket) ->
-    (doc_id, cc_id, community_id)."""
+    (doc_id, cc_id, community_id).
+
+    ``edges`` selects the reference's two graph constructions
+    (``--edges linear|quadratic``, ``apollo/__main__.py:170-175``):
+    ``linear`` builds the doc<->bucket bipartite graph with artificial
+    bucket vertices (``apollo/graph.py:222-233``), ``quadratic``
+    all-pairs-within-bucket doc edges (``apollo/graph.py:234-249``,
+    O(n^2) per bucket — capped at ``max_quadratic_pairs`` per CC)."""
     from apollo_ray.util import hash_join
     non_trivial = clusters  # singletons drop out of the inner join below
     mem = hash_join(memberships, non_trivial, on=("doc_id",),
@@ -56,7 +67,14 @@ def detect_communities(clusters: "ray.data.Dataset",
                 "cc_id": np.full(2, cc_id, dtype=np.int64),
                 "community_id": np.full(2, uniq.min(), dtype=np.int64)})
         buckets = g["bucket"].to_numpy(dtype=np.int64)
-        eu, ev, w = build_linear_edges(docs, buckets)
+        if edges == "quadratic":
+            eu, ev = build_quadratic_edges(docs, buckets,
+                                           max_pairs=max_quadratic_pairs)
+            w = None
+            if len(eu) == 0:  # all buckets singleton inside this CC
+                eu, ev, w = build_linear_edges(docs, buckets)
+        else:
+            eu, ev, w = build_linear_edges(docs, buckets)
         labels = detect(eu, ev, w, algorithm=algorithm)
         doc_set = set(int(d) for d in uniq)
         rows = [(d, cc_id, lab) for d, lab in labels.items() if d in doc_set]

@@ -122,3 +122,16 @@ def test_latest_per_url(ray_session):
     docs = extract_docs(pages, cfg, latest_per_url=True).to_pandas()
     assert len(docs) == 2
     assert set(docs[docs.url == "u1"].text) == {"b"}   # newest snapshot wins
+
+
+def test_quadratic_edge_mode(small_run):
+    from apollo_ray.stages.communities_stage import detect_communities
+    pages_t, cfg, out = small_run
+    comms_q = detect_communities(
+        out["clusters"].materialize(),
+        out["bands"].select_columns(["doc_id", "bucket"]).materialize(),
+        cfg, edges="quadratic").to_pandas()
+    comms_l = out["communities"].to_pandas()
+    # both modes cover the same fat components and the same docs
+    assert set(comms_q.cc_id.unique()) == set(comms_l.cc_id.unique())
+    assert set(comms_q.doc_id) == set(comms_l.doc_id)
