@@ -39,6 +39,8 @@ class DedupConfig:
     threshold: float = 0.8        # Jaccard similarity threshold (--threshold)
     false_positive_weight: float = 0.5
     false_negative_weight: float = 0.5
+    band_mode: str = "optimal"    # "optimal" (reference fp/fn balance) | "recall" (catch >= recall_target at threshold)
+    recall_target: float = 0.99   # per-pair catch floor for band_mode="recall"
 
     # --- skew / shuffle handling (no analog in the reference; SURVEY §4) ---
     bucket_salt: int = 8          # sub-buckets for the two-level salted bucket groupby

@@ -32,6 +32,28 @@ def false_negative_probability(threshold: float, b: int, r: int) -> float:
 
 
 @lru_cache(maxsize=128)
+def calc_recall_params(threshold: float, sample_size: int,
+                       target_recall: float = 0.99) -> tuple[int, int]:
+    """(htnum, band_size) guaranteeing per-pair catch probability
+    ``1-(1-s^r)^b >= target_recall`` at s = threshold.
+
+    Our extension beyond the reference (which only offers the
+    fp/fn-balanced optimum): among all feasible (b, r) with
+    b*r <= sample_size, the LARGEST band size r is chosen — it
+    minimizes false positives subject to the recall floor.  For
+    threshold 0.8, size 128, target 0.99 this yields (21, 6) vs the
+    balanced optimum (9, 13) whose catch probability at the threshold
+    is only ~0.40.
+    """
+    for r in range(sample_size, 0, -1):
+        b = sample_size // r
+        catch = 1.0 - (1.0 - threshold ** float(r)) ** float(b)
+        if catch >= target_recall:
+            return b, r
+    return sample_size, 1
+
+
+@lru_cache(maxsize=128)
 def calc_hashtable_params(threshold: float, sample_size: int,
                           false_positive_weight: float = 0.5,
                           false_negative_weight: float = 0.5) -> tuple[int, int]:

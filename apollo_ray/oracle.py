@@ -85,9 +85,8 @@ def oracle_clusters(urls: list[str], htmls: list[bytes], cfg: DedupConfig
         p["rs"], p["ln_cs"], p["betas"])
 
     # banding into dict buckets keyed by raw band bytes
-    htnum, band_size = calc_hashtable_params(
-        cfg.threshold, cfg.size, cfg.false_positive_weight,
-        cfg.false_negative_weight)
+    from apollo_ray.stages.bands import band_params
+    htnum, band_size = band_params(cfg)
     buckets: dict[tuple[int, bytes], list[int]] = {}
     flat = sigs.reshape(len(reps), -1)
     for i, r in enumerate(reps):

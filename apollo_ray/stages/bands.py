@@ -27,6 +27,10 @@ from apollo_ray.kernels.lsh import calc_hashtable_params
 
 
 def band_params(cfg: DedupConfig) -> tuple[int, int]:
+    if cfg.band_mode == "recall":
+        from apollo_ray.kernels.lsh import calc_recall_params
+        return calc_recall_params(cfg.threshold, cfg.size,
+                                  cfg.recall_target)
     return calc_hashtable_params(cfg.threshold, cfg.size,
                                  cfg.false_positive_weight,
                                  cfg.false_negative_weight)

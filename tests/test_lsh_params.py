@@ -62,3 +62,15 @@ def test_known_configs():
     fp_heavy = calc_hashtable_params(0.8, 128, 0.9, 0.1)
     fn_heavy = calc_hashtable_params(0.8, 128, 0.1, 0.9)
     assert fp_heavy != fn_heavy
+
+
+def test_recall_params():
+    from apollo_ray.kernels.lsh import calc_recall_params
+    b, r = calc_recall_params(0.8, 128, 0.99)
+    assert b * r <= 128
+    catch = 1 - (1 - 0.8 ** r) ** b
+    assert catch >= 0.99
+    # maximal feasible r: one step larger band fails the floor
+    b2 = 128 // (r + 1)
+    assert 1 - (1 - 0.8 ** (r + 1)) ** b2 < 0.99
+    assert (b, r) == (21, 6)

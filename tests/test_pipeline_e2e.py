@@ -145,3 +145,55 @@ def test_planted_pair_catch_rate_matches_s_curve(fixture_run):
         assert caught[hi].mean() >= 0.8
     predicted = 1 - (1 - sims ** r) ** b
     assert caught.mean() >= predicted.mean() - 0.10
+
+
+def test_recall_band_mode_catches_boundary_pairs(ray_session):
+    """band_mode="recall" must catch nearly all pairs with true
+    J >= threshold (the balanced-optimum banding catches ~40% at the
+    boundary by design)."""
+    import numpy as np
+    import ray.data as rd
+    from apollo_ray.config import DedupConfig
+    from apollo_ray.fixtures import generate_pages
+    from apollo_ray.hashing import TokenHasher
+    from apollo_ray.kernels.jaccard import weighted_jaccard_sparse
+    from apollo_ray.kernels.text import doc_to_bag
+    from apollo_ray.oracle import oracle_clusters, same_cluster_pairs
+    from apollo_ray.pipelines.dedup import run_dedup
+
+    pages_t, truth_t = generate_pages(400)
+    cfg = DedupConfig(feature_dim_log2=12, band_mode="recall")
+    out = run_dedup(rd.from_arrow(pages_t), cfg)
+    docs = out["docs"].to_pandas()
+    cl = out["clusters"].to_pandas()
+    url_of = dict(zip(docs.doc_id, docs.url))
+    ours = {url_of[d]: int(c) for d, c in zip(cl.doc_id, cl.cc_id)}
+    # still exactly equal to the oracle under the same config
+    orc = oracle_clusters(pages_t.column("url").to_pylist(),
+                          pages_t.column("html").to_pylist(), cfg)
+    assert same_cluster_pairs(ours) == same_cluster_pairs(orc)
+    # and boundary-pair recall is high
+    text_of = dict(zip(pages_t.column("url").to_pylist(),
+                       pages_t.column("text").to_pylist()))
+    th = TokenHasher(seed=cfg.seed)
+    cache = {}
+
+    def bag(u):
+        if u not in cache:
+            cache[u] = doc_to_bag(text_of[u], th, cfg.shingle_k,
+                                  cfg.feature_dim_log2)
+        return cache[u]
+
+    caught = total = 0
+    for _, g in truth_t.to_pandas().groupby("cluster_id"):
+        urls = list(g.url)
+        for i in range(len(urls)):
+            for j in range(i + 1, len(urls)):
+                i1, w1 = bag(urls[i])
+                i2, w2 = bag(urls[j])
+                if weighted_jaccard_sparse(i1, w1, i2, w2) < cfg.threshold:
+                    continue
+                total += 1
+                caught += (ours[urls[i]] == ours[urls[j]])
+    assert total > 20
+    assert caught / total >= 0.95
