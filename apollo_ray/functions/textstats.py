@@ -149,15 +149,46 @@ def events_hourly(events: "ray.data.Dataset") -> "ray.data.Dataset":
             "value": batch.column("value"),
         })
 
-    agg = events.map_batches(bucket, batch_format="pyarrow") \
-        .groupby(["user_id", "hour_us"]).aggregate(
-            Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    from apollo_ray.hashing import mix_to_partition, pair_mix
 
-    def round_col(df: pd.DataFrame) -> pd.DataFrame:
-        df["sum_value_r4"] = df["sum_value"].round(4)
-        return df.drop(columns=["sum_value"])
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch.column("user_id"), dtype=np.int64)
+        h = np.asarray(batch.column("hour_us"), dtype=np.int64)
+        key = pair_mix(u, h).astype(np.int64) >> 1
+        return batch.append_column(
+            "pkey", pa.array(mix_to_partition(key, 64), type=pa.int32()))
 
-    return agg.map_batches(round_col, batch_format="pandas")
+    # vectorized per-partition (count, sum) — group cardinality is
+    # user x hour, unbounded, so Ray's per-group aggregate is out
+    def reduce_part(group: pa.Table) -> pa.Table:
+        u = np.asarray(group.column("user_id"), dtype=np.int64)
+        h = np.asarray(group.column("hour_us"), dtype=np.int64)
+        val = np.asarray(group.column("value"), dtype=np.float64)
+        if len(u) == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "hour_us": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "sum_value_r4": pa.array([], type=pa.float64())})
+        order = np.lexsort((h, u))
+        u_s, h_s, v_s = u[order], h[order], val[order]
+        first = np.empty(len(u_s), dtype=bool)
+        first[0] = True
+        first[1:] = (u_s[1:] != u_s[:-1]) | (h_s[1:] != h_s[:-1])
+        seg_id = np.cumsum(first) - 1
+        n_seg = seg_id[-1] + 1
+        counts = np.bincount(seg_id, minlength=n_seg)
+        sums = np.zeros(n_seg, dtype=np.float64)
+        np.add.at(sums, seg_id, v_s)
+        return pa.table({
+            "user_id": pa.array(u_s[first], type=pa.int64()),
+            "hour_us": pa.array(h_s[first], type=pa.int64()),
+            "n": pa.array(counts, type=pa.int64()),
+            "sum_value_r4": pa.array(np.round(sums, 4), type=pa.float64()),
+        })
+
+    return events.map_batches(bucket, batch_format="pyarrow") \
+        .map_batches(add_pkey, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(reduce_part, batch_format="pyarrow")
 
 
 def user_sessions(events: "ray.data.Dataset", gap_sec: int = 1800
