@@ -133,6 +133,8 @@ def query_similar(text: str, bands_ds: "ray.data.Dataset",
     ``apollo/query.py:45-66``).
     """
     ph = ProbeHasher(cfg)
+    if not text.split():  # empty probe matches nothing (the reference
+        return []         # raises on all-zero bags, apollo/hasher.py:245)
     buckets, p_idx, p_w = ph.probe(text)
     bucket_set = set(int(b) for b in buckets)
 
