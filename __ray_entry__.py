@@ -23,6 +23,22 @@ _STOPWORD_SQL_LIST = ("'the','a','an','and','or','of','to','in','is','are',"
                       "'was','were','be','been','it','this','that','for',"
                       "'on','with','as','at','by'")
 
+# mirror of kernels.text._LANG_MARKERS for the lang_id oracle
+_LANG_MARKERS = {
+    "en": (" the ", " and ", " of ", " to ", " is "),
+    "de": (" der ", " die ", " und ", " das ", " ist "),
+    "fr": (" le ", " la ", " les ", " et ", " est "),
+    "es": (" el ", " los ", " que ", " de ", " es "),
+}
+
+
+def _marker_score_sql(markers: tuple) -> str:
+    """Non-overlapping substring counts — same greedy left-to-right
+    semantics as Python ``str.count`` / ``str.replace``."""
+    return " + ".join(
+        "(length(p) - length(replace(p, '%s', ''))) // %d" % (m, len(m))
+        for m in markers)
+
 
 def _docs(sf_dir: str):
     import ray.data
@@ -105,9 +121,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_emb_dup_pairs(sf_dir):
         return ann.embedding_dup_pairs(_embeddings(sf_dir), threshold=0.3)
 
-    # --- non-SQL-expressible (rows-only driver check) ---
+    def q_simhash_pairs(sf_dir):
+        return dedup_extras.simhash_pairs(_docs(sf_dir))
 
-    def q_minhash_clusters(sf_dir):
+    def q_lang_id(sf_dir):
+        return textstats.lang_id(_docs(sf_dir))
+
+    def q_ann_topk(sf_dir):
+        return ann.cosine_topk(_embeddings(sf_dir),
+                               query_ids=list(range(10)), k=5)
+
+    def _clusters(sf_dir):
         import pyarrow.parquet as pq
         import ray.data
         from apollo_ray.config import DedupConfig
@@ -119,15 +143,78 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         num_partitions=16)
         return out["clusters"]
 
-    def q_simhash_pairs(sf_dir):
-        return dedup_extras.simhash_pairs(_docs(sf_dir))
+    def q_minhash_invariants(sf_dir):
+        """End-to-end pipeline invariant, SQL-checkable: every member
+        of an exact-duplicate text group must land in the SAME
+        connected component (identical texts -> identical signatures
+        -> identical buckets).  Returns per text group
+        (rep_id, n_members, n_distinct_cc); the oracle asserts
+        n_distinct_cc = 1 for every group."""
+        import numpy as np
+        import pyarrow as pa
+        from apollo_ray.hashing import hash_utf8, mix_to_partition
+        from apollo_ray.util import hash_join
+        clusters = _clusters(sf_dir)
 
-    def q_lang_id(sf_dir):
-        return textstats.lang_id(_docs(sf_dir))
+        # the pipeline keys docs by hash(url) (extract stage); map the
+        # original documents ids through the same url derivation
+        def th_map(batch: pa.Table) -> pa.Table:
+            orig = batch.column("doc_id").cast(pa.int64()).to_pylist()
+            texts = batch.column("text").to_pylist()
+            pipe = [hash_utf8("https://docs.example/%d" % d) for d in orig]
+            return pa.table({
+                "doc_id": pa.array(pipe, type=pa.int64()),
+                "orig_id": pa.array(orig, type=pa.int64()),
+                "text_hash": pa.array([hash_utf8(t) for t in texts],
+                                      type=pa.int64()),
+            })
 
-    def q_ann_topk(sf_dir):
-        return ann.cosine_topk(_embeddings(sf_dir),
-                               query_ids=list(range(10)), k=5)
+        th = _docs(sf_dir).map_batches(th_map, batch_format="pyarrow")
+        joined = hash_join(clusters, th, on=("doc_id",), num_partitions=8)
+
+        def add_pkey(batch: pa.Table) -> pa.Table:
+            h = np.asarray(batch.column("text_hash"), dtype=np.int64)
+            return batch.append_column(
+                "pkey", pa.array(mix_to_partition(h, 16), type=pa.int32()))
+
+        def per_group(group: pa.Table) -> pa.Table:
+            h = np.asarray(group.column("text_hash"), dtype=np.int64)
+            d = np.asarray(group.column("orig_id"), dtype=np.int64)
+            cc = np.asarray(group.column("cc_id"), dtype=np.int64)
+            if len(h) == 0:
+                return pa.table({"rep_id": pa.array([], type=pa.int64()),
+                                 "n_members": pa.array([], type=pa.int64()),
+                                 "n_distinct_cc": pa.array([], type=pa.int64())})
+            order = np.lexsort((d, h))
+            h_s, d_s, c_s = h[order], d[order], cc[order]
+            first = np.empty(len(h_s), dtype=bool)
+            first[0] = True
+            first[1:] = h_s[1:] != h_s[:-1]
+            seg = np.cumsum(first) - 1
+            n_seg = seg[-1] + 1
+            counts = np.bincount(seg, minlength=n_seg)
+            # distinct cc per segment: sort (h, cc), count cc changes
+            o2 = np.lexsort((c_s, h_s))
+            c2, s2 = c_s[o2], seg[o2]
+            new_cc = np.empty(len(c2), dtype=np.int64)
+            new_cc[0] = 1
+            new_cc[1:] = ((s2[1:] != s2[:-1]) |
+                          (c2[1:] != c2[:-1])).astype(np.int64)
+            ncc = np.bincount(s2, weights=new_cc,
+                              minlength=n_seg).astype(np.int64)
+            return pa.table({
+                "rep_id": pa.array(d_s[first], type=pa.int64()),
+                "n_members": pa.array(counts, type=pa.int64()),
+                "n_distinct_cc": pa.array(ncc, type=pa.int64()),
+            })
+
+        return joined.map_batches(add_pkey, batch_format="pyarrow") \
+            .groupby("pkey").map_groups(per_group, batch_format="pyarrow")
+
+    # --- non-SQL-expressible (rows-only driver check) ---
+
+    def q_minhash_clusters(sf_dir):
+        return _clusters(sf_dir)
 
     return {
         "exact_dedup_groups": q_exact_dedup,
@@ -145,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_close_pairs": q_ann_close,
         "emb_dup_pairs": q_emb_dup_pairs,
         "minhash_dedup_clusters": q_minhash_clusters,
+        "minhash_dedup_invariants": q_minhash_invariants,
         "simhash_pairs": q_simhash_pairs,
         "lang_id_fingerprint": q_lang_id,
         "ann_topk": q_ann_topk,
@@ -158,7 +246,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text
         """,
         "lang_stats": """
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang
         """,
         "token_counts": r"""
@@ -259,13 +348,79 @@ def oracle_sql() -> dict[str, str]:
                                > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
               FROM events)
             SELECT user_id,
-                   1 + sum(CASE WHEN new_s IS NULL THEN 0 ELSE new_s END)
-                       AS n_sessions,
+                   CAST(1 + sum(CASE WHEN new_s IS NULL THEN 0
+                                     ELSE new_s END) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id
         """,
         "emb_label_counts": """
             SELECT label, count(*) AS n FROM embeddings GROUP BY label
+        """,
+        "simhash_pairs": r"""
+            WITH tok AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents WHERE length(trim(text)) > 0),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
+              FROM tok,
+                   LATERAL (SELECT unnest(range(1, greatest(len(toks) - 2, 0)
+                                                  + 1)) AS i)
+              WHERE len(toks) >= 3),
+            bits AS (
+              SELECT doc_id, j,
+                     sum(CASE WHEN (md5_number_lower(s) >> CAST(j AS INTEGER))
+                                   & 1 = 1 THEN 1 ELSE -1 END) AS vote
+              FROM sh, LATERAL (SELECT unnest(range(0, 64)) AS j)
+              GROUP BY doc_id, j),
+            sig AS (
+              SELECT doc_id,
+                     bit_or(CASE WHEN vote > 0
+                                 THEN (1::UBIGINT << CAST(j AS INTEGER))
+                                 ELSE 0::UBIGINT END) AS sig
+              FROM bits GROUP BY doc_id)
+            SELECT a.doc_id AS u, b.doc_id AS v,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        """,
+        "lang_id_fingerprint": r"""
+            WITH p AS (
+              SELECT doc_id, ' ' || lower(text) || ' ' AS p,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\s+')
+                     END AS toks
+              FROM documents),
+            sc AS (
+              SELECT doc_id, toks,
+                     %s AS s_en, %s AS s_de, %s AS s_fr, %s AS s_es
+              FROM p),
+            sh AS (
+              SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS s
+              FROM sc, LATERAL (SELECT unnest(range(1, len(toks) - 7 + 1)) AS i)
+              WHERE len(toks) >= 8
+              UNION ALL
+              SELECT doc_id, array_to_string(toks, ' ') AS s
+              FROM sc WHERE len(toks) BETWEEN 1 AND 7),
+            fp AS (
+              SELECT doc_id,
+                     min(md5_number_lower(s)
+                         & 9223372036854775807::UBIGINT) AS fp
+              FROM sh GROUP BY doc_id)
+            SELECT sc.doc_id,
+                   CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                        WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+                             THEN 'en'
+                        WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                        WHEN s_fr >= s_es THEN 'fr'
+                        ELSE 'es' END AS lang_pred,
+                   CAST(coalesce(fp.fp, 0) AS BIGINT) AS fingerprint
+            FROM sc LEFT JOIN fp ON fp.doc_id = sc.doc_id
+        """ % tuple(_marker_score_sql(_LANG_MARKERS[k])
+                    for k in ("en", "de", "fr", "es")),
+        "minhash_dedup_invariants": """
+            SELECT min(doc_id) AS rep_id, count(*) AS n_members,
+                   CAST(1 AS BIGINT) AS n_distinct_cc
+            FROM documents GROUP BY text
         """,
         "emb_dup_pairs": """
             SELECT a.vec_id AS u, b.vec_id AS v,
@@ -274,6 +429,20 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding)
                              AS DOUBLE), 3) >= 0.3
+        """,
+        "ann_topk": """
+            SELECT query_id, vec_id, cos_r3 FROM (
+              SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                     round(CAST(list_cosine_similarity(a.embedding,
+                           b.embedding) AS DOUBLE), 3) AS cos_r3,
+                     row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY round(CAST(list_cosine_similarity(
+                                a.embedding, b.embedding) AS DOUBLE), 3)
+                                DESC, b.vec_id) AS rn
+              FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+              WHERE a.vec_id < 10)
+            WHERE rn <= 5
         """,
         "ann_close_pairs": """
             SELECT a.vec_id AS query_id, b.vec_id,

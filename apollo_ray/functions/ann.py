@@ -74,18 +74,64 @@ def cosine_close_pairs(embeddings: "ray.data.Dataset",
 
 def cosine_topk(embeddings: "ray.data.Dataset", query_ids: list[int],
                 k: int = 10, id_col: str = "vec_id") -> "ray.data.Dataset":
-    """Top-k by cosine per query: per-batch partial top-k (vectorized
-    argpartition) -> tiny global sort+limit per query."""
-    pairs = cosine_close_pairs(embeddings, query_ids, threshold=-1.0,
-                               id_col=id_col)
+    """Top-k by cosine per query — per-batch PARTIAL top-k: each batch
+    emits at most Q*k rows (argpartition per query inside map_batches),
+    so the global merge sees only Q*k*num_blocks rows instead of the
+    full Q*N score matrix.  Final order/tie-break: (-cos_r3, vec_id).
+    """
+    qset = set(int(q) for q in query_ids)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        mask = np.isin(ids, np.fromiter(qset, dtype=np.int64))
+        return batch.filter(pa.array(mask))
+
+    q_tab = pa.concat_tables(
+        ray.get(r) for r in embeddings.map_batches(
+            pick, batch_format="pyarrow").to_arrow_refs())
+    q_ids = np.asarray(q_tab.column(id_col), dtype=np.int64)
+    q_mat = _normalize(_batch_matrix(q_tab))
+    ref = ray.put((q_ids, q_mat))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qi, qm = ray.get(ref)
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        m = _normalize(_batch_matrix(batch))
+        cos = np.round(qm @ m.T, 3)               # (Q, B)
+        out_q, out_v, out_c = [], [], []
+        for j in range(len(qi)):
+            row = cos[j]
+            valid = ids != qi[j]                  # self-exclusion
+            vi = np.flatnonzero(valid)
+            if len(vi) == 0:
+                continue
+            if len(vi) > k:
+                # partial top-k with the final (-cos, vec_id) order so
+                # batch-level pruning can never drop a global winner
+                o = np.lexsort((ids[vi], -row[vi]))[:k]
+                vi = vi[o]
+            out_q.append(np.full(len(vi), qi[j], dtype=np.int64))
+            out_v.append(ids[vi])
+            out_c.append(row[vi])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "cos_r3": pa.array([], type=pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+            "cos_r3": pa.array(np.concatenate(out_c), type=pa.float64()),
+        })
 
     import pandas as pd
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(["cos_r3", "vec_id"],
                              ascending=[False, True]).head(k)
 
-    return pairs.groupby("query_id").map_groups(topk, batch_format="pandas")
+    # global merge is tiny (<= Q*k*num_blocks rows), bounded key count
+    return embeddings.map_batches(partial_topk, batch_format="pyarrow") \
+        .groupby("query_id").map_groups(merge_topk, batch_format="pandas")
 
 
 class HyperplaneLsh:
@@ -115,47 +161,205 @@ def lsh_buckets(embeddings: "ray.data.Dataset", dim: int,
         batch_format="pyarrow", concurrency=(1, concurrency))
 
 
+@ray.remote
+def _score_block_pair(ta: pa.Table, tb: pa.Table, threshold: float,
+                      id_col: str, col: str) -> pa.Table:
+    """Exact cosine pairs between two corpus blocks (u < v keeps each
+    unordered pair exactly once across the block-pair grid)."""
+    ia = np.asarray(ta.column(id_col), dtype=np.int64)
+    ib = np.asarray(tb.column(id_col), dtype=np.int64)
+    ma = _normalize(_batch_matrix(ta, col))
+    mb = _normalize(_batch_matrix(tb, col))
+    cos = np.round(ma @ mb.T, 3)
+    ai, bi = np.nonzero(cos >= threshold)
+    u, v = ia[ai], ib[bi]
+    keep = u < v
+    return pa.table({
+        "u": pa.array(u[keep], type=pa.int64()),
+        "v": pa.array(v[keep], type=pa.int64()),
+        "cos_r3": pa.array(cos[ai, bi][keep], type=pa.float64()),
+    })
+
+
 def embedding_dup_pairs(embeddings: "ray.data.Dataset", threshold: float,
-                        id_col: str = "vec_id", col: str = "embedding"
-                        ) -> "ray.data.Dataset":
+                        id_col: str = "vec_id", col: str = "embedding",
+                        block_rows: int = 65_536) -> "ray.data.Dataset":
     """(u, v, cos_r3) pairs with round(cosine, 3) >= threshold —
-    embedding-cosine near-duplicate detection.
+    embedding-cosine near-duplicate detection, exact.
 
-    Baseline implementation: the normalized corpus matrix is broadcast
-    once (``ray.put``) and each batch does one (B x d) @ (d x N)
-    matmul — exact, zero shuffles, O(N^2) compute spread over the
-    cluster.  The LSH-bucketed variant (``lsh_buckets`` + per-bucket
-    rescoring) is the sub-quadratic scale path when N^2 is infeasible.
+    Blocked pairwise scheme, driver-free: the corpus is split into
+    object-store blocks of <= ``block_rows`` vectors; one Ray task per
+    block pair (i <= j) does a (Bi x d) @ (d x Bj) matmul and emits
+    only the passing pairs.  The driver holds ONLY block references
+    (O(B^2) refs, no vector data); peak task memory is two blocks +
+    one (Bi x Bj) score tile.  Compute is O(N^2) but spread over the
+    cluster and embarrassingly parallel — raw Ray tasks are used here
+    because a block cross-join is the one shape ``Dataset`` can't
+    express (SURVEY §2 custom-operator rule (c)).
+
+    For corpora where N^2 is infeasible use the sub-quadratic
+    ``embedding_dup_pairs_lsh`` (hyperplane-bucketed, recall measured
+    in tests) and fall back to this exact path below a size threshold.
     """
-    import ray as _ray
+    n = embeddings.count()
+    num_blocks = max(1, -(-n // block_rows))
+    mat = embeddings.select_columns([id_col, col]) \
+        .repartition(num_blocks).materialize()
+    block_refs = [r for bundle in mat.iter_internal_ref_bundles()
+                  for r in bundle.block_refs]
+    out_refs = []
+    for i in range(len(block_refs)):
+        for j in range(i, len(block_refs)):
+            out_refs.append(_score_block_pair.remote(
+                block_refs[i], block_refs[j], threshold, id_col, col))
+    return ray.data.from_arrow_refs(out_refs)
 
-    mats = []
-    ids = []
-    for t in embeddings.map_batches(lambda b: b, batch_format="pyarrow") \
-            .to_arrow_refs():
-        tab = _ray.get(t)
-        mats.append(_batch_matrix(tab, col))
-        ids.append(np.asarray(tab.column(id_col), dtype=np.int64))
-    full = _normalize(np.vstack(mats))
-    full_ids = np.concatenate(ids)
-    ref = _ray.put((full_ids, full))
 
-    def score(batch: pa.Table) -> pa.Table:
-        all_ids, all_m = _ray.get(ref)
-        ids_b = np.asarray(batch.column(id_col), dtype=np.int64)
+def lsh_tables_for_recall(threshold: float, n_planes: int,
+                          recall_target: float = 0.95,
+                          max_tables: int = 64) -> int:
+    """Number of OR-amplified hyperplane tables needed so a pair at
+    exactly ``threshold`` cosine is caught with prob >= recall_target:
+    per-table collision prob p1 = (1 - theta/pi)^n_planes, catch prob
+    over T tables = 1 - (1 - p1)^T.  Pairs above threshold do better.
+    """
+    import math
+    theta = math.acos(max(-1.0, min(1.0, threshold)))
+    p1 = (1.0 - theta / math.pi) ** n_planes
+    if p1 >= 1.0:
+        return 1
+    if p1 <= 0.0:
+        return max_tables
+    t = math.log(1.0 - recall_target) / math.log(1.0 - p1)
+    return max(1, min(max_tables, math.ceil(t)))
+
+
+def embedding_dup_pairs_lsh(embeddings: "ray.data.Dataset", threshold: float,
+                            dim: int, id_col: str = "vec_id",
+                            col: str = "embedding",
+                            n_tables: int | None = None,
+                            n_planes: int = 8, seed: int = 42,
+                            num_partitions: int = 32,
+                            max_bucket: int = 10_000) -> "ray.data.Dataset":
+    """Sub-quadratic near-dup pairs: ``n_tables`` independent
+    random-hyperplane signatures (OR-amplified: a pair is a candidate
+    if it collides in ANY table), exact cosine rescoring inside each
+    bucket, global pair dedup.  Candidate work is sum of bucket^2 per
+    table instead of N^2; recall vs the exact path is measured in
+    tests.
+
+    This is the HIGH-similarity scale path (cos >= ~0.8, the actual
+    near-dup regime): per-table collision prob for a pair at cosine t
+    is (1 - acos(t)/pi)^n_planes, so low thresholds would need an
+    impractical table count — ``n_tables=None`` auto-sizes via
+    :func:`lsh_tables_for_recall` (target 0.95 at the threshold;
+    fall back to the exact blocked path for permissive thresholds).
+
+    Each vector is replicated ``n_tables`` times through ONE shuffle
+    (the standard LSH join layout); buckets larger than ``max_bucket``
+    are skipped per table (skew cap, same discipline as
+    ``simhash_pairs``).
+    """
+    if n_tables is None:
+        n_tables = lsh_tables_for_recall(threshold, n_planes)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, dim, n_planes))
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    planes_ref = ray.put(planes)
+    from apollo_ray.hashing import mix_to_partition, pair_mix, splitmix64
+
+    def explode_tables(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
         m = _normalize(_batch_matrix(batch, col))
-        cos = np.round(m @ all_m.T, 3)
-        bi, ci = np.nonzero(cos >= threshold)
-        u = ids_b[bi]
-        v = all_ids[ci]
-        keep = u < v                   # each unordered pair once, no self
+        n_rows = len(ids)
+        keys = np.empty((n_tables, n_rows), dtype=np.int64)
+        for t in range(n_tables):
+            bits = (m @ pl[t]) > 0
+            raw = bits.astype(np.int64) @ weights
+            # mix the table id into the key so tables never collide
+            salt = np.uint64((t * 0x9E3779B97F4A7C15)
+                             & 0xFFFFFFFFFFFFFFFF)
+            keys[t] = (splitmix64(raw.astype(np.uint64) ^ salt)
+                       >> np.uint64(1)).astype(np.int64)
+        flat_keys = keys.ravel()
+        rep_ids = np.tile(ids, n_tables)
+        emb = batch.column(col)
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        rep_emb = pa.concat_arrays([emb] * n_tables)
         return pa.table({
-            "u": pa.array(u[keep], type=pa.int64()),
-            "v": pa.array(v[keep], type=pa.int64()),
-            "cos_r3": pa.array(cos[bi, ci][keep], type=pa.float64()),
+            "bucket": pa.array(flat_keys, type=pa.int64()),
+            id_col: pa.array(rep_ids, type=pa.int64()),
+            col: rep_emb,
+            "pkey": pa.array(mix_to_partition(flat_keys, num_partitions),
+                             type=pa.int32()),
         })
 
-    return embeddings.map_batches(score, batch_format="pyarrow")
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({"u": pa.array([], type=pa.int64()),
+                          "v": pa.array([], type=pa.int64()),
+                          "cos_r3": pa.array([], type=pa.float64())})
+        if group.num_rows == 0:
+            return empty
+        b = np.asarray(group.column("bucket"), dtype=np.int64)
+        ids = np.asarray(group.column(id_col), dtype=np.int64)
+        m = _normalize(_batch_matrix(group, col))
+        order = np.lexsort((ids, b))
+        b, ids, m = b[order], ids[order], m[order]
+        first = np.empty(len(b), dtype=bool)
+        first[0] = True
+        first[1:] = b[1:] != b[:-1]
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, len(b)))
+        us, vs, cs = [], [], []
+        for st, c in zip(starts[counts > 1], counts[counts > 1]):
+            if c > max_bucket:
+                continue
+            sub_m = m[st:st + c]
+            sub_i = ids[st:st + c]
+            cos = np.round(sub_m @ sub_m.T, 3)
+            ai, bi = np.nonzero(cos >= threshold)
+            keep = sub_i[ai] < sub_i[bi]
+            us.append(sub_i[ai][keep])
+            vs.append(sub_i[bi][keep])
+            cs.append(cos[ai, bi][keep])
+        if not us:
+            return empty
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        c = np.concatenate(cs)
+        # dedup within the partition (same pair from several buckets)
+        _, idx = np.unique(pair_mix(u, v), return_index=True)
+        return pa.table({"u": pa.array(u[idx], type=pa.int64()),
+                         "v": pa.array(v[idx], type=pa.int64()),
+                         "cos_r3": pa.array(c[idx], type=pa.float64())})
+
+    pairs = embeddings.map_batches(explode_tables, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(bucket_pairs, batch_format="pyarrow")
+
+    # cross-partition dedup (pair found via tables in different pkeys)
+    def add_pair_pkey(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch.column("u"), dtype=np.int64)
+        v = np.asarray(batch.column("v"), dtype=np.int64)
+        key = pair_mix(u, v).astype(np.int64) >> 1
+        return batch.append_column(
+            "pkey", pa.array(mix_to_partition(key, num_partitions),
+                             type=pa.int32()))
+
+    def distinct_pairs(group: pa.Table) -> pa.Table:
+        u = np.asarray(group.column("u"), dtype=np.int64)
+        v = np.asarray(group.column("v"), dtype=np.int64)
+        c = np.asarray(group.column("cos_r3"), dtype=np.float64)
+        if len(u) == 0:
+            return group.select(["u", "v", "cos_r3"])
+        _, idx = np.unique(pair_mix(u, v), return_index=True)
+        return pa.table({"u": pa.array(u[idx], type=pa.int64()),
+                         "v": pa.array(v[idx], type=pa.int64()),
+                         "cos_r3": pa.array(c[idx], type=pa.float64())})
+
+    return pairs.map_batches(add_pair_pkey, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(distinct_pairs, batch_format="pyarrow")
 
 
 class IvfAssigner:

@@ -19,8 +19,6 @@ from ray.data.aggregate import Count
 
 from apollo_ray.hashing import (TokenHasher, hash_utf8, mix_to_partition,
                                 pair_mix)
-from apollo_ray.kernels.simhash import simhash_bands, simhash_batch
-from apollo_ray.kernels.text import doc_to_bag
 
 
 def add_text_hash(docs: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -219,37 +217,85 @@ def ngram_jaccard_pairs(docs: "ray.data.Dataset", k: int = 3,
         .groupby("pkey").map_groups(count_and_filter, batch_format="pyarrow")
 
 
+def md5_simhash_sig(text: str, k: int = 3) -> int | None:
+    """64-bit unweighted SimHash over the doc's DISTINCT k-shingle
+    strings, hashed with md5 (lower-64, DuckDB ``md5_number_lower``
+    semantics — see ``kernels.text._md5_u64``): bit j of the signature
+    is 1 iff strictly more shingle hashes set bit j than clear it.
+    Docs with fewer than k tokens have no signature (None) — mirrors
+    the SQL oracle, which emits no shingle rows for them.
+
+    The unweighted+md5 form (vs the weighted TokenHasher variant in
+    ``kernels.simhash``, kept for the kernel tests) makes the whole
+    operator exactly reproducible in SQL, so the driver can hash-check
+    it instead of a rows-only pass.
+    """
+    from apollo_ray.kernels.text import _md5_u64
+    toks = text.split()
+    if len(toks) < k:
+        return None
+    shingles = {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+    hs = np.fromiter((_md5_u64(s) for s in shingles), dtype=np.uint64,
+                     count=len(shingles))
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) &
+            np.uint64(1)).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    sig = np.uint64(0)
+    for j in np.flatnonzero(votes > 0):
+        sig |= np.uint64(1) << np.uint64(j)
+    return int(sig)
+
+
 def simhash_pairs(docs: "ray.data.Dataset", k: int = 3, bands: int = 4,
                   max_hamming: int = 3, seed: int = 42,
                   num_partitions: int = 32,
                   max_bucket: int = 2000) -> "ray.data.Dataset":
-    """(u, v, hamming) SimHash near-dup candidates: 64-bit SimHash over
-    weighted shingle bags, banded into ``bands`` chunks (pigeonhole:
-    catches all pairs with < ``bands`` differing bits spread over
-    distinct chunks), verified by exact Hamming distance.
+    """(u, v, hamming) SimHash near-dup pairs: 64-bit md5 SimHash over
+    distinct k-shingles, banded into ``bands`` 16-bit chunks
+    (pigeonhole: with ``max_hamming < bands`` every qualifying pair
+    shares at least one chunk, so the banded result EQUALS the
+    all-pairs Hamming join — the property the DuckDB oracle checks),
+    verified by exact Hamming distance.
+
+    Signatures are carried as ``uint64.view(int64)`` — a bit-exact
+    reinterpretation, so no signature bit is lost to the int64 sign
+    (band keys are 16-bit chunks tagged with the band index and never
+    need masking either).
 
     Skew cap: band buckets larger than ``max_bucket`` are skipped
     (quadratic candidate blowup from correlated-vocabulary corpora);
     pairs inside an over-full bucket are still found via their other
     ``bands-1`` band keys unless every one overflows."""
     from apollo_ray.kernels.simhash import hamming64
+    if 64 % bands != 0:
+        raise ValueError("bands must divide 64")
+    chunk_bits = 64 // bands
+    chunk_mask = np.uint64((1 << chunk_bits) - 1)
 
     def sig_batch(batch: pa.Table) -> pa.Table:
-        hasher = TokenHasher(seed=seed)
-        hs, ws = [], []
-        for t in batch.column("text").to_pylist():
-            idx, w = doc_to_bag(t, hasher, k, 16)
-            hs.append(idx.astype(np.uint64))
-            ws.append(w)
-        sigs = simhash_batch(hs, ws)
-        bd = simhash_bands(sigs, bands=bands)
-        n = batch.num_rows
+        ids = batch.column("doc_id").cast(pa.int64()).to_pylist()
+        out_ids, out_sigs = [], []
+        for did, t in zip(ids, batch.column("text").to_pylist()):
+            s = md5_simhash_sig(t, k)
+            if s is None:
+                continue
+            out_ids.append(did)
+            out_sigs.append(s)
+        sigs = np.asarray(out_sigs, dtype=np.uint64)
+        n = len(out_ids)
+        id_arr = np.asarray(out_ids, dtype=np.int64)
+        # band_key = (band index tag << chunk_bits) | 16-bit chunk —
+        # always positive, no bits dropped
+        keys = np.empty((bands, n), dtype=np.int64)
+        for b in range(bands):
+            chunk = (sigs >> np.uint64(b * chunk_bits)) & chunk_mask
+            keys[b] = (chunk.astype(np.int64)
+                       | (np.int64(b + 1) << np.int64(chunk_bits)))
         return pa.table({
-            "doc_id": pa.concat_arrays(
-                [batch.column("doc_id").cast(pa.int64()).combine_chunks()] * bands),
-            "sig": pa.array(np.tile(sigs.astype(np.int64) >> 1, bands)),
-            "band_key": pa.array((bd.T.ravel().astype(np.int64) >> 1),
-                                 type=pa.int64()),
+            "doc_id": pa.array(np.tile(id_arr, bands), type=pa.int64()),
+            "sig": pa.array(np.tile(sigs.view(np.int64), bands),
+                            type=pa.int64()),
+            "band_key": pa.array(keys.ravel(), type=pa.int64()),
         })
 
     sigs = docs.map_batches(sig_batch, batch_format="pyarrow")
@@ -293,8 +339,8 @@ def simhash_pairs(docs: "ray.data.Dataset", k: int = 3, bands: int = 4,
                              "v": pa.array([], type=pa.int64()),
                              "hamming": pa.array([], type=pa.int64())})
         u = np.concatenate(us); v = np.concatenate(vs)
-        a = (np.concatenate(su).astype(np.uint64) << np.uint64(1))
-        b = (np.concatenate(sv).astype(np.uint64) << np.uint64(1))
+        a = np.ascontiguousarray(np.concatenate(su)).view(np.uint64)
+        b = np.ascontiguousarray(np.concatenate(sv)).view(np.uint64)
         hd = hamming64(a, b)
         keep = (hd <= max_hamming) & (u != v)
         lo = np.minimum(u[keep], v[keep]); hi = np.maximum(u[keep], v[keep])

@@ -191,22 +191,52 @@ def events_hourly(events: "ray.data.Dataset") -> "ray.data.Dataset":
         .groupby("pkey").map_groups(reduce_part, batch_format="pyarrow")
 
 
-def user_sessions(events: "ray.data.Dataset", gap_sec: int = 1800
-                  ) -> "ray.data.Dataset":
+def user_sessions(events: "ray.data.Dataset", gap_sec: int = 1800,
+                  num_partitions: int = 64) -> "ray.data.Dataset":
     """(user_id, n_sessions, n_events) — session counting with an
-    inactivity gap (the streaming-shaped windowing pattern: the input
-    is treated as a keyed log, each key's events sorted by time inside
-    ``map_groups``; SURVEY §2.9 / ray_guide streaming section)."""
-    import pandas as pd
+    inactivity gap (the streaming-shaped windowing pattern over a keyed
+    log; SURVEY §2.9).
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].astype("int64").to_numpy())
-        gaps = np.diff(ts) > gap_sec * 1_000_000
-        return pd.DataFrame({
-            "user_id": [int(g["user_id"].iloc[0])],
-            "n_sessions": [int(1 + gaps.sum())],
-            "n_events": [len(ts)],
+    Vectorized pkey pattern (same shape as ``events_hourly``): one
+    shuffle on ``hash(user_id) % P``, then per partition a single
+    lexsort + segment-cut — session breaks are within-user consecutive
+    gaps > ``gap_sec``, counted per user with one ``np.bincount``.  No
+    per-user Python call at unbounded key cardinality.
+    """
+    from apollo_ray.hashing import mix_to_partition
+
+    def to_cols(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").cast(pa.int64())
+        pkey = mix_to_partition(np.asarray(u), num_partitions)
+        return pa.table({"user_id": u,
+                         "ts_us": batch.column("ts").cast(pa.int64()),
+                         "pkey": pa.array(pkey, type=pa.int32())})
+
+    def reduce_part(group: pa.Table) -> pa.Table:
+        u = np.asarray(group.column("user_id"), dtype=np.int64)
+        ts = np.asarray(group.column("ts_us"), dtype=np.int64)
+        if len(u) == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "n_sessions": pa.array([], type=pa.int64()),
+                             "n_events": pa.array([], type=pa.int64())})
+        order = np.lexsort((ts, u))
+        u_s, t_s = u[order], ts[order]
+        first = np.empty(len(u_s), dtype=bool)
+        first[0] = True
+        first[1:] = u_s[1:] != u_s[:-1]
+        seg_id = np.cumsum(first) - 1
+        n_seg = seg_id[-1] + 1
+        counts = np.bincount(seg_id, minlength=n_seg)
+        brk = np.zeros(len(u_s), dtype=np.int64)
+        brk[1:] = ((~first[1:]) &
+                   (t_s[1:] - t_s[:-1] > gap_sec * 1_000_000))
+        n_breaks = np.bincount(seg_id, weights=brk,
+                               minlength=n_seg).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u_s[first], type=pa.int64()),
+            "n_sessions": pa.array(1 + n_breaks, type=pa.int64()),
+            "n_events": pa.array(counts, type=pa.int64()),
         })
 
-    return events.groupby("user_id").map_groups(sessions,
-                                                batch_format="pandas")
+    return events.map_batches(to_cols, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(reduce_part, batch_format="pyarrow")

@@ -241,11 +241,33 @@ def detect_lang(text: str) -> str:
     return best
 
 
-def fingerprint(text: str, hasher: TokenHasher, k: int = 8) -> int:
-    """Rolling-hash document fingerprint: min shingle hash (a 1-sample
-    MinHash) — stable under small reorderings, cheap dedup prefilter."""
-    th = hasher.hash_tokens(text.split())
-    sh = shingle_hashes(th, k)
-    if len(sh) == 0:
+def _md5_u64(s: str) -> int:
+    """Lower 64 bits of md5 (little-endian of the digest's last 8
+    bytes) — bit-identical to DuckDB's ``md5_number_lower``, which
+    makes every operator built on it exactly SQL-oracle-able."""
+    import hashlib
+    import struct
+    return struct.unpack(
+        "<Q", hashlib.md5(s.encode("utf-8", "surrogatepass")).digest()[8:])[0]
+
+
+_MASK63 = (1 << 63) - 1
+
+
+def fingerprint(text: str, hasher: TokenHasher | None = None,
+                k: int = 8) -> int:
+    """Document fingerprint: min md5-shingle hash (a 1-sample MinHash)
+    — stable under small reorderings, cheap dedup prefilter.  Shingles
+    are space-joined token k-grams (the whole token sequence when the
+    doc has fewer than k tokens); each hash is masked to 63 bits
+    BEFORE the min so the result is an int64 and equals the DuckDB
+    oracle ``min(md5_number_lower(s) & ((1<<63)-1))``.  ``hasher`` is
+    accepted for signature compatibility and unused."""
+    toks = text.split()
+    if not toks:
         return 0
-    return int(sh.min() >> np.uint64(1))  # 63-bit for int64 columns
+    if len(toks) < k:
+        shingles = [" ".join(toks)]
+    else:
+        shingles = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    return min(_md5_u64(s) & _MASK63 for s in shingles)

@@ -62,12 +62,35 @@ def extract_docs(pages: "ray.data.Dataset", cfg: DedupConfig,
     history-depth analog, ``doc/cmd/bags.md:9``) — one extra shuffle."""
     docs = pages.map_batches(_extract_batch, batch_format="pyarrow")
     if latest_per_url:
-        import pandas as pd
+        import numpy as np
+        import pyarrow.compute as pc
+        from apollo_ray.hashing import mix_to_partition
 
-        def newest(g: pd.DataFrame) -> pd.DataFrame:
-            return g.sort_values("warc_ts").tail(1)
+        # vectorized pkey pattern: partition by hash(url), then ONE
+        # sort + segment-cut per partition (a per-distinct-url pandas
+        # call would be billions of Python calls at webtext scale)
+        def add_pkey(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+            return batch.append_column(
+                "pkey", pa.array(mix_to_partition(ids, 64), type=pa.int32()))
 
-        docs = docs.groupby("url").map_groups(newest, batch_format="pandas")
+        def newest_part(group: pa.Table) -> pa.Table:
+            out_cols = [c for c in group.column_names if c != "pkey"]
+            if group.num_rows == 0:
+                return group.select(out_cols)
+            t = group.sort_by([("url", "ascending"),
+                               ("warc_ts", "ascending"),
+                               ("doc_id", "ascending")])
+            urls = t.column("url").combine_chunks()
+            n = len(urls)
+            last = np.ones(n, dtype=bool)
+            if n > 1:
+                last[:n - 1] = np.asarray(
+                    pc.invert(pc.equal(urls.slice(0, n - 1), urls.slice(1))))
+            return t.filter(pa.array(last)).select(out_cols)
+
+        docs = docs.map_batches(add_pkey, batch_format="pyarrow") \
+            .groupby("pkey").map_groups(newest_part, batch_format="pyarrow")
     return docs
 
 

@@ -190,3 +190,68 @@ def test_render_template(ray_session):
     assert "cluster 1 (2 docs)" in out and "- u2" in out
     custom = render_template(df, "{% for c, rows in clusters %}{{ c }};{% endfor %}")
     assert custom == "1;7;"
+
+
+def _rand_emb_ds(n=120, dim=24, n_dup=40, seed=11, noise=0.2):
+    import ray.data as rd
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, dim))
+    pert = base[:n_dup] + noise * rng.standard_normal((n_dup, dim))
+    m = np.vstack([base, pert]).astype(np.float32)
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(m)), type=pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in m],
+                              type=pa.list_(pa.float32())),
+    })), m
+
+
+def _brute_pairs(m, threshold):
+    mn = m.astype(np.float64)
+    mn = mn / np.linalg.norm(mn, axis=1, keepdims=True)
+    cos = np.round(mn @ mn.T, 3)
+    ai, bi = np.nonzero(cos >= threshold)
+    return {(int(a), int(b)) for a, b in zip(ai, bi) if a < b}
+
+
+def test_embedding_dup_pairs_blocked_exact(ray_session):
+    """The blocked block-pair scheme equals driver-side brute force
+    exactly (every pair counted once) and never collects the corpus."""
+    from apollo_ray.functions.ann import embedding_dup_pairs
+    emb, m = _rand_emb_ds()
+    got = embedding_dup_pairs(emb, threshold=0.5, block_rows=37).to_pandas()
+    pairs = set(zip(got.u.astype(int), got.v.astype(int)))
+    assert pairs == _brute_pairs(m, 0.5)
+    assert len(pairs) == len(got)              # no duplicate emission
+
+
+def test_embedding_dup_pairs_lsh_recall(ray_session):
+    """Auto-tuned OR-amplified hyperplane LSH catches >= 95% of the
+    exact pairs in the near-dup regime (threshold 0.85)."""
+    from apollo_ray.functions.ann import (embedding_dup_pairs,
+                                          embedding_dup_pairs_lsh,
+                                          lsh_tables_for_recall)
+    assert lsh_tables_for_recall(0.9, 8) < lsh_tables_for_recall(0.8, 8)
+    emb, m = _rand_emb_ds(n=150, dim=32, n_dup=60, seed=3, noise=0.22)
+    exact = _brute_pairs(m, 0.85)
+    assert len(exact) >= 30                    # fixture sanity
+    got = embedding_dup_pairs_lsh(emb, threshold=0.85, dim=32).to_pandas()
+    pairs = set(zip(got.u.astype(int), got.v.astype(int)))
+    assert pairs <= _brute_pairs(m, 0.85) | exact  # rescore: no false pos
+    assert len(pairs & exact) / len(exact) >= 0.95
+
+
+def test_cosine_topk_partial_equals_global(ray_session):
+    """Per-batch partial top-k equals a full-sort global top-k."""
+    from apollo_ray.functions.ann import cosine_topk
+    emb, m = _rand_emb_ds(n=80, dim=16, n_dup=20, seed=9)
+    got = cosine_topk(emb, query_ids=[0, 5, 7], k=4).to_pandas()
+    mn = m.astype(np.float64)
+    mn = mn / np.linalg.norm(mn, axis=1, keepdims=True)
+    cos = np.round(mn @ mn.T, 3)
+    for q in (0, 5, 7):
+        mine = got[got.query_id == q].sort_values(
+            ["cos_r3", "vec_id"], ascending=[False, True])
+        order = sorted((i for i in range(len(m)) if i != q),
+                       key=lambda i: (-cos[q, i], i))[:4]
+        assert list(mine.vec_id) == order
+        assert np.allclose(list(mine.cos_r3), [cos[q, i] for i in order])
