@@ -23,21 +23,61 @@ _STOPWORD_SQL_LIST = ("'the','a','an','and','or','of','to','in','is','are',"
                       "'was','were','be','been','it','this','that','for',"
                       "'on','with','as','at','by'")
 
-# mirror of kernels.text._LANG_MARKERS for the lang_id oracle
-_LANG_MARKERS = {
-    "en": (" the ", " and ", " of ", " to ", " is "),
-    "de": (" der ", " die ", " und ", " das ", " ist "),
-    "fr": (" le ", " la ", " les ", " et ", " est "),
-    "es": (" el ", " los ", " que ", " de ", " es "),
-}
-
-
 def _marker_score_sql(markers: tuple) -> str:
     """Non-overlapping substring counts — same greedy left-to-right
     semantics as Python ``str.count`` / ``str.replace``."""
     return " + ".join(
         "(length(p) - length(replace(p, '%s', ''))) // %d" % (m, len(m))
         for m in markers)
+
+
+def _lang_id_sql() -> str:
+    """lang_id_fingerprint oracle, generated from the kernel's own
+    marker table (single source of truth): per-language marker-count
+    scores, first-max-in-dict-order tie-break (mirrors detect_lang's
+    strict-greater iteration), md5-min-shingle fingerprint."""
+    from apollo_ray.kernels.text import _LANG_MARKERS
+    langs = list(_LANG_MARKERS)
+    score_cols = ",\n                     ".join(
+        "%s AS s_%s" % (_marker_score_sql(_LANG_MARKERS[l]), l)
+        for l in langs)
+    greatest = "greatest(%s)" % ", ".join("s_%s" % l for l in langs)
+    whens = []
+    for i, l in enumerate(langs):
+        rest = langs[i + 1:]
+        cond = " AND ".join("s_%s >= s_%s" % (l, r) for r in rest) or "TRUE"
+        whens.append("WHEN %s THEN '%s'" % (cond, l))
+    case = ("CASE WHEN %s = 0 THEN 'und'\n                        %s\n"
+            "                   END" % (greatest,
+                                        "\n                        ".join(whens)))
+    return r"""
+            WITH p AS (
+              SELECT doc_id, ' ' || lower(text) || ' ' AS p,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\s+')
+                     END AS toks
+              FROM documents),
+            sc AS (
+              SELECT doc_id, toks,
+                     %s
+              FROM p),
+            sh AS (
+              SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS s
+              FROM sc, LATERAL (SELECT unnest(range(1, len(toks) - 7 + 1)) AS i)
+              WHERE len(toks) >= 8
+              UNION ALL
+              SELECT doc_id, array_to_string(toks, ' ') AS s
+              FROM sc WHERE len(toks) BETWEEN 1 AND 7),
+            fp AS (
+              SELECT doc_id,
+                     min(md5_number_lower(s)
+                         & 9223372036854775807::UBIGINT) AS fp
+              FROM sh GROUP BY doc_id)
+            SELECT sc.doc_id,
+                   %s AS lang_pred,
+                   CAST(coalesce(fp.fp, 0) AS BIGINT) AS fingerprint
+            FROM sc LEFT JOIN fp ON fp.doc_id = sc.doc_id
+        """ % (score_cols, case)
 
 
 def _docs(sf_dir: str):
@@ -383,40 +423,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sig, b.sig)) <= 3
         """,
-        "lang_id_fingerprint": r"""
-            WITH p AS (
-              SELECT doc_id, ' ' || lower(text) || ' ' AS p,
-                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                          ELSE regexp_split_to_array(trim(text), '\s+')
-                     END AS toks
-              FROM documents),
-            sc AS (
-              SELECT doc_id, toks,
-                     %s AS s_en, %s AS s_de, %s AS s_fr, %s AS s_es
-              FROM p),
-            sh AS (
-              SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS s
-              FROM sc, LATERAL (SELECT unnest(range(1, len(toks) - 7 + 1)) AS i)
-              WHERE len(toks) >= 8
-              UNION ALL
-              SELECT doc_id, array_to_string(toks, ' ') AS s
-              FROM sc WHERE len(toks) BETWEEN 1 AND 7),
-            fp AS (
-              SELECT doc_id,
-                     min(md5_number_lower(s)
-                         & 9223372036854775807::UBIGINT) AS fp
-              FROM sh GROUP BY doc_id)
-            SELECT sc.doc_id,
-                   CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
-                        WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
-                             THEN 'en'
-                        WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-                        WHEN s_fr >= s_es THEN 'fr'
-                        ELSE 'es' END AS lang_pred,
-                   CAST(coalesce(fp.fp, 0) AS BIGINT) AS fingerprint
-            FROM sc LEFT JOIN fp ON fp.doc_id = sc.doc_id
-        """ % tuple(_marker_score_sql(_LANG_MARKERS[k])
-                    for k in ("en", "de", "fr", "es")),
+        "lang_id_fingerprint": _lang_id_sql(),
         "minhash_dedup_invariants": """
             SELECT min(doc_id) AS rep_id, count(*) AS n_members,
                    CAST(1 AS BIGINT) AS n_distinct_cc

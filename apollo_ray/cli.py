@@ -80,14 +80,23 @@ def cmd_reset(args) -> int:
 def cmd_query(args) -> int:
     import ray
     from apollo_ray.sources.io import read_stage
+    if args.doc_id is None and args.file is None:
+        print("error: query needs --file or --doc-id", file=sys.stderr)
+        return 2
     owns = _init_ray(args.num_cpus)
     cfg = _cfg_from_args(args)
-    with open(args.file) as f:
-        text = f.read()
-    from apollo_ray.stages.report import query_similar
+    from apollo_ray.stages.report import query_similar, query_similar_by_id
     bands = read_stage(args.ckpt, "bands")
     bags = read_stage(args.ckpt, "bags")
-    hits = query_similar(text, bands, bags, cfg, precise=args.precise)
+    if args.doc_id is not None:
+        # indexed-document probe: stored signature, no re-hash
+        sigs = read_stage(args.ckpt, "signatures")
+        hits = query_similar_by_id(args.doc_id, sigs, bands, bags, cfg,
+                                   precise=args.precise)
+    else:
+        with open(args.file) as f:
+            text = f.read()
+        hits = query_similar(text, bands, bags, cfg, precise=args.precise)
     print(json.dumps({"similar": hits}))
     if owns:
         ray.shutdown()
@@ -137,7 +146,11 @@ def main(argv=None) -> int:
     sp = sub.add_parser("query")
     common(sp)
     sp.add_argument("--input", default=None)
-    sp.add_argument("--file", required=True)
+    sp.add_argument("--file", default=None,
+                    help="probe text file (hash-and-query path)")
+    sp.add_argument("--doc-id", type=int, default=None,
+                    help="query an already-indexed document by id "
+                         "(reads its stored signature)")
     sp.add_argument("--precise", action="store_true")
     sp.set_defaults(handler=cmd_query)
 

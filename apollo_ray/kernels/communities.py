@@ -144,9 +144,21 @@ def detect(edges_u: np.ndarray, edges_v: np.ndarray,
     ``label_propagation`` (default) runs the NumPy implementation;
     any other name requires igraph and resolves ``community_<name>``
     by reflection exactly like ``apollo/graph.py:277-289``.
+
+    DOCUMENTED DIVERGENCE from the reference: apollo's default is
+    igraph walktrap (``apollo/__main__.py:176-179``); igraph is not
+    installable in this environment, so the default here is the
+    dependency-free label-propagation kernel.  Requesting an igraph
+    algorithm without igraph raises (no silent fallback) — when igraph
+    becomes available the reflection path below activates unchanged.
     """
-    if algorithm == "label_propagation" or _igraph is None:
+    if algorithm == "label_propagation":
         return label_propagation(edges_u, edges_v, weights)
+    if _igraph is None:
+        raise ImportError(
+            "community algorithm %r needs igraph, which is not "
+            "installed; the supported fallback is "
+            "algorithm='label_propagation'" % algorithm)
     verts = np.unique(np.concatenate([edges_u, edges_v]))
     vmap = {int(x): i for i, x in enumerate(verts)}
     g = _igraph.Graph(

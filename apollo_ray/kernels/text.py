@@ -201,12 +201,18 @@ def effective_min_df(df: np.ndarray, cfg) -> int:
 _STOPWORDS = frozenset(
     "the a an and or of to in is are was were be been it this that for on with as at by".split())
 
-# crude character-trigram profiles for a no-deps language-ID heuristic
+# marker-phrase profiles for a no-deps language-ID heuristic (ascii
+# function words, so Python lower()/DuckDB lower() agree byte-for-byte
+# and the operator stays SQL-oracle-able).  Dict ORDER is the
+# tie-break: earlier language wins equal scores.
 _LANG_MARKERS = {
     "en": (" the ", " and ", " of ", " to ", " is "),
     "de": (" der ", " die ", " und ", " das ", " ist "),
     "fr": (" le ", " la ", " les ", " et ", " est "),
     "es": (" el ", " los ", " que ", " de ", " es "),
+    "it": (" il ", " che ", " di ", " per ", " non "),
+    "pt": (" o ", " do ", " da ", " em ", " uma "),
+    "nl": (" de ", " het ", " een ", " van ", " niet "),
 }
 
 

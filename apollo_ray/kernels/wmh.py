@@ -33,6 +33,10 @@ import numpy as np
 
 _U32_MASK = 0xFFFFFFFF
 
+# rows per cache tile in the batch kernel: 512 rows x 128 samples x
+# 4 B = 256 KB per buffer touch — sized to per-core L2
+_ROW_TILE = 512
+
 
 def generate_params(dim: int, size: int, seed: int) -> dict[str, np.ndarray]:
     """Seeded (rs, ln_cs, betas), each float32 of shape (size, dim).
@@ -178,15 +182,28 @@ def wmh_batch_t(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
         else:
             t_arr, a_arr, g_arr = buf_t[:m], buf_a[:m], buf_g[:m]
 
-        np.take(rinv_t, idx, axis=0, out=t_arr)
-        np.multiply(t_arr, vlog, out=t_arr)
-        np.take(beta_t, idx, axis=0, out=g_arr)
-        np.add(t_arr, g_arr, out=t_arr)
-        np.floor(t_arr, out=t_arr)                   # t
-        np.take(r_t, idx, axis=0, out=g_arr)
-        np.multiply(t_arr, g_arr, out=g_arr)         # t * r
-        np.take(c2_t, idx, axis=0, out=a_arr)
-        np.subtract(a_arr, g_arr, out=a_arr)         # ln_a
+        # Cache-blocked fill: the recurrence touches each (row, size)
+        # tile ~9 times; processing L2-sized row tiles keeps those
+        # touches in cache, so the only DRAM-streamed traffic is one
+        # compulsory write each of t_arr/a_arr (plus the argmin read
+        # below).  The unblocked form streamed ~9 full-buffer passes
+        # through DRAM — the measured single-host scaling ceiling.
+        tile = _ROW_TILE
+        for ts in range(0, m, tile):
+            te = min(m, ts + tile)
+            it = idx[ts:te]
+            tt = t_arr[ts:te]
+            at = a_arr[ts:te]
+            gt = g_arr[:te - ts]
+            np.take(rinv_t, it, axis=0, out=tt)
+            np.multiply(tt, vlog[ts:te], out=tt)
+            np.take(beta_t, it, axis=0, out=gt)
+            np.add(tt, gt, out=tt)
+            np.floor(tt, out=tt)                     # t
+            np.take(r_t, it, axis=0, out=gt)
+            np.multiply(tt, gt, out=gt)              # t * r
+            np.take(c2_t, it, axis=0, out=at)
+            np.subtract(at, gt, out=at)              # ln_a
 
         for doc in range(d, e):
             cs, ce = int(indptr[doc]) - s_flat, int(indptr[doc + 1]) - s_flat

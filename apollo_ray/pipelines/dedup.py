@@ -33,7 +33,8 @@ from apollo_ray.stages.bags import build_bags, collapse_exact, exact_member_edge
 from apollo_ray.stages.bands import explode_bands
 from apollo_ray.stages.cc_stage import assign_clusters, connected_components
 from apollo_ray.stages.communities_stage import detect_communities
-from apollo_ray.stages.edges import bucket_star_edges, bucket_stats
+from apollo_ray.stages.edges import (bucket_pair_edges, bucket_star_edges,
+                                     bucket_stats)
 from apollo_ray.stages.extract import extract_docs
 from apollo_ray.stages.verify import verify_edges
 from apollo_ray.stages.wmh_stage import compute_signatures
@@ -104,11 +105,19 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
         # fast path: one fused actor pool computes bands directly
         # (tests pin it byte-identical to the staged path); bags and
         # signatures stay lazy and are only computed if a caller
-        # consumes them from the returned dict
+        # consumes them from the returned dict.  When idf/min-df needs
+        # a docfreq pass, run that full-corpus scan ONCE and share the
+        # array between the (lazy) bags entry and the fused stage.
         from apollo_ray.stages.fused import fused_bands
-        bags = build_bags(reps, cfg)
+        df, ndocs = (None, 0)
+        if cfg.needs_docfreq:
+            from apollo_ray.stages.bags import compute_feature_docfreq
+            df, ndocs = compute_feature_docfreq(reps, cfg)
+        bags = build_bags(reps, cfg, df=df, ndocs=ndocs)
         sigs = compute_signatures(bags, cfg)
-        bands, bands_hit = stage("bands", lambda: fused_bands(reps, cfg),
+        bands, bands_hit = stage("bands",
+                                 lambda: fused_bands(reps, cfg, df=df,
+                                                     ndocs=ndocs),
                                  reps_hit)
     else:
         # staged path: separate checkpoints per artifact (the reference
@@ -125,10 +134,14 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
         metrics["bucket_stats"] = bucket_stats(bands)
 
     def build_edges():
-        e = bucket_star_edges(bands, cfg, num_partitions=num_partitions)
         if cfg.verify:
+            # all-pairs candidates so verification tests real co-bucket
+            # pairs, not just member<->minimum links (edges.py)
+            e = bucket_pair_edges(bands, cfg, num_partitions=num_partitions)
             e = verify_edges(e, bags, cfg,
                              num_partitions=num_partitions).select_columns(["u", "v"])
+        else:
+            e = bucket_star_edges(bands, cfg, num_partitions=num_partitions)
         if member_edges is not None:
             e = e.union(member_edges)
         return e

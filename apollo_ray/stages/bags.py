@@ -37,16 +37,121 @@ from apollo_ray.hashing import TokenHasher
 from apollo_ray.kernels.text import doc_to_bag
 
 
+def exact_membership(docs: "ray.data.Dataset",
+                     num_partitions: int = 64) -> "ray.data.Dataset":
+    """(rep_id, member_id) rows for every NON-representative doc — the
+    metadata-only half of the exact collapse.  Only 16 bytes/row move
+    through the shuffle (vs the full text payload), which was the
+    single largest stage at the 500k-row stress scale."""
+    from apollo_ray.hashing import mix_to_partition
+
+    def ids_only(batch: pa.Table) -> pa.Table:
+        th = np.asarray(batch.column("text_hash"), dtype=np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "text_hash": pa.array(th, type=pa.int64()),
+            "pkey": pa.array(mix_to_partition(th, num_partitions),
+                             type=pa.int32()),
+        })
+
+    def members_part(group: pa.Table) -> pa.Table:
+        th = np.asarray(group.column("text_hash"), dtype=np.int64)
+        ids = np.asarray(group.column("doc_id"), dtype=np.int64)
+        if len(th) == 0:
+            return pa.table({"rep_id": pa.array([], type=pa.int64()),
+                             "member_id": pa.array([], type=pa.int64())})
+        order = np.lexsort((ids, th))
+        th_s, ids_s = th[order], ids[order]
+        first = np.empty(len(th_s), dtype=bool)
+        first[0] = True
+        first[1:] = th_s[1:] != th_s[:-1]
+        seg_id = np.cumsum(first) - 1
+        reps = ids_s[first]                      # min doc_id per text
+        return pa.table({
+            "rep_id": pa.array(reps[seg_id[~first]], type=pa.int64()),
+            "member_id": pa.array(ids_s[~first], type=pa.int64()),
+        })
+
+    return docs.map_batches(ids_only, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(members_part, batch_format="pyarrow")
+
+
+# Above this many duplicate docs the dup-id broadcast no longer fits a
+# worker heap (8 B/id -> ~1.6 GB at the cap) and the collapse falls
+# back to the full-payload shuffle; on a real cluster the next step up
+# is a partitioned semi-join, not a bigger broadcast (doc/SCALE.md).
+BROADCAST_COLLAPSE_MAX_DUPS = 200_000_000
+
+
 def collapse_exact(docs: "ray.data.Dataset",
-                   num_partitions: int = 64) -> "ray.data.Dataset":
-    """One shuffle -> one row per distinct text.
+                   num_partitions: int = 64,
+                   method: str = "auto") -> "ray.data.Dataset":
+    """One row per distinct text: representative (min doc_id) rows
+    carrying ``text`` plus ``member_ids:list<int64>`` (the other
+    doc_ids, usually empty).
 
-    Output: representative (min doc_id) rows carrying ``text`` plus
-    ``member_ids:list<int64>`` (the other doc_ids, usually empty).
+    Default path (``method="auto"`` / ``"broadcast"``): shuffle ONLY
+    ``(text_hash, doc_id)`` (16 B/row) to elect representatives, then
+    broadcast the duplicate-id set once (``ray.put`` of a sorted int64
+    array + rep->members map) and drop non-reps with a vectorized
+    ``np.isin`` inside a streaming ``map_batches`` — the text payload
+    NEVER moves; bag building reads rep texts from the original
+    blocks.  Falls back to the one-full-payload-shuffle path
+    (``method="shuffle"``) above ``BROADCAST_COLLAPSE_MAX_DUPS``
+    duplicates.
+    """
+    if method not in ("auto", "broadcast", "shuffle"):
+        raise ValueError("unknown collapse method %r" % method)
+    if method != "shuffle":
+        membership = exact_membership(docs, num_partitions).materialize()
+        n_dups = membership.count()
+        if method == "broadcast" or n_dups <= BROADCAST_COLLAPSE_MAX_DUPS:
+            import ray
+            rep_map: dict[int, list] = {}
+            if n_dups:
+                mdf = membership.to_pandas()
+                member_arr = np.sort(
+                    mdf["member_id"].to_numpy(dtype=np.int64))
+                for r, m in zip(mdf["rep_id"].to_numpy(dtype=np.int64),
+                                mdf["member_id"].to_numpy(dtype=np.int64)):
+                    rep_map.setdefault(int(r), []).append(int(m))
+            else:
+                member_arr = np.empty(0, dtype=np.int64)
+            ref = ray.put((member_arr, rep_map))
 
-    Partitioned by ``hash(text_hash) % P`` (all rows of a text land in
-    one partition) with a fully vectorized per-partition body — lexsort
-    + segment-cut + ``ListArray.from_arrays`` — so there is no
+            def keep_reps(batch: pa.Table) -> pa.Table:
+                import ray as _ray
+                dup_sorted, reps_m = _ray.get(ref)
+                ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+                if len(dup_sorted):
+                    pos = np.searchsorted(dup_sorted, ids)
+                    is_dup = (pos < len(dup_sorted)) & \
+                        (dup_sorted[np.minimum(pos, len(dup_sorted) - 1)]
+                         == ids)
+                else:
+                    is_dup = np.zeros(len(ids), dtype=bool)
+                sub = batch.filter(pa.array(~is_dup))
+                kept = np.asarray(sub.column("doc_id"), dtype=np.int64)
+                members = [reps_m.get(int(d), ()) for d in kept]
+                return pa.table({
+                    "doc_id": sub.column("doc_id").cast(pa.int64()),
+                    "text": sub.column("text"),
+                    "lang": sub.column("lang"),
+                    "member_ids": pa.array(members,
+                                           type=pa.list_(pa.int64())),
+                })
+
+            return docs.map_batches(keep_reps, batch_format="pyarrow")
+
+    return _collapse_exact_shuffle(docs, num_partitions)
+
+
+def _collapse_exact_shuffle(docs: "ray.data.Dataset",
+                            num_partitions: int = 64) -> "ray.data.Dataset":
+    """Full-payload-shuffle collapse (the scale fallback): partitioned
+    by ``hash(text_hash) % P`` (all rows of a text land in one
+    partition) with a fully vectorized per-partition body — lexsort +
+    segment-cut + ``ListArray.from_arrays`` — so there is no
     per-distinct-text Python call (at webtext scale that would be
     billions of them).
     """

@@ -143,26 +143,29 @@ def _checksum(edges: "ray.data.Dataset") -> tuple[int, int]:
 def _driver_union_find(edges: "ray.data.Dataset") -> "ray.data.Dataset":
     """Small-edge-set fast path: pull the (already deduplicated,
     orders-of-magnitude-smaller-than-the-corpus) edge list to the
-    driver and run array union-find — skips ~5 shuffle rounds of pure
-    overhead.  Only taken below ``DRIVER_CC_MAX_EDGES``; the
-    distributed star rounds handle anything larger."""
-    import pandas as pd
+    driver and solve the closure with vectorized min-label propagation
+    + pointer jumping (Shiloach–Vishkin style; no Python-per-edge
+    loop).  Labels converge to each component's minimum node, matching
+    the distributed star rounds.  Only taken below
+    ``DRIVER_CC_MAX_EDGES``; the star rounds handle anything larger."""
     import ray.data as rd
-    from apollo_ray.kernels.cc import UnionFind
     df = edges.to_pandas()
-    uf = UnionFind()
-    for u, v in zip(df["u"].to_numpy(), df["v"].to_numpy()):
-        uf.union(int(u), int(v))
-    labels = uf.labels()
-    out = pd.DataFrame({
-        "u": np.fromiter((k for k, r in labels.items() if k != r),
-                         dtype=np.int64),
-        "v": np.fromiter((r for k, r in labels.items() if k != r),
-                         dtype=np.int64)})
-    if out.empty:
-        return rd.from_arrow(_vec_table(np.empty(0, np.int64),
-                                        np.empty(0, np.int64)))
-    return rd.from_pandas(out)
+    u = df["u"].to_numpy(dtype=np.int64)
+    v = df["v"].to_numpy(dtype=np.int64)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[:len(u)], inv[len(u):]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        old = label.copy()
+        m = np.minimum(label[ui], label[vi])
+        np.minimum.at(label, ui, m)
+        np.minimum.at(label, vi, m)
+        label = label[label]                     # pointer jumping
+        if np.array_equal(label, old):
+            break
+    roots = nodes[label]
+    mask = roots != nodes
+    return rd.from_arrow(_vec_table(nodes[mask], roots[mask]))
 
 
 DRIVER_CC_MAX_EDGES = 5_000_000
@@ -231,16 +234,26 @@ def assign_clusters(all_docs: "ray.data.Dataset",
     if n_labels is not None and n_labels <= 5_000_000:
         import ray
         df = final_edges.to_pandas()
-        lut = (dict(zip(df["u"].astype(np.int64), df["v"].astype(np.int64)))
-               if len(df) else {})
-        ref = ray.put(lut)
+        if len(df):
+            keys = df["u"].to_numpy(dtype=np.int64)
+            vals = df["v"].to_numpy(dtype=np.int64)
+        else:
+            keys = vals = np.empty(0, dtype=np.int64)
+        order = np.argsort(keys, kind="stable")
+        # sorted (node, root) arrays: the lookup is one vectorized
+        # searchsorted per batch, no per-row Python dict access
+        ref = ray.put((keys[order], vals[order]))
 
         def label_lookup(batch: pa.Table) -> pa.Table:
             import ray as _ray
-            m = _ray.get(ref)
+            k_sorted, v_sorted = _ray.get(ref)
             d = np.asarray(batch.column("doc_id"), dtype=np.int64)
-            cc = np.fromiter((m.get(int(x), int(x)) for x in d),
-                             dtype=np.int64, count=len(d))
+            cc = d.copy()
+            if len(k_sorted):
+                pos = np.searchsorted(k_sorted, d)
+                hit = (pos < len(k_sorted)) & \
+                    (k_sorted[np.minimum(pos, len(k_sorted) - 1)] == d)
+                cc[hit] = v_sorted[pos[hit]]
             return pa.table({"doc_id": pa.array(d, type=pa.int64()),
                              "cc_id": pa.array(cc, type=pa.int64())})
 

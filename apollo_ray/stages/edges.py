@@ -130,6 +130,64 @@ def bucket_star_edges(bands: "ray.data.Dataset", cfg: DedupConfig,
     return edges1.union(edges2)
 
 
+def bucket_pair_edges(bands: "ray.data.Dataset", cfg: DedupConfig,
+                      num_partitions: int = 64) -> "ray.data.Dataset":
+    """All-pairs candidate edges per bucket — the VERIFY-tier edge set.
+
+    Star edges only test (member, bucket-minimum) pairs: under
+    verification two docs that are >= threshold to each other but each
+    < threshold to the minimum would lose connectivity.  Here every
+    co-bucket pair becomes a candidate (the reference's quadratic mode,
+    ``apollo/graph.py:241-249``), capped at ``cfg.max_bucket_pairs``
+    pairs per bucket — an over-cap bucket falls back to star edges
+    (connectivity preserved, those edges still verified; the fallback
+    count is observable via ``bucket_stats``).
+    """
+    max_pairs = max(1, cfg.max_bucket_pairs)
+    keyed = bands.map_batches(_add_salted_pkey, batch_format="pyarrow",
+                              fn_kwargs={"num_partitions": num_partitions,
+                                         "salt": 1})
+
+    def pairs_part(group: pa.Table) -> pa.Table:
+        bucket = np.asarray(group.column("bucket"), dtype=np.int64)
+        doc = np.asarray(group.column("doc_id"), dtype=np.int64)
+        empty = pa.table({"u": pa.array([], type=pa.int64()),
+                          "v": pa.array([], type=pa.int64())})
+        if len(bucket) == 0:
+            return empty
+        order = np.lexsort((doc, bucket))
+        b_s, d_s = bucket[order], doc[order]
+        new_seg = np.empty(len(b_s), dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = b_s[1:] != b_s[:-1]
+        starts = np.flatnonzero(new_seg)
+        counts = np.diff(np.append(starts, len(b_s)))
+        us, vs = [], []
+        m2 = counts == 2
+        if m2.any():
+            s2 = starts[m2]
+            us.append(d_s[s2]); vs.append(d_s[s2 + 1])
+        for st, c in zip(starts[counts > 2], counts[counts > 2]):
+            if c * (c - 1) // 2 > max_pairs:
+                # star fallback for the over-cap bucket
+                us.append(d_s[st + 1:st + c])
+                vs.append(np.full(c - 1, d_s[st], dtype=np.int64))
+                continue
+            iu, iv = np.triu_indices(c, k=1)
+            us.append(d_s[st:st + c][iv]); vs.append(d_s[st:st + c][iu])
+        if not us:
+            return empty
+        u = np.concatenate(us); v = np.concatenate(vs)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        _, first_idx = np.unique(pair_mix(u, v), return_index=True)
+        return pa.table({"u": pa.array(u[first_idx], type=pa.int64()),
+                         "v": pa.array(v[first_idx], type=pa.int64())})
+
+    return keyed.groupby("pkey").map_groups(pairs_part,
+                                            batch_format="pyarrow")
+
+
 def bucket_stats(bands: "ray.data.Dataset") -> dict:
     """Sanity metrics of ``apollo/graph.py:129-138``: bucket count, mean
     elements per bucket, min/max buckets per element.  Two extra

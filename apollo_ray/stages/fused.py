@@ -108,16 +108,19 @@ def fused_hash_batch(batch: pa.Table, cfg: DedupConfig, params_ref,
     })
 
 
-def fused_bands(reps: "ray.data.Dataset", cfg: DedupConfig
-                ) -> "ray.data.Dataset":
+def fused_bands(reps: "ray.data.Dataset", cfg: DedupConfig,
+                df=None, ndocs: int = 0) -> "ray.data.Dataset":
+    """``df``/``ndocs``: pass a precomputed docfreq array to avoid a
+    second full-corpus scan when the caller already ran one (the
+    pipeline computes it once and shares it with ``build_bags``)."""
     from apollo_ray.stages.wmh_stage import params_object_ref
     params_ref = params_object_ref(cfg)
     df_ref = None
-    ndocs = 0
     if cfg.needs_docfreq:
         import ray
-        from apollo_ray.stages.bags import compute_feature_docfreq
-        df, ndocs = compute_feature_docfreq(reps, cfg)
+        if df is None:
+            from apollo_ray.stages.bags import compute_feature_docfreq
+            df, ndocs = compute_feature_docfreq(reps, cfg)
         df_ref = ray.put(df)
     return reps.map_batches(
         fused_hash_batch, batch_format="pyarrow", batch_size=cfg.batch_size,

@@ -121,32 +121,25 @@ class ProbeHasher:
         return buckets, idx, w
 
 
-def query_similar(text: str, bands_ds: "ray.data.Dataset",
-                  bags_ds: "ray.data.Dataset", cfg: DedupConfig,
-                  precise: bool | None = None) -> list[int]:
-    """Find documents similar to a probe text.
-
-    Broadcast the (tiny) probe bucket set into a vectorized filter over
-    the bands table (J3: the reference's per-band Cassandra SELECTs,
-    ``apollo/query.py:39-43``), union candidates (D1), then optionally
-    verify by exact weighted Jaccard (``--precise``,
-    ``apollo/query.py:45-66``).
-    """
-    ph = ProbeHasher(cfg)
-    if not text.split():  # empty probe matches nothing (the reference
-        return []         # raises on all-zero bags, apollo/hasher.py:245)
-    buckets, p_idx, p_w = ph.probe(text)
-    bucket_set = set(int(b) for b in buckets)
+def _bucket_candidates(buckets: np.ndarray,
+                       bands_ds: "ray.data.Dataset") -> list[int]:
+    """Union of doc_ids sharing any probe bucket (J3+D1): the probe
+    bucket set is tiny and broadcast into a vectorized filter."""
+    barr = np.unique(np.asarray(buckets, dtype=np.int64))
 
     def flt(batch: pa.Table) -> pa.Table:
         b = np.asarray(batch.column("bucket"), dtype=np.int64)
-        mask = np.isin(b, np.fromiter(bucket_set, dtype=np.int64))
-        return batch.filter(pa.array(mask)).select(["doc_id"])
+        return batch.filter(pa.array(np.isin(b, barr))).select(["doc_id"])
 
-    cands = bands_ds.map_batches(flt, batch_format="pyarrow").unique("doc_id")
-    cands = [int(c) for c in cands]
-    if not (precise if precise is not None else cfg.verify):
-        return sorted(cands)
+    out = bands_ds.map_batches(flt, batch_format="pyarrow").unique("doc_id")
+    return [int(c) for c in out]
+
+
+def _verify_candidates(cands: list[int], bags_ds: "ray.data.Dataset",
+                       p_idx: np.ndarray, p_w: np.ndarray,
+                       cfg: DedupConfig) -> list[int]:
+    """Exact weighted-Jaccard check of candidates against the probe
+    bag (``--precise``, ``apollo/query.py:45-66``)."""
     cand_arr = np.fromiter(cands, dtype=np.int64)
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -163,3 +156,66 @@ def query_similar(text: str, bands_ds: "ray.data.Dataset",
 
     out = bags_ds.map_batches(verify, batch_format="pyarrow").unique("doc_id")
     return sorted(int(x) for x in out)
+
+
+def query_similar(text: str, bands_ds: "ray.data.Dataset",
+                  bags_ds: "ray.data.Dataset", cfg: DedupConfig,
+                  precise: bool | None = None) -> list[int]:
+    """Find documents similar to a probe text.
+
+    Broadcast the (tiny) probe bucket set into a vectorized filter over
+    the bands table (J3: the reference's per-band Cassandra SELECTs,
+    ``apollo/query.py:39-43``), union candidates (D1), then optionally
+    verify by exact weighted Jaccard (``--precise``,
+    ``apollo/query.py:45-66``).
+    """
+    ph = ProbeHasher(cfg)
+    if not text.split():  # empty probe matches nothing (the reference
+        return []         # raises on all-zero bags, apollo/hasher.py:245)
+    buckets, p_idx, p_w = ph.probe(text)
+    cands = _bucket_candidates(buckets, bands_ds)
+    if not (precise if precise is not None else cfg.verify):
+        return sorted(cands)
+    return _verify_candidates(cands, bags_ds, p_idx, p_w, cfg)
+
+
+def query_similar_by_id(doc_id: int, signatures_ds: "ray.data.Dataset",
+                        bands_ds: "ray.data.Dataset",
+                        bags_ds: "ray.data.Dataset", cfg: DedupConfig,
+                        precise: bool | None = None) -> list[int]:
+    """Query an already-INDEXED document by key: its signature is read
+    from the ``signatures`` checkpoint instead of re-hashing the text
+    — the analog of the reference's ``hashtables2`` reverse index
+    (``apollo/query.py:25-43``, ``apollo/cassandra_utils.py:85-86``).
+    The probe doc itself is excluded from the result (J4).
+    """
+    from apollo_ray.stages.bands import bucket_keys
+    target = np.int64(doc_id)
+
+    def pick_sig(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        return batch.filter(pa.array(d == target))
+
+    rows = signatures_ds.map_batches(pick_sig,
+                                     batch_format="pyarrow").take_all()
+    if not rows:
+        raise KeyError("doc_id %d not found in signatures" % doc_id)
+    sig = np.asarray(rows[0]["sig"], dtype=np.uint32).reshape(1, -1)
+    htnum, band_size = band_params(cfg)
+    buckets = bucket_keys(sig, htnum, band_size)[0]
+    cands = [c for c in _bucket_candidates(buckets, bands_ds)
+             if c != int(doc_id)]
+    if not (precise if precise is not None else cfg.verify):
+        return sorted(cands)
+
+    def pick_bag(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        return batch.filter(pa.array(d == target))
+
+    bag_rows = bags_ds.map_batches(pick_bag,
+                                   batch_format="pyarrow").take_all()
+    if not bag_rows:
+        raise KeyError("doc_id %d not found in bags" % doc_id)
+    p_idx = np.asarray(bag_rows[0]["indices"], dtype=np.uint32)
+    p_w = np.asarray(bag_rows[0]["weights"], dtype=np.float32)
+    return _verify_candidates(cands, bags_ds, p_idx, p_w, cfg)

@@ -197,3 +197,25 @@ def test_recall_band_mode_catches_boundary_pairs(ray_session):
                 caught += (ours[urls[i]] == ours[urls[j]])
     assert total > 20
     assert caught / total >= 0.95
+
+
+def test_collapse_broadcast_equals_shuffle(ray_session):
+    """The metadata-shuffle + dup-broadcast collapse produces exactly
+    the same reps/membership as the full-payload-shuffle fallback."""
+    import ray.data as rd
+    from apollo_ray.config import DedupConfig
+    from apollo_ray.fixtures import generate_pages
+    from apollo_ray.stages.bags import collapse_exact
+    from apollo_ray.stages.extract import extract_docs
+    pages_t, _ = generate_pages(400)
+    docs = extract_docs(rd.from_arrow(pages_t),
+                        DedupConfig(feature_dim_log2=12)).materialize()
+
+    def canon(ds):
+        df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        df["member_ids"] = df["member_ids"].map(lambda m: tuple(sorted(m)))
+        return df[["doc_id", "text", "lang", "member_ids"]]
+
+    a = canon(collapse_exact(docs, method="broadcast"))
+    b = canon(collapse_exact(docs, method="shuffle"))
+    assert a.equals(b)

@@ -135,3 +135,76 @@ def test_quadratic_edge_mode(small_run):
     # both modes cover the same fat components and the same docs
     assert set(comms_q.cc_id.unique()) == set(comms_l.cc_id.unique())
     assert set(comms_q.doc_id) == set(comms_l.doc_id)
+
+
+def test_query_similar_by_id_matches_text_probe(small_run):
+    """An indexed doc queried by id (stored signature, the hashtables2
+    reverse-index analog) returns the same result set as probing with
+    its own text, minus the doc itself (J4 self-exclusion)."""
+    from apollo_ray.stages.report import query_similar, query_similar_by_id
+    pages_t, cfg, out = small_run
+    docs = out["docs"].to_pandas()
+    cl = out["clusters"].to_pandas()
+    sizes = cl.groupby("cc_id").size()
+    fat_cc = sizes[sizes >= 2].index
+    target = int(cl[cl.cc_id == fat_cc[0]].doc_id.iloc[0])
+    text = docs[docs.doc_id == target].text.iloc[0]
+    by_text = query_similar(text, out["bands"], out["bags"], cfg,
+                            precise=False)
+    by_id = query_similar_by_id(target, out["signatures"], out["bands"],
+                                out["bags"], cfg, precise=False)
+    assert set(by_id) == set(by_text) - {target}
+    by_id_precise = query_similar_by_id(target, out["signatures"],
+                                        out["bands"], out["bags"], cfg,
+                                        precise=True)
+    assert set(by_id_precise) <= set(by_id)
+
+
+def test_query_by_unknown_id_raises(small_run):
+    from apollo_ray.stages.report import query_similar_by_id
+    pages_t, cfg, out = small_run
+    with pytest.raises(KeyError):
+        query_similar_by_id(-12345, out["signatures"], out["bands"],
+                            out["bags"], cfg)
+
+
+def test_bucket_pair_edges_all_pairs_and_cap(ray_session):
+    """Verify-tier edges: full co-bucket pairs below the cap; star
+    fallback (connectivity-preserving) above it."""
+    import ray.data as rd
+    from apollo_ray.config import DedupConfig
+    from apollo_ray.stages.edges import bucket_pair_edges
+    bands = rd.from_arrow(pa.table({
+        "band_id": pa.array([0] * 5, type=pa.int32()),
+        "bucket": pa.array([7, 7, 7, 9, 9], type=pa.int64()),
+        "doc_id": pa.array([3, 1, 2, 5, 4], type=pa.int64()),
+    }))
+    cfg = DedupConfig()
+    df = bucket_pair_edges(bands, cfg, num_partitions=4).to_pandas()
+    pairs = set(map(tuple, np.sort(df[["u", "v"]].values, axis=1).tolist()))
+    assert pairs == {(1, 2), (1, 3), (2, 3), (4, 5)}
+    # cap: bucket of 4 docs => 6 pairs > max_bucket_pairs=3 -> star (3 edges)
+    bands2 = rd.from_arrow(pa.table({
+        "band_id": pa.array([0] * 4, type=pa.int32()),
+        "bucket": pa.array([7] * 4, type=pa.int64()),
+        "doc_id": pa.array([4, 2, 3, 1], type=pa.int64()),
+    }))
+    cfg2 = DedupConfig(max_bucket_pairs=3)
+    df2 = bucket_pair_edges(bands2, cfg2, num_partitions=4).to_pandas()
+    pairs2 = set(map(tuple, np.sort(df2[["u", "v"]].values, axis=1).tolist()))
+    assert pairs2 == {(1, 2), (1, 3), (1, 4)}   # star around the minimum
+
+
+def test_verify_tier_keeps_mutual_pairs(ray_session):
+    """Two docs >= threshold to each other stay connected under
+    verify=True even when neither is the bucket minimum's neighbor —
+    the recall property all-pairs verification restores."""
+    import ray.data as rd
+    from apollo_ray.config import DedupConfig
+    from apollo_ray.fixtures import generate_pages
+    from apollo_ray.pipelines.dedup import run_dedup
+    pages_t, _ = generate_pages(300)
+    cfg = DedupConfig(feature_dim_log2=12, verify=True)
+    out = run_dedup(rd.from_arrow(pages_t), cfg)
+    cl = out["clusters"].to_pandas()
+    assert len(cl) == out["docs"].count()
