@@ -56,10 +56,12 @@ def _extract_batch(batch: pa.Table) -> pa.Table:
 
 
 def extract_docs(pages: "ray.data.Dataset", cfg: DedupConfig,
-                 latest_per_url: bool = False) -> "ray.data.Dataset":
+                 latest_per_url: bool = False,
+                 history_depth: int = 1) -> "ray.data.Dataset":
     """pages -> docs.  ``latest_per_url=True`` additionally keeps only
-    the newest ``warc_ts`` snapshot per url (M2, the ``--dzhigurda``
-    history-depth analog, ``doc/cmd/bags.md:9``) — one extra shuffle."""
+    the newest ``history_depth`` snapshots per url by ``warc_ts`` (M2,
+    the ``--dzhigurda`` history-depth analog keeping the last N
+    commits, ``doc/cmd/bags.md:9``) — one extra shuffle."""
     docs = pages.map_batches(_extract_batch, batch_format="pyarrow")
     if latest_per_url:
         import numpy as np
@@ -83,11 +85,17 @@ def extract_docs(pages: "ray.data.Dataset", cfg: DedupConfig,
                                ("doc_id", "ascending")])
             urls = t.column("url").combine_chunks()
             n = len(urls)
-            last = np.ones(n, dtype=bool)
+            new_seg = np.ones(n, dtype=bool)
             if n > 1:
-                last[:n - 1] = np.asarray(
-                    pc.invert(pc.equal(urls.slice(0, n - 1), urls.slice(1))))
-            return t.filter(pa.array(last)).select(out_cols)
+                new_seg[1:] = np.asarray(
+                    pc.invert(pc.equal(urls.slice(1), urls.slice(0, n - 1))))
+            # distance from each row to the END of its url segment:
+            # rows with dist < history_depth are the newest N snapshots
+            seg_id = np.cumsum(new_seg) - 1
+            seg_end = np.zeros(seg_id[-1] + 1, dtype=np.int64)
+            np.maximum.at(seg_end, seg_id, np.arange(n, dtype=np.int64))
+            keep = (seg_end[seg_id] - np.arange(n)) < history_depth
+            return t.filter(pa.array(keep)).select(out_cols)
 
         docs = docs.map_batches(add_pkey, batch_format="pyarrow") \
             .groupby("pkey").map_groups(newest_part, batch_format="pyarrow")

@@ -124,6 +124,27 @@ def test_latest_per_url(ray_session):
     assert set(docs[docs.url == "u1"].text) == {"b"}   # newest snapshot wins
 
 
+def test_history_depth_n(ray_session):
+    """--dzhigurda analog: keep the newest N snapshots per url."""
+    import ray.data as rd
+    from apollo_ray.config import DedupConfig
+    from apollo_ray.stages.extract import extract_docs
+    ts = np.array([0, 100, 50, 10], dtype="datetime64[s]") \
+        .astype("datetime64[us]")
+    pages = rd.from_arrow(pa.table({
+        "url": pa.array(["u1", "u1", "u1", "u2"]),
+        "warc_ts": pa.array(ts, type=pa.timestamp("us")),
+        "html": pa.array([b"<body><p>a</p></body>", b"<body><p>b</p></body>",
+                          b"<body><p>c</p></body>", b"<body><p>d</p></body>"],
+                         type=pa.binary()),
+        "lang": pa.array(["en"] * 4),
+    }))
+    docs = extract_docs(pages, DedupConfig(), latest_per_url=True,
+                        history_depth=2).to_pandas()
+    assert set(docs[docs.url == "u1"].text) == {"b", "c"}  # newest 2
+    assert set(docs[docs.url == "u2"].text) == {"d"}
+
+
 def test_quadratic_edge_mode(small_run):
     from apollo_ray.stages.communities_stage import detect_communities
     pages_t, cfg, out = small_run
