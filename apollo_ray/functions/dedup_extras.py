@@ -217,7 +217,8 @@ def ngram_jaccard_pairs(docs: "ray.data.Dataset", k: int = 3,
         .groupby("pkey").map_groups(count_and_filter, batch_format="pyarrow")
 
 
-def md5_simhash_sig(text: str, k: int = 3) -> int | None:
+def md5_simhash_sig(text: str, k: int = 3,
+                    memo: dict | None = None) -> int | None:
     """64-bit unweighted SimHash over the doc's DISTINCT k-shingle
     strings, hashed with md5 (lower-64, DuckDB ``md5_number_lower``
     semantics — see ``kernels.text._md5_u64``): bit j of the signature
@@ -235,8 +236,20 @@ def md5_simhash_sig(text: str, k: int = 3) -> int | None:
     if len(toks) < k:
         return None
     shingles = {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
-    hs = np.fromiter((_md5_u64(s) for s in shingles), dtype=np.uint64,
-                     count=len(shingles))
+    if memo is None:
+        hs = np.fromiter((_md5_u64(s) for s in shingles), dtype=np.uint64,
+                         count=len(shingles))
+    else:
+        # near-dup-heavy batches share most shingles; the memo turns
+        # repeat md5 calls into dict hits (bounded per batch)
+        vals = []
+        for s in shingles:
+            v = memo.get(s)
+            if v is None:
+                v = _md5_u64(s)
+                memo[s] = v
+            vals.append(v)
+        hs = np.asarray(vals, dtype=np.uint64)
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) &
             np.uint64(1)).astype(np.int64)
     votes = (2 * bits - 1).sum(axis=0)
@@ -275,8 +288,9 @@ def simhash_pairs(docs: "ray.data.Dataset", k: int = 3, bands: int = 4,
     def sig_batch(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").cast(pa.int64()).to_pylist()
         out_ids, out_sigs = [], []
+        memo: dict = {}
         for did, t in zip(ids, batch.column("text").to_pylist()):
-            s = md5_simhash_sig(t, k)
+            s = md5_simhash_sig(t, k, memo)
             if s is None:
                 continue
             out_ids.append(did)

@@ -22,34 +22,84 @@ from apollo_ray.kernels.text import _STOPWORDS, detect_lang, fingerprint
 _PUNCT = ".,;:!?"
 
 
+def _split_tokens(text_col: pa.Array) -> pa.Array:
+    """Arrow-kernel whitespace split matching Python ``str.split``:
+    ``utf8_split_whitespace`` keeps empty strings at boundaries /
+    repeated whitespace, so drop empty tokens from each list."""
+    toks = pc.utf8_split_whitespace(text_col)
+    flat = toks.flatten()
+    keep = pc.greater(pc.utf8_length(flat), 0)
+    # rebuild list offsets over the non-empty tokens
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    starts = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=starts[1:])
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    kept_per_list = np.add.reduceat(
+        np.append(keep_np, 0), starts[:-1])[:len(lengths)] \
+        if len(flat) else np.zeros(len(lengths), dtype=np.int64)
+    kept_per_list[lengths == 0] = 0
+    new_off = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(kept_per_list, out=new_off[1:])
+    return pa.ListArray.from_arrays(
+        pa.array(new_off, type=pa.int32()),
+        flat.filter(keep))
+
+
 def token_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":
-    """(doc_id, n_tokens) — whitespace tokenization (M3 analog)."""
+    """(doc_id, n_tokens) — whitespace tokenization (M3 analog),
+    fully Arrow-vectorized (no per-row Python)."""
     def f(batch: pa.Table) -> pa.Table:
-        n = [len(t.split()) for t in batch.column("text").to_pylist()]
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = _split_tokens(text)
         return pa.table({"doc_id": batch.column("doc_id").cast(pa.int64()),
-                         "n_tokens": pa.array(n, type=pa.int64())})
+                         "n_tokens": pc.list_value_length(toks).cast(pa.int64())})
     return docs.map_batches(f, batch_format="pyarrow")
 
 
 def quality_stats_table(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """(doc_id, n_tokens, n_chars, sum_token_len, n_stopwords, n_punct)
-    — integer quality-score numerators (C4/Gopher-style filters)."""
+    — integer quality-score numerators (C4/Gopher-style filters).
+
+    Vectorized: one Arrow whitespace split per batch; per-doc sums are
+    ``np.add.reduceat`` over the flattened token array (segment sums by
+    list offsets) — no Python loop over rows or tokens.
+    """
+    stop_arr = pa.array(sorted(_STOPWORDS), type=pa.string())
+
     def f(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        n_tok, n_chr, s_len, n_stop, n_punct = [], [], [], [], []
-        for t in texts:
-            toks = t.split()
-            n_tok.append(len(toks))
-            n_chr.append(len(t))
-            s_len.append(sum(len(x) for x in toks))
-            n_stop.append(sum(1 for x in toks if x.lower() in _STOPWORDS))
-            n_punct.append(sum(t.count(c) for c in _PUNCT))
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = _split_tokens(text)
+        flat = toks.flatten()
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        offsets = np.zeros(len(n_tok) + 1, dtype=np.int64)
+        np.cumsum(n_tok, out=offsets[1:])
+
+        def seg_sum(values: np.ndarray) -> np.ndarray:
+            if len(values) == 0:
+                return np.zeros(len(n_tok), dtype=np.int64)
+            out = np.add.reduceat(np.append(values, 0), offsets[:-1])
+            out = out[:len(n_tok)]
+            out[n_tok == 0] = 0
+            return out.astype(np.int64)
+
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        is_stop = pc.is_in(pc.utf8_lower(flat), value_set=stop_arr) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_punct = np.zeros(len(n_tok), dtype=np.int64)
+        for c in _PUNCT:
+            n_punct += pc.count_substring(text, c) \
+                .to_numpy(zero_copy_only=False)
         return pa.table({
             "doc_id": batch.column("doc_id").cast(pa.int64()),
             "n_tokens": pa.array(n_tok, type=pa.int64()),
-            "n_chars": pa.array(n_chr, type=pa.int64()),
-            "sum_token_len": pa.array(s_len, type=pa.int64()),
-            "n_stopwords": pa.array(n_stop, type=pa.int64()),
+            "n_chars": pc.utf8_length(text).cast(pa.int64()),
+            "sum_token_len": pa.array(seg_sum(tok_len), type=pa.int64()),
+            "n_stopwords": pa.array(seg_sum(is_stop), type=pa.int64()),
             "n_punct": pa.array(n_punct, type=pa.int64()),
         })
     return docs.map_batches(f, batch_format="pyarrow")
@@ -66,14 +116,34 @@ def docfreq(docs: "ray.data.Dataset", min_df: int = 1) -> "ray.data.Dataset":
     from apollo_ray.hashing import hash_utf8, mix_to_partition
 
     def explode_unique(batch: pa.Table) -> pa.Table:
-        toks: list[str] = []
-        for t in batch.column("text").to_pylist():
-            toks.extend(set(t.split()))
-        pkey = mix_to_partition(
-            np.fromiter((hash_utf8(t) for t in toks), dtype=np.int64,
-                        count=len(toks)), 64)
-        return pa.table({"token": pa.array(toks, type=pa.string()),
-                         "pkey": pa.array(pkey, type=pa.int32())})
+        """Vectorized per-doc token dedup: Arrow split +
+        dictionary-encode, (doc, code) pairs deduped with one
+        ``np.unique``; the only Python loop is hashing each DISTINCT
+        token of the batch once (for the partition key)."""
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = _split_tokens(text)
+        flat = toks.flatten()
+        if len(flat) == 0:
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "pkey": pa.array([], type=pa.int32())})
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_dict = len(enc.dictionary)
+        uniq = np.unique(doc_idx * n_dict + codes)
+        u_codes = uniq % n_dict
+        dict_hash = np.fromiter(
+            (hash_utf8(t) for t in enc.dictionary.to_pylist()),
+            dtype=np.int64, count=n_dict)
+        pkey = mix_to_partition(dict_hash[u_codes], 64)
+        return pa.table({
+            "token": enc.dictionary.take(pa.array(u_codes)),
+            "pkey": pa.array(pkey, type=pa.int32()),
+        })
 
     # vectorized per-partition counting (pyarrow value_counts) instead
     # of Ray's per-group aggregate — token cardinality is unbounded
