@@ -34,12 +34,22 @@ def extract_text(html: bytes) -> str:
     -> paragraphs joined by ``"\\n\\n"``.  Falls back to stripping all
     tags for html that does not match the wrap (real-world pages); the
     byte-identity invariant is asserted only for fixture input.
+
+    Body location uses C-speed ``bytes.find`` (first ``<body>``, first
+    ``</body>`` after it — identical to the non-greedy regex it
+    replaces, which profiled at 75% of the extract stage).
     """
-    m = _BODY_RE.search(html)
-    if m is not None:
-        body = m.group(1)
-        parts = _P_SPLIT.split(body)
-        return b"\n\n".join(parts).decode("utf-8", "replace")
+    i = html.find(b"<body>")
+    if i != -1:
+        j = html.find(b"</body>", i + 6)
+        if j != -1:
+            body = html[i + 6:j]
+            if body.startswith(b"<p>"):
+                body = body[3:]
+            if body.endswith(b"</p>"):
+                body = body[:-4]
+            parts = _P_SPLIT.split(body)
+            return b"\n\n".join(parts).decode("utf-8", "replace")
     return _TAG_RE.sub(b" ", html).decode("utf-8", "replace").strip()
 
 
@@ -135,6 +145,79 @@ def bag_from_token_hashes(th: np.ndarray, k: int, dim_log2: int,
             pos = w > 0
             idx, w = idx[pos], w[pos]
     return idx, w
+
+
+def batch_bags_from_token_hashes(th_flat: np.ndarray, offs: np.ndarray,
+                                 k: int, dim_log2: int,
+                                 weighting: str = "logtf",
+                                 fam_w: float = 1.0,
+                                 df: np.ndarray | None = None,
+                                 ndocs: int = 0, min_df: int = 1
+                                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch-vectorized bag building for the single-family path.
+
+    Shingles the batch's WHOLE flat token-hash stream in one k-step
+    numpy recurrence (identical values to :func:`shingle_hashes` — the
+    recurrence only reads positions p..p+k-1), masks shingles that
+    would span a document boundary, then collapses to per-(doc, col)
+    counts with ONE ``np.unique`` over packed keys.  Per-doc Python
+    work drops to the rare short-doc (< k tokens) fallback.
+
+    Returns ``(counts_per_doc, indices, weights)`` where
+    ``counts_per_doc[i]`` is doc i's feature count (0 = doc dropped,
+    e.g. empty) and indices/weights are the concatenation in doc
+    order — elementwise identical to calling
+    :func:`bag_from_token_hashes` per doc.
+    """
+    from apollo_ray.hashing import _MASK64, splitmix64
+    n_docs = len(offs) - 1
+    lens = np.diff(offs)
+    flat_n = len(th_flat)
+    if flat_n >= k:
+        m = flat_n - k + 1
+        acc = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            mult = splitmix64(
+                np.array([j + 1], dtype=np.uint64))[0] | np.uint64(1)
+            acc = (acc + th_flat[j:j + m] * mult) & _MASK64
+            acc = splitmix64(acc)
+        pos_doc = np.repeat(np.arange(n_docs, dtype=np.int64), lens)[:m]
+        valid = (np.arange(m, dtype=np.int64) + k - 1) < offs[pos_doc + 1]
+        sh = acc[valid]
+        d_of = pos_doc[valid]
+    else:
+        sh = np.empty(0, dtype=np.uint64)
+        d_of = np.empty(0, dtype=np.int64)
+    short = np.flatnonzero((lens > 0) & (lens < k))
+    if len(short):
+        sh_s = np.fromiter(
+            (shingle_hashes(th_flat[offs[i]:offs[i + 1]], k)[0]
+             for i in short), dtype=np.uint64, count=len(short))
+        sh = np.concatenate([sh, sh_s])
+        d_of = np.concatenate([d_of, short])
+    cols = (sh >> np.uint64(64 - dim_log2)).astype(np.int64)
+    key = (d_of << np.int64(dim_log2)) | cols
+    uk, tf = np.unique(key, return_counts=True)
+    u_doc = (uk >> np.int64(dim_log2))
+    u_col = (uk & np.int64((1 << dim_log2) - 1)).astype(np.uint32)
+    if weighting == "tf":
+        w = tf.astype(np.float32)
+    else:
+        w = (1.0 + np.log(tf)).astype(np.float32)
+    if fam_w != 1.0:
+        w = w * np.float32(fam_w)
+    if df is not None:
+        fdf = df[u_col]
+        keep = fdf >= min_df
+        if weighting == "logtf_logidf" and ndocs > 0:
+            wi = np.zeros(len(w), dtype=np.float32)
+            nz = fdf > 0
+            wi[nz] = (w[nz] * np.log(ndocs / fdf[nz])).astype(np.float32)
+            keep &= wi > 0
+            w = wi
+        u_doc, u_col, w = u_doc[keep], u_col[keep], w[keep]
+    counts = np.bincount(u_doc, minlength=n_docs).astype(np.int64)
+    return counts, u_col, w
 
 
 def batch_token_hashes(texts_arr, hasher: TokenHasher,

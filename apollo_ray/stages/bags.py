@@ -273,26 +273,51 @@ class BagBuilder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from apollo_ray.kernels.text import (bag_from_token_hashes,
+                                             batch_bags_from_token_hashes,
                                              batch_token_hashes, tokenize)
         cfg = self.cfg
         bag_kwargs = dict(cfg.bag_kwargs)
         tokenizer = bag_kwargs.pop("tokenizer")
-        if tokenizer == "whitespace":
+        if tokenizer == "whitespace" and not bag_kwargs.get("extra_ks"):
+            # single-family fast path: whole-batch vectorized bags
+            # (elementwise identical to the per-doc loop; empty docs
+            # keep their empty-list rows, dropped later by WmhHasher)
             th_flat, offs = batch_token_hashes(batch.column("text"),
                                                self.hasher)
-            th_of = [th_flat[offs[i]:offs[i + 1]]
-                     for i in range(batch.num_rows)]
+            fw = bag_kwargs.get("family_weights")
+            counts, all_idx, all_w = batch_bags_from_token_hashes(
+                th_flat, offs, cfg.shingle_k, cfg.feature_dim_log2,
+                weighting=bag_kwargs.get("weighting", "logtf"),
+                fam_w=(fw[0] if fw else 1.0),
+                df=self.df, ndocs=self.ndocs, min_df=self.min_df)
+            offsets = np.zeros(len(counts) + 1, dtype=np.int32)
+            np.cumsum(counts, out=offsets[1:])
+            idx_col = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(all_idx, type=pa.uint32()))
+            w_col = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(all_w, type=pa.float32()))
         else:
-            th_of = [self.hasher.hash_tokens(tokenize(t, tokenizer))
-                     for t in batch.column("text").to_pylist()]
-        indices: list[np.ndarray] = []
-        weights: list[np.ndarray] = []
-        for i in range(batch.num_rows):
-            idx, w = bag_from_token_hashes(
-                th_of[i], cfg.shingle_k, cfg.feature_dim_log2, df=self.df,
-                ndocs=self.ndocs, min_df=self.min_df, **bag_kwargs)
-            indices.append(idx)
-            weights.append(w)
+            if tokenizer == "whitespace":
+                th_flat, offs = batch_token_hashes(batch.column("text"),
+                                                   self.hasher)
+                th_of = [th_flat[offs[i]:offs[i + 1]]
+                         for i in range(batch.num_rows)]
+            else:
+                th_of = [self.hasher.hash_tokens(tokenize(t, tokenizer))
+                         for t in batch.column("text").to_pylist()]
+            indices: list[np.ndarray] = []
+            weights: list[np.ndarray] = []
+            for i in range(batch.num_rows):
+                idx, w = bag_from_token_hashes(
+                    th_of[i], cfg.shingle_k, cfg.feature_dim_log2,
+                    df=self.df, ndocs=self.ndocs, min_df=self.min_df,
+                    **bag_kwargs)
+                indices.append(idx)
+                weights.append(w)
+            idx_col = pa.array(indices, type=pa.list_(pa.uint32()))
+            w_col = pa.array(weights, type=pa.list_(pa.float32()))
         n_members = (
             pa.array([len(m) + 1 for m in batch.column("member_ids").to_pylist()],
                      type=pa.int64())
@@ -300,8 +325,8 @@ class BagBuilder:
             else pa.array([1] * batch.num_rows, type=pa.int64()))
         return pa.table({
             "doc_id": batch.column("doc_id").cast(pa.int64()),
-            "indices": pa.array(indices, type=pa.list_(pa.uint32())),
-            "weights": pa.array(weights, type=pa.list_(pa.float32())),
+            "indices": idx_col,
+            "weights": w_col,
             "n_members": n_members,
         })
 

@@ -68,33 +68,55 @@ def fused_hash_batch(batch: pa.Table, cfg: DedupConfig, params_ref,
     doc_ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
     bag_kwargs = dict(cfg.bag_kwargs)
     tokenizer = bag_kwargs.pop("tokenizer")
-    if tokenizer == "whitespace":
+    if tokenizer == "whitespace" and not bag_kwargs.get("extra_ks"):
+        # single-family fast path: whole-batch vectorized shingling +
+        # one np.unique (kernels/text.batch_bags_from_token_hashes,
+        # elementwise identical to the per-doc loop below)
+        from apollo_ray.kernels.text import batch_bags_from_token_hashes
         th_flat, offs = batch_token_hashes(batch.column("text"), hasher)
-        th_of = [th_flat[offs[i]:offs[i + 1]] for i in range(batch.num_rows)]
+        fw = bag_kwargs.get("family_weights")
+        counts, all_idx, all_w = batch_bags_from_token_hashes(
+            th_flat, offs, cfg.shingle_k, cfg.feature_dim_log2,
+            weighting=bag_kwargs.get("weighting", "logtf"),
+            fam_w=(fw[0] if fw else 1.0),
+            df=st["df"], ndocs=ndocs, min_df=st["min_df"])
+        keep_rows = np.flatnonzero(counts > 0)
+        indptr_np = np.zeros(len(keep_rows) + 1, dtype=np.int64)
+        np.cumsum(counts[keep_rows], out=indptr_np[1:])
+        idx_flat, w_flat = all_idx, all_w
     else:
-        texts = batch.column("text").to_pylist()
-        th_of = [hasher.hash_tokens(tokenize(t, tokenizer)) for t in texts]
-    indptr = [0]
-    idx_parts: list[np.ndarray] = []
-    w_parts: list[np.ndarray] = []
-    keep_rows: list[int] = []
-    for i in range(batch.num_rows):
-        idx, w = bag_from_token_hashes(
-            th_of[i], cfg.shingle_k, cfg.feature_dim_log2,
-            df=st["df"], ndocs=ndocs, min_df=st["min_df"], **bag_kwargs)
-        if len(idx) == 0:
-            continue  # empty docs cannot be hashed (apollo/hasher.py:245)
-        keep_rows.append(i)
-        idx_parts.append(idx)
-        w_parts.append(w)
-        indptr.append(indptr[-1] + len(idx))
-    if not keep_rows:
+        if tokenizer == "whitespace":
+            th_flat, offs = batch_token_hashes(batch.column("text"), hasher)
+            th_of = [th_flat[offs[i]:offs[i + 1]]
+                     for i in range(batch.num_rows)]
+        else:
+            texts = batch.column("text").to_pylist()
+            th_of = [hasher.hash_tokens(tokenize(t, tokenizer))
+                     for t in texts]
+        indptr = [0]
+        idx_parts: list[np.ndarray] = []
+        w_parts: list[np.ndarray] = []
+        keep_list: list[int] = []
+        for i in range(batch.num_rows):
+            idx, w = bag_from_token_hashes(
+                th_of[i], cfg.shingle_k, cfg.feature_dim_log2,
+                df=st["df"], ndocs=ndocs, min_df=st["min_df"], **bag_kwargs)
+            if len(idx) == 0:
+                continue  # empty docs cannot be hashed (apollo/hasher.py:245)
+            keep_list.append(i)
+            idx_parts.append(idx)
+            w_parts.append(w)
+            indptr.append(indptr[-1] + len(idx))
+        keep_rows = np.asarray(keep_list, dtype=np.int64)
+        indptr_np = np.asarray(indptr, dtype=np.int64)
+        if len(keep_rows):
+            idx_flat = np.concatenate(idx_parts)
+            w_flat = np.concatenate(w_parts)
+    if len(keep_rows) == 0:
         return pa.table({"band_id": pa.array([], type=pa.int32()),
                          "bucket": pa.array([], type=pa.int64()),
                          "doc_id": pa.array([], type=pa.int64())})
-    sigs = wmh_batch_t(np.asarray(indptr, dtype=np.int64),
-                       np.concatenate(idx_parts),
-                       np.concatenate(w_parts),
+    sigs = wmh_batch_t(indptr_np, idx_flat, w_flat,
                        st["dparams"], nnz_budget=_FUSED_NNZ_BUDGET,
                        work_bufs=st["bufs"])
     flat = sigs.reshape(len(keep_rows), -1)

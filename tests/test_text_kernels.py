@@ -95,3 +95,39 @@ def test_batch_tokenizer_equals_per_doc():
         expect = TokenHasher(seed=3).hash_tokens(tokenize(t))
         got = flat[offs[i]:offs[i + 1]]
         np.testing.assert_array_equal(got, expect)
+
+
+def test_batch_bags_match_per_doc():
+    """batch_bags_from_token_hashes == bag_from_token_hashes per doc,
+    elementwise, across weightings, df filters, short and empty docs."""
+    import numpy as np
+    from apollo_ray.hashing import TokenHasher
+    from apollo_ray.kernels.text import (bag_from_token_hashes,
+                                         batch_bags_from_token_hashes)
+    rng = np.random.default_rng(5)
+    hasher = TokenHasher(seed=1)
+    docs = []
+    for n in (0, 1, 2, 4, 5, 30, 200, 3):
+        toks = ["t%d" % x for x in rng.integers(0, 40, n)]
+        docs.append(hasher.hash_tokens(toks))
+    offs = np.zeros(len(docs) + 1, dtype=np.int64)
+    np.cumsum([len(d) for d in docs], out=offs[1:])
+    flat = (np.concatenate(docs) if any(len(d) for d in docs)
+            else np.empty(0, dtype=np.uint64))
+    df = rng.integers(1, 8, 1 << 10).astype(np.int64)
+    for weighting, dfa, ndocs, min_df in (
+            ("logtf", None, 0, 1), ("tf", None, 0, 1),
+            ("logtf", df, 0, 2), ("logtf_logidf", df, 100, 1)):
+        counts, idx, w = batch_bags_from_token_hashes(
+            flat, offs, k=5, dim_log2=10, weighting=weighting,
+            df=dfa, ndocs=ndocs, min_df=min_df)
+        pos = 0
+        for i, d in enumerate(docs):
+            ei, ew = bag_from_token_hashes(
+                d, 5, 10, weighting=weighting, df=dfa, ndocs=ndocs,
+                min_df=min_df)
+            assert counts[i] == len(ei)
+            assert (idx[pos:pos + len(ei)] == ei).all()
+            assert (w[pos:pos + len(ei)] == ew).all()   # bit-identical
+            pos += len(ei)
+        assert pos == len(idx)
