@@ -96,8 +96,28 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
 
     docs, docs_hit = stage("docs", lambda: extract_docs(pages, cfg))
     if cfg.collapse_exact:
-        reps, reps_hit = stage("reps", lambda: collapse_exact(docs), docs_hit)
-        member_edges = exact_member_edges(reps)
+        # checkpoint-free: reps stays LAZY (fork=False) — it is a cheap
+        # broadcast-filter map over the materialized docs, so fusing it
+        # into each consumer avoids a full rep-text object-store
+        # round-trip (collapse_exact's membership shuffle still
+        # materializes eagerly inside the build); member edges come
+        # straight from the (small, materialized) membership table
+        side: dict[str, Any] = {}
+
+        def build_reps():
+            r, m = collapse_exact(docs, with_membership=True)
+            side["membership"] = m
+            return r
+
+        reps, reps_hit = stage("reps", build_reps, docs_hit, fork=False)
+        membership = side.get("membership")
+        if membership is not None:
+            def memb_edges(batch):
+                return batch.rename_columns(["v", "u"]).select(["u", "v"])
+            member_edges = membership.map_batches(memb_edges,
+                                                  batch_format="pyarrow")
+        else:
+            member_edges = exact_member_edges(reps)
     else:
         reps, reps_hit = docs, docs_hit
         member_edges = None

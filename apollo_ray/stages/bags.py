@@ -85,7 +85,8 @@ BROADCAST_COLLAPSE_MAX_DUPS = 200_000_000
 
 def collapse_exact(docs: "ray.data.Dataset",
                    num_partitions: int = 64,
-                   method: str = "auto") -> "ray.data.Dataset":
+                   method: str = "auto",
+                   with_membership: bool = False):
     """One row per distinct text: representative (min doc_id) rows
     carrying ``text`` plus ``member_ids:list<int64>`` (the other
     doc_ids, usually empty).
@@ -99,6 +100,11 @@ def collapse_exact(docs: "ray.data.Dataset",
     blocks.  Falls back to the one-full-payload-shuffle path
     (``method="shuffle"``) above ``BROADCAST_COLLAPSE_MAX_DUPS``
     duplicates.
+
+    ``with_membership=True`` returns ``(reps, membership)`` where
+    membership is the materialized (rep_id, member_id) table (None on
+    the shuffle fallback) — callers needing member->rep edges can use
+    it directly instead of re-exploding ``member_ids``.
     """
     if method not in ("auto", "broadcast", "shuffle"):
         raise ValueError("unknown collapse method %r" % method)
@@ -141,9 +147,11 @@ def collapse_exact(docs: "ray.data.Dataset",
                                            type=pa.list_(pa.int64())),
                 })
 
-            return docs.map_batches(keep_reps, batch_format="pyarrow")
+            reps = docs.map_batches(keep_reps, batch_format="pyarrow")
+            return (reps, membership) if with_membership else reps
 
-    return _collapse_exact_shuffle(docs, num_partitions)
+    reps = _collapse_exact_shuffle(docs, num_partitions)
+    return (reps, None) if with_membership else reps
 
 
 def _collapse_exact_shuffle(docs: "ray.data.Dataset",

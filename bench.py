@@ -29,21 +29,26 @@ FIXTURE_DIR = "/tmp/apollo_ray_bench"
 
 
 def ensure_fixture(n_rows: int) -> str:
-    """Generate (once) and cache the deterministic webtext fixture."""
+    """Generate (once) and cache the deterministic webtext fixture.
+
+    Written with small row groups (8k rows) so ``read_parquet`` can
+    split each file into many blocks: one row group per file caps the
+    whole pipeline's parallelism at the file count (measured: the
+    extract stage stopped scaling past 16 workers at 1M rows)."""
     import pyarrow.parquet as pq
-    path = os.path.join(FIXTURE_DIR, "pages_%d" % n_rows)
+    path = os.path.join(FIXTURE_DIR, "pages_%d_rg8k" % n_rows)
     done = os.path.join(path, "_DONE")
     if os.path.exists(done):
         return path
     from apollo_ray.fixtures import generate_pages
     os.makedirs(path, exist_ok=True)
     pages, truth = generate_pages(n_rows)
-    # several files so the read parallelizes
     n_files = 16
     step = (pages.num_rows + n_files - 1) // n_files
     for i in range(0, pages.num_rows, step):
         pq.write_table(pages.slice(i, step),
-                       os.path.join(path, "part-%05d.parquet" % i))
+                       os.path.join(path, "part-%05d.parquet" % i),
+                       row_group_size=8192)
     pq.write_table(truth, os.path.join(path, "truth.parquet"))
     with open(done, "w") as f:
         f.write("ok")
@@ -75,8 +80,9 @@ def bench_once() -> dict:
     from apollo_ray.stages.wmh_stage import params_object_ref
     params_object_ref(cfg)   # one-time model artifact, built untimed
     t0 = time.monotonic()
-    out = run_dedup(rd.read_parquet(part_files), cfg,
-                    num_partitions=max(16, NUM_CPUS * 2))
+    pages_ds = rd.read_parquet(part_files,
+                               override_num_blocks=max(64, NUM_CPUS * 4))
+    out = run_dedup(pages_ds, cfg, num_partitions=max(16, NUM_CPUS * 2))
     n_rows = out["clusters"].count()
     headline = time.monotonic() - t0
     n_clusters = out["clusters"].to_pandas()["cc_id"].nunique()
@@ -114,13 +120,24 @@ def bench_once() -> dict:
 
 
 def run_scaling() -> dict:
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "1"))
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_SKIP_QUERIES="1")
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True,
-                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
-        return json.loads(out.stdout.strip().splitlines()[-1])
+        """Best-of-``repeats`` fresh-process runs: this host shows
+        multi-minute noise episodes up to 3x (BENCH/BASELINE.md), so a
+        single sample per level can invert the ratio entirely."""
+        best = None
+        for _ in range(repeats):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       GRAFT_SKIP_QUERIES="1")
+            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 env=env, capture_output=True, text=True,
+                                 check=True,
+                                 cwd=os.path.dirname(os.path.abspath(__file__)))
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        return best
 
     scaling_rows = int(os.environ.get("GRAFT_SCALING_ROWS", "200000"))
     os.environ["GRAFT_BENCH_ROWS"] = str(scaling_rows)
