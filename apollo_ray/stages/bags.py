@@ -113,21 +113,34 @@ def collapse_exact(docs: "ray.data.Dataset",
         n_dups = membership.count()
         if method == "broadcast" or n_dups <= BROADCAST_COLLAPSE_MAX_DUPS:
             import ray
-            rep_map: dict[int, list] = {}
             if n_dups:
                 mdf = membership.to_pandas()
-                member_arr = np.sort(
-                    mdf["member_id"].to_numpy(dtype=np.int64))
-                for r, m in zip(mdf["rep_id"].to_numpy(dtype=np.int64),
-                                mdf["member_id"].to_numpy(dtype=np.int64)):
-                    rep_map.setdefault(int(r), []).append(int(m))
+                rep_arr = mdf["rep_id"].to_numpy(dtype=np.int64)
+                mem_arr = mdf["member_id"].to_numpy(dtype=np.int64)
+                member_sorted = np.sort(mem_arr)
+                # grouped (rep -> members) as three arrays: sorted rep
+                # keys + CSR offsets into the member values — built and
+                # looked up fully vectorized, no Python dict
+                order = np.argsort(rep_arr, kind="stable")
+                rep_s = rep_arr[order]
+                mem_grouped = mem_arr[order]
+                first = np.empty(len(rep_s), dtype=bool)
+                if len(rep_s):
+                    first[0] = True
+                    first[1:] = rep_s[1:] != rep_s[:-1]
+                rep_keys = rep_s[first]
+                grp_off = np.append(np.flatnonzero(first), len(rep_s)) \
+                    .astype(np.int64)
             else:
-                member_arr = np.empty(0, dtype=np.int64)
-            ref = ray.put((member_arr, rep_map))
+                member_sorted = np.empty(0, dtype=np.int64)
+                rep_keys = np.empty(0, dtype=np.int64)
+                mem_grouped = np.empty(0, dtype=np.int64)
+                grp_off = np.zeros(1, dtype=np.int64)
+            ref = ray.put((member_sorted, rep_keys, grp_off, mem_grouped))
 
             def keep_reps(batch: pa.Table) -> pa.Table:
                 import ray as _ray
-                dup_sorted, reps_m = _ray.get(ref)
+                dup_sorted, r_keys, g_off, g_mem = _ray.get(ref)
                 ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
                 if len(dup_sorted):
                     pos = np.searchsorted(dup_sorted, ids)
@@ -138,13 +151,34 @@ def collapse_exact(docs: "ray.data.Dataset",
                     is_dup = np.zeros(len(ids), dtype=bool)
                 sub = batch.filter(pa.array(~is_dup))
                 kept = np.asarray(sub.column("doc_id"), dtype=np.int64)
-                members = [reps_m.get(int(d), ()) for d in kept]
+                counts = np.zeros(len(kept), dtype=np.int64)
+                starts = np.zeros(len(kept), dtype=np.int64)
+                if len(r_keys) and len(kept):
+                    p = np.searchsorted(r_keys, kept)
+                    hit = (p < len(r_keys)) & \
+                        (r_keys[np.minimum(p, len(r_keys) - 1)] == kept)
+                    counts[hit] = (g_off[p[hit] + 1] - g_off[p[hit]])
+                    starts[hit] = g_off[p[hit]]
+                total = int(counts.sum())
+                if total:
+                    cum0 = np.zeros(len(counts), dtype=np.int64)
+                    np.cumsum(counts[:-1], out=cum0[1:])
+                    gather = (np.repeat(starts, counts)
+                              + np.arange(total, dtype=np.int64)
+                              - np.repeat(cum0, counts))
+                    flat_members = g_mem[gather]
+                else:
+                    flat_members = np.empty(0, dtype=np.int64)
+                offs = np.zeros(len(counts) + 1, dtype=np.int64)
+                np.cumsum(counts, out=offs[1:])
+                member_col = pa.ListArray.from_arrays(
+                    pa.array(offs, type=pa.int32()),
+                    pa.array(flat_members, type=pa.int64()))
                 return pa.table({
                     "doc_id": sub.column("doc_id").cast(pa.int64()),
                     "text": sub.column("text"),
                     "lang": sub.column("lang"),
-                    "member_ids": pa.array(members,
-                                           type=pa.list_(pa.int64())),
+                    "member_ids": member_col,
                 })
 
             reps = docs.map_batches(keep_reps, batch_format="pyarrow")

@@ -50,23 +50,23 @@ def detect_communities(clusters: "ray.data.Dataset",
     bucket vertices (``apollo/graph.py:222-233``), ``quadratic``
     all-pairs-within-bucket doc edges (``apollo/graph.py:234-249``,
     O(n^2) per bucket — capped at ``max_quadratic_pairs`` per CC)."""
+    from apollo_ray.hashing import mix_to_partition
     from apollo_ray.util import hash_join
     non_trivial = clusters  # singletons drop out of the inner join below
     mem = hash_join(memberships, non_trivial, on=("doc_id",),
                     num_partitions=num_partitions)
+    n_parts = num_partitions or 64
 
-    def per_cc(g: pd.DataFrame) -> pd.DataFrame:
-        docs = g["doc_id"].to_numpy(dtype=np.int64)
+    def _one_cc(cc_id: int, docs: np.ndarray, buckets: np.ndarray,
+                out_d: list, out_c: list, out_m: list) -> None:
         uniq = np.unique(docs)
-        cc_id = int(g["cc_id"].iloc[0])
         if len(uniq) == 1:  # singleton CC: skipped (apollo/graph.py:214-215)
-            return pd.DataFrame({"doc_id": [], "cc_id": [], "community_id": []})
+            return
         if len(uniq) == 2:  # pair passthrough (apollo/graph.py:216-218)
-            return pd.DataFrame({
-                "doc_id": uniq.astype(np.int64),
-                "cc_id": np.full(2, cc_id, dtype=np.int64),
-                "community_id": np.full(2, uniq.min(), dtype=np.int64)})
-        buckets = g["bucket"].to_numpy(dtype=np.int64)
+            out_d.append(uniq.astype(np.int64))
+            out_c.append(np.full(2, cc_id, dtype=np.int64))
+            out_m.append(np.full(2, uniq.min(), dtype=np.int64))
+            return
         if edges == "quadratic":
             eu, ev = build_quadratic_edges(docs, buckets,
                                            max_pairs=max_quadratic_pairs)
@@ -77,12 +77,54 @@ def detect_communities(clusters: "ray.data.Dataset",
             eu, ev, w = build_linear_edges(docs, buckets)
         labels = detect(eu, ev, w, algorithm=algorithm)
         doc_set = set(int(d) for d in uniq)
-        rows = [(d, cc_id, lab) for d, lab in labels.items() if d in doc_set]
-        out = pd.DataFrame(rows, columns=["doc_id", "cc_id", "community_id"])
-        return out.astype({"doc_id": np.int64, "cc_id": np.int64,
-                           "community_id": np.int64})
+        pairs = [(d, lab) for d, lab in labels.items() if d in doc_set]
+        out_d.append(np.fromiter((p[0] for p in pairs), dtype=np.int64,
+                                 count=len(pairs)))
+        out_c.append(np.full(len(pairs), cc_id, dtype=np.int64))
+        out_m.append(np.fromiter((p[1] for p in pairs), dtype=np.int64,
+                                 count=len(pairs)))
 
-    return mem.groupby("cc_id").map_groups(per_cc, batch_format="pandas")
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        cc = np.asarray(batch.column("cc_id"), dtype=np.int64)
+        return batch.append_column(
+            "pkey", pa.array(mix_to_partition(cc, n_parts), type=pa.int32()))
+
+    # pkey pattern: one Ray group per PARTITION, components segmented
+    # inside with a lexsort — per-component detection is inherently
+    # per-group compute, but Ray's per-group overhead is not (NOTES_r1
+    # item 3: per-key map_groups is fatal at millions of groups)
+    def per_partition(group: pa.Table) -> pa.Table:
+        cc = np.asarray(group.column("cc_id"), dtype=np.int64)
+        docs = np.asarray(group.column("doc_id"), dtype=np.int64)
+        buckets = np.asarray(group.column("bucket"), dtype=np.int64)
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "cc_id": pa.array([], type=pa.int64()),
+                          "community_id": pa.array([], type=pa.int64())})
+        if len(cc) == 0:
+            return empty
+        order = np.lexsort((docs, cc))
+        cc_s, d_s, b_s = cc[order], docs[order], buckets[order]
+        first = np.empty(len(cc_s), dtype=bool)
+        first[0] = True
+        first[1:] = cc_s[1:] != cc_s[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(cc_s))
+        out_d: list = []
+        out_c: list = []
+        out_m: list = []
+        for st, en in zip(starts, ends):
+            _one_cc(int(cc_s[st]), d_s[st:en], b_s[st:en],
+                    out_d, out_c, out_m)
+        if not out_d:
+            return empty
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_d), type=pa.int64()),
+            "cc_id": pa.array(np.concatenate(out_c), type=pa.int64()),
+            "community_id": pa.array(np.concatenate(out_m), type=pa.int64()),
+        })
+
+    return mem.map_batches(add_pkey, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(per_partition, batch_format="pyarrow")
 
 
 def community_size_stats(communities: "ray.data.Dataset") -> dict:

@@ -42,12 +42,10 @@ def evaluate_communities(communities: "ray.data.Dataset",
     joined = hash_join(mem, pack_bags(bags), on=("doc_id",),
                        num_partitions=num_partitions)
 
-    def per_community(g: pd.DataFrame) -> pd.DataFrame:
-        blobs = list(g["bag"])
+    def _one_community(blobs: list) -> tuple[int, int, float, int]:
         n = len(blobs)
         if n < 2:
-            return pd.DataFrame({"misses": [0], "count": [0],
-                                 "loss": [0.0], "capped": [0]})
+            return 0, 0, 0.0, 0
         pairs = n * (n - 1) // 2
         capped = int(pairs > max_pairs_per_community)
         decoded = [unpack_bag(b) for b in blobs]
@@ -63,11 +61,43 @@ def evaluate_communities(communities: "ray.data.Dataset",
                     misses += 1
                     loss += (sim - cfg.threshold) ** 2
                 done += 1
-        return pd.DataFrame({"misses": [misses], "count": [done],
-                             "loss": [loss], "capped": [capped]})
+        return misses, done, loss, capped
 
-    per = joined.groupby("community_id").map_groups(per_community,
-                                                    batch_format="pandas")
+    from apollo_ray.hashing import mix_to_partition
+    n_parts = num_partitions or 64
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch.column("community_id"), dtype=np.int64)
+        return batch.append_column(
+            "pkey", pa.array(mix_to_partition(c, n_parts), type=pa.int32()))
+
+    # pkey pattern: communities segmented inside each partition (one
+    # Ray group per partition, not per community — NOTES_r1 item 3)
+    def per_partition(group: pa.Table) -> pa.Table:
+        c = np.asarray(group.column("community_id"), dtype=np.int64)
+        if len(c) == 0:
+            return pa.table({"misses": pa.array([], type=pa.int64()),
+                             "count": pa.array([], type=pa.int64()),
+                             "loss": pa.array([], type=pa.float64()),
+                             "capped": pa.array([], type=pa.int64())})
+        order = np.argsort(c, kind="stable")
+        blobs = group.column("bag").take(pa.array(order)).to_pylist()
+        c_s = c[order]
+        first = np.empty(len(c_s), dtype=bool)
+        first[0] = True
+        first[1:] = c_s[1:] != c_s[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(c_s))
+        rows = [_one_community(blobs[st:en]) for st, en in zip(starts, ends)]
+        return pa.table({
+            "misses": pa.array([r[0] for r in rows], type=pa.int64()),
+            "count": pa.array([r[1] for r in rows], type=pa.int64()),
+            "loss": pa.array([r[2] for r in rows], type=pa.float64()),
+            "capped": pa.array([r[3] for r in rows], type=pa.int64()),
+        })
+
+    per = joined.map_batches(add_pkey, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(per_partition, batch_format="pyarrow")
     agg = per.aggregate(Sum("misses", alias_name="total_misses"),
                         Sum("count", alias_name="total_pairs"),
                         Sum("loss", alias_name="total_loss"),

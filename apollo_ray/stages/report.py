@@ -34,18 +34,41 @@ def cluster_report(clusters: "ray.data.Dataset", docs: "ray.data.Dataset",
                    num_partitions: int | None = None, min_size: int = 2
                    ) -> "ray.data.Dataset":
     """(doc_id, cc_id) + docs metadata -> report rows sorted by
-    (cc_id, doc_id), clusters below ``min_size`` dropped."""
+    (cc_id, doc_id), clusters below ``min_size`` dropped.
+
+    Size filtering is a vectorized segment-cut per hashed partition
+    (one Ray group per partition, not per cluster — the per-key
+    ``map_groups`` pattern is fatal at duplicate-cluster cardinality).
+    """
+    from apollo_ray.hashing import mix_to_partition
     from apollo_ray.util import hash_join
     meta = docs.select_columns(["doc_id", "url", "lang"])
     joined = hash_join(clusters, meta, on=("doc_id",),
                        num_partitions=num_partitions)
+    n_parts = num_partitions or 64
 
-    def per_cc(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < min_size:
-            return g.iloc[0:0]
-        return g.sort_values("doc_id")
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        cc = np.asarray(batch.column("cc_id"), dtype=np.int64)
+        return batch.append_column(
+            "pkey", pa.array(mix_to_partition(cc, n_parts), type=pa.int32()))
 
-    return joined.groupby("cc_id").map_groups(per_cc, batch_format="pandas") \
+    def filter_small(group: pa.Table) -> pa.Table:
+        out_cols = [c for c in group.column_names if c != "pkey"]
+        cc = np.asarray(group.column("cc_id"), dtype=np.int64)
+        if len(cc) == 0:
+            return group.select(out_cols)
+        order = np.argsort(cc, kind="stable")
+        cc_s = cc[order]
+        first = np.empty(len(cc_s), dtype=bool)
+        first[0] = True
+        first[1:] = cc_s[1:] != cc_s[:-1]
+        seg_id = np.cumsum(first) - 1
+        sizes = np.bincount(seg_id)
+        keep = sizes[seg_id] >= min_size
+        return group.take(pa.array(order[keep])).select(out_cols)
+
+    return joined.map_batches(add_pkey, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(filter_small, batch_format="pyarrow") \
         .sort(["cc_id", "doc_id"])
 
 
