@@ -117,10 +117,16 @@ def make_work_buffers(size: int, nnz_budget: int = 1 << 16
                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Preallocate (and pre-fault) the three kernel work buffers.
 
+    The kernel never needs more than one L2 row tile per buffer — the
+    argmin is fused into the tile pass (see :func:`wmh_batch_t`) — so
+    the buffers are (min(nnz_budget, _ROW_TILE), size), i.e. 256 KB
+    each at the defaults, regardless of how large a batch is hashed.
+
     First-touch page faults are expensive on virtualized hosts; actors
     allocate these ONCE in ``__init__`` and reuse them every batch.
     """
-    bufs = tuple(np.empty((nnz_budget, size), dtype=np.float32)
+    rows = max(1, min(int(nnz_budget), _ROW_TILE))
+    bufs = tuple(np.empty((rows, size), dtype=np.float32)
                  for _ in range(3))
     for b in bufs:
         b.fill(0)  # touch every page now, not in the first hot batch
@@ -139,12 +145,23 @@ def wmh_batch_t(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
     (sorted order makes the sparse argmin tie-break identically to the
     dense ``nanargmin`` of the scalar oracle).
 
-    Work is chunked and runs in three preallocated (nnz_budget, size)
-    float32 buffers — memory is O(size * nnz_budget), never
-    O(size * dim) per doc (the reference's dense scalar path cannot
-    scale past small vocabularies), and the per-chunk op count is the
-    minimum the Ioffe recurrence allows: 4 row-gathers + 5 elementwise
-    passes.
+    The recurrence runs in three preallocated L2-sized row-tile buffers
+    (``min(nnz_budget, _ROW_TILE)`` x size float32, 256 KB each at the
+    defaults) and the per-doc argmin is FUSED into the tile pass: each
+    tile's ln_a values are reduced into the per-doc running minimum
+    while still hot in L2, so no (m x size) intermediate ever streams
+    through DRAM.  The only DRAM traffic left is the 4 gathered
+    parameter rows per present feature (512 B each, read from the
+    (dim x size) tables, which fit this host's L3) and the (size, 2)
+    output per doc.  An earlier version materialized full-chunk
+    t/ln_a buffers (2 x 32 MB at the 2^16 budget) and re-read them in
+    a second argmin pass; that streaming traffic was the measured
+    single-host 8->32-proc scaling ceiling.
+
+    Tie-breaking is identical to a whole-doc ``argmin``: within a tile
+    ``np.argmin`` keeps the first minimal row, and the cross-tile merge
+    updates only on strictly-smaller values, so the earliest minimal
+    row always wins.
 
     Returns (n_docs, size, 2) uint32.
     """
@@ -157,61 +174,76 @@ def wmh_batch_t(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
     out = np.empty((n_docs, size, 2), dtype=np.uint32)
     if n_docs == 0:
         return out
+    row_nnz = np.diff(indptr)
+    if (row_nnz == 0).any():
+        raise ValueError("empty bag at row %d"
+                         % int(np.flatnonzero(row_nnz == 0)[0]))
     data = np.asarray(data, dtype=np.float32)
-    vlog_all = np.log(data)
+    vlog_all = np.log(data)[:, None]
     sample_idx = np.arange(size)
     if work_bufs is None:
         work_bufs = make_work_buffers(size, nnz_budget)
     buf_t, buf_a, buf_g = work_bufs
-    nnz_budget = min(nnz_budget, buf_t.shape[0])
+    tile = max(1, min(int(nnz_budget), _ROW_TILE, buf_t.shape[0]))
 
-    d = 0
-    while d < n_docs:
-        # grow the doc chunk until the nnz budget is hit (>=1 doc)
-        e = d + 1
-        while e < n_docs and indptr[e + 1] - indptr[d] <= nnz_budget:
-            e += 1
-        s_flat, e_flat = int(indptr[d]), int(indptr[e])
-        m = e_flat - s_flat
-        idx = indices[s_flat:e_flat]
-        vlog = vlog_all[s_flat:e_flat, None]
-        if m > nnz_budget:  # single doc larger than the budget
-            t_arr = np.empty((m, size), dtype=np.float32)
-            a_arr = np.empty((m, size), dtype=np.float32)
-            g_arr = np.empty((m, size), dtype=np.float32)
-        else:
-            t_arr, a_arr, g_arr = buf_t[:m], buf_a[:m], buf_g[:m]
+    m_total = int(indptr[-1])
+    # Running best for the (single) doc straddling the current tile
+    # boundary; doc row ranges are contiguous, so at most one doc is
+    # ever "open" across tiles.
+    open_doc = -1
+    run_a = np.empty(size, dtype=np.float32)
+    run_k = np.empty(size, dtype=np.uint32)
+    run_t = np.empty(size, dtype=np.float32)
 
-        # Cache-blocked fill: the recurrence touches each (row, size)
-        # tile ~9 times; processing L2-sized row tiles keeps those
-        # touches in cache, so the only DRAM-streamed traffic is one
-        # compulsory write each of t_arr/a_arr (plus the argmin read
-        # below).  The unblocked form streamed ~9 full-buffer passes
-        # through DRAM — the measured single-host scaling ceiling.
-        tile = _ROW_TILE
-        for ts in range(0, m, tile):
-            te = min(m, ts + tile)
-            it = idx[ts:te]
-            tt = t_arr[ts:te]
-            at = a_arr[ts:te]
-            gt = g_arr[:te - ts]
-            np.take(rinv_t, it, axis=0, out=tt)
-            np.multiply(tt, vlog[ts:te], out=tt)
-            np.take(beta_t, it, axis=0, out=gt)
-            np.add(tt, gt, out=tt)
-            np.floor(tt, out=tt)                     # t
-            np.take(r_t, it, axis=0, out=gt)
-            np.multiply(tt, gt, out=gt)              # t * r
-            np.take(c2_t, it, axis=0, out=at)
-            np.subtract(at, gt, out=at)              # ln_a
+    doc = 0  # first doc with rows >= ts
+    for ts in range(0, m_total, tile):
+        te = min(m_total, ts + tile)
+        n = te - ts
+        it = indices[ts:te]
+        tt = buf_t[:n]
+        at = buf_a[:n]
+        gt = buf_g[:n]
+        np.take(rinv_t, it, axis=0, out=tt)
+        np.multiply(tt, vlog_all[ts:te], out=tt)
+        np.take(beta_t, it, axis=0, out=gt)
+        np.add(tt, gt, out=tt)
+        np.floor(tt, out=tt)                     # t
+        np.take(r_t, it, axis=0, out=gt)
+        np.multiply(tt, gt, out=gt)              # t * r
+        np.take(c2_t, it, axis=0, out=at)
+        np.subtract(at, gt, out=at)              # ln_a
 
-        for doc in range(d, e):
-            cs, ce = int(indptr[doc]) - s_flat, int(indptr[doc + 1]) - s_flat
-            if ce == cs:
-                raise ValueError("empty bag at row %d" % doc)
-            k_rel = np.argmin(a_arr[cs:ce, :], axis=0)
-            out[doc, :, 0] = idx[cs:ce][k_rel]
-            tk = t_arr[cs + k_rel, sample_idx].astype(np.int64)
-            out[doc, :, 1] = (tk & _U32_MASK).astype(np.uint32)
-        d = e
+        # reduce each doc segment inside [ts, te) while hot in L2
+        while doc < n_docs and int(indptr[doc]) < te:
+            cs = max(int(indptr[doc]), ts) - ts
+            ce = min(int(indptr[doc + 1]), te) - ts
+            k_rel = np.argmin(at[cs:ce], axis=0)
+            seg_a = at[cs:ce][k_rel, sample_idx]
+            seg_t = tt[cs + k_rel, sample_idx]
+            seg_k = it[cs:ce][k_rel].astype(np.uint32)
+            closes = int(indptr[doc + 1]) <= te
+            if doc != open_doc:
+                if closes:  # whole doc inside this tile: write directly
+                    out[doc, :, 0] = seg_k
+                    out[doc, :, 1] = (seg_t.astype(np.int64)
+                                      & _U32_MASK).astype(np.uint32)
+                    doc += 1
+                    continue
+                open_doc = doc
+                run_a[:] = seg_a
+                run_k[:] = seg_k
+                run_t[:] = seg_t
+            else:
+                upd = seg_a < run_a  # strict: earlier tile wins ties
+                np.copyto(run_a, seg_a, where=upd)
+                np.copyto(run_k, seg_k, where=upd)
+                np.copyto(run_t, seg_t, where=upd)
+            if closes:
+                out[doc, :, 0] = run_k
+                out[doc, :, 1] = (run_t.astype(np.int64)
+                                  & _U32_MASK).astype(np.uint32)
+                open_doc = -1
+                doc += 1
+            else:
+                break  # doc continues into the next tile
     return out
