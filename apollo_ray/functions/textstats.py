@@ -17,7 +17,8 @@ import ray.data
 from ray.data.aggregate import Count, Max, Sum
 
 from apollo_ray.hashing import TokenHasher
-from apollo_ray.kernels.text import _STOPWORDS, detect_lang, fingerprint
+from apollo_ray.kernels.text import (_STOPWORDS, detect_lang,
+                                     detect_lang_batch, fingerprint)
 
 _PUNCT = ".,;:!?"
 
@@ -172,9 +173,9 @@ class LangIdScorer:
         self.hasher = TokenHasher(seed=seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        langs = [detect_lang(t) for t in texts]
-        fps = [fingerprint(t, self.hasher) for t in texts]
+        texts_col = batch.column("text").combine_chunks()
+        langs = detect_lang_batch(texts_col)
+        fps = [fingerprint(t, self.hasher) for t in texts_col.to_pylist()]
         return pa.table({
             "doc_id": batch.column("doc_id").cast(pa.int64()),
             "lang_pred": pa.array(langs, type=pa.string()),

@@ -284,18 +284,48 @@ def effective_min_df(df: np.ndarray, cfg) -> int:
 _STOPWORDS = frozenset(
     "the a an and or of to in is are was were be been it this that for on with as at by".split())
 
-# marker-phrase profiles for a no-deps language-ID heuristic (ascii
-# function words, so Python lower()/DuckDB lower() agree byte-for-byte
-# and the operator stays SQL-oracle-able).  Dict ORDER is the
-# tie-break: earlier language wins equal scores.
+# Function-word profiles for a no-deps language-ID heuristic over 16
+# languages (Cavnar-Trenkle-style profile scoring reduced to its
+# most-frequent-words core; frequent closed-class words are the
+# strongest low-cost signal).  Words are space-padded substrings so
+# Python ``str.count`` / Arrow ``count_substring`` / the generated
+# DuckDB ``replace``-count oracle all agree byte-for-byte (lower() is
+# unicode-correct in all three).  Dict ORDER is the tie-break: earlier
+# language wins equal scores.  Markers must not contain quotes or
+# regex metacharacters (they are spliced into SQL literals).
 _LANG_MARKERS = {
-    "en": (" the ", " and ", " of ", " to ", " is "),
-    "de": (" der ", " die ", " und ", " das ", " ist "),
-    "fr": (" le ", " la ", " les ", " et ", " est "),
-    "es": (" el ", " los ", " que ", " de ", " es "),
-    "it": (" il ", " che ", " di ", " per ", " non "),
-    "pt": (" o ", " do ", " da ", " em ", " uma "),
-    "nl": (" de ", " het ", " een ", " van ", " niet "),
+    "en": (" the ", " and ", " of ", " to ", " is ", " that ", " it ",
+           " for ", " was ", " with ", " this ", " from "),
+    "de": (" der ", " die ", " und ", " das ", " ist ", " nicht ",
+           " mit ", " ein ", " eine ", " auf ", " für ", " sich "),
+    "fr": (" le ", " la ", " les ", " et ", " est ", " pas ", " une ",
+           " dans ", " que ", " pour ", " qui ", " avec "),
+    "es": (" el ", " los ", " que ", " es ", " una ", " por ", " con ",
+           " para ", " las ", " del ", " más ", " como "),
+    "it": (" il ", " che ", " di ", " per ", " non ", " una ",
+           " della ", " con ", " sono ", " anche ", " più "),
+    "pt": (" o ", " do ", " da ", " em ", " uma ", " não ", " para ",
+           " com ", " os ", " mais ", " das ", " são "),
+    "nl": (" de ", " het ", " een ", " van ", " niet ", " met ",
+           " voor ", " zijn ", " ook ", " maar ", " aan "),
+    "ru": (" и ", " в ", " не ", " на ", " что ", " как ", " это ",
+           " по ", " но ", " его "),
+    "pl": (" się ", " nie ", " jest ", " że ", " do ", " przez ",
+           " jak ", " ale ", " tego ", " oraz "),
+    "cs": (" je ", " se ", " že ", " ale ", " jako ", " tak ", " byl ",
+           " nebo ", " podle ", " této "),
+    "sv": (" och ", " att ", " det ", " som ", " är ", " av ", " för ",
+           " med ", " på ", " inte "),
+    "fi": (" ja ", " on ", " ei ", " että ", " joka ", " mutta ",
+           " myös ", " ovat ", " kun ", " hän "),
+    "tr": (" bir ", " ve ", " bu ", " için ", " ile ", " daha ",
+           " çok ", " olarak ", " gibi ", " ancak "),
+    "id": (" yang ", " dan ", " di ", " untuk ", " dengan ", " tidak ",
+           " dari ", " ini ", " adalah ", " pada "),
+    "ro": (" și ", " în ", " la ", " cu ", " este ", " pentru ",
+           " care ", " mai ", " dar ", " fost "),
+    "hu": (" és ", " nem ", " hogy ", " egy ", " van ", " meg ",
+           " már ", " csak ", " azt ", " mint "),
 }
 
 
@@ -318,9 +348,9 @@ def quality_stats(text: str) -> dict[str, float]:
 
 
 def detect_lang(text: str) -> str:
-    """Marker-phrase language-ID heuristic; 'und' (undetermined) when
-    no marker fires.  A real model is out of scope in this container —
-    the operator shape (actor-pool map_batches) is what matters."""
+    """Function-word language-ID over the 16-language profile table;
+    'und' (undetermined) when no marker fires.  Scalar reference
+    implementation — the batch path is :func:`detect_lang_batch`."""
     padded = " %s " % text.lower()
     best, best_score = "und", 0
     for lang, markers in _LANG_MARKERS.items():
@@ -328,6 +358,32 @@ def detect_lang(text: str) -> str:
         if score > best_score:
             best, best_score = lang, score
     return best
+
+
+def detect_lang_batch(texts_arr) -> np.ndarray:
+    """Vectorized :func:`detect_lang` over a batch: one Arrow
+    ``count_substring`` C scan per marker over the whole column
+    instead of a Python loop per doc.  ``np.argmax`` keeps the first
+    maximal row, matching the scalar path's dict-order tie-break.
+
+    Returns an object ndarray of language codes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    if not isinstance(texts_arr, (pa.Array, pa.ChunkedArray)):
+        texts_arr = pa.array(texts_arr, type=pa.string())
+    padded = pc.binary_join_element_wise(
+        " ", pc.utf8_lower(texts_arr), " ", "")
+    n = len(padded)
+    langs = list(_LANG_MARKERS)
+    scores = np.zeros((len(langs), n), dtype=np.int64)
+    for li, lang in enumerate(langs):
+        for m in _LANG_MARKERS[lang]:
+            scores[li] += np.asarray(pc.count_substring(padded, pattern=m),
+                                     dtype=np.int64)
+    best = np.argmax(scores, axis=0)
+    out = np.array(langs, dtype=object)[best]
+    out[scores[best, np.arange(n)] == 0] = "und"
+    return out
 
 
 def _md5_u64(s: str) -> int:

@@ -79,6 +79,38 @@ def test_detect_lang():
     assert detect_lang("zzz qqq") == "und"
 
 
+_LANG_SAMPLES = {
+    "en": "the cat sat on the mat and it was happy with this",
+    "de": "der Hund und die Katze sind nicht mit dem Auto gefahren",
+    "fr": "le chat est dans la maison et il ne dort pas avec les autres",
+    "es": "el perro corre por el parque con los niños para jugar",
+    "it": "il gatto che dorme non vuole giocare con una palla",
+    "pt": "o cachorro não quer brincar com os outros animais da casa",
+    "nl": "de hond en het paard zijn niet met de kat naar huis gegaan",
+    "ru": "кошка сидит на окне и смотрит как идет дождь но это не беда",
+    "pl": "kot nie chce się bawić ale pies jest bardzo wesoły przez cały dzień",
+    "cs": "pes je velmi veselý ale kočka se bojí že bude pršet",
+    "sv": "hunden och katten är inte med på resan för det regnar",
+    "fi": "koira ja kissa ovat kotona mutta lintu ei ole että niin",
+    "tr": "köpek ve kedi bir evde yaşıyor ama kuş için bu çok zor",
+    "id": "kucing dan anjing ini tidak mau bermain dengan burung dari desa",
+    "ro": "câinele și pisica nu vor să se joace cu pasărea pentru că plouă",
+    "hu": "a kutya és a macska nem akar játszani csak aludni egy kicsit",
+}
+
+
+def test_detect_lang_16_languages():
+    for lang, sample in _LANG_SAMPLES.items():
+        assert detect_lang(sample) == lang, (lang, sample)
+
+
+def test_detect_lang_batch_matches_scalar():
+    from apollo_ray.kernels.text import detect_lang_batch
+    texts = list(_LANG_SAMPLES.values()) + ["zzz qqq", "", " the the "]
+    got = detect_lang_batch(texts)
+    assert list(got) == [detect_lang(t) for t in texts]
+
+
 def test_fingerprint_stability():
     th = TokenHasher()
     f1 = fingerprint("a b c d e f g h i j k l", th)
