@@ -256,6 +256,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_minhash_clusters(sf_dir):
         return _clusters(sf_dir)
 
+    def q_substring_spans(sf_dir):
+        from apollo_ray.functions.substring import substring_dup_spans
+        return substring_dup_spans(_docs(sf_dir), min_len=40,
+                                   num_partitions=16)
+
     return {
         "exact_dedup_groups": q_exact_dedup,
         "lang_stats": q_lang_stats,
@@ -276,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q_simhash_pairs,
         "lang_id_fingerprint": q_lang_id,
         "ann_topk": q_ann_topk,
+        "substring_dup_spans": q_substring_spans,
     }
 
 
@@ -424,6 +430,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.sig, b.sig)) <= 3
         """,
         "lang_id_fingerprint": _lang_id_sql(),
+        "substring_dup_spans": """
+            WITH w AS (
+              SELECT doc_id, i, substr(text, CAST(i AS INT), 40) AS win
+              FROM documents, unnest(range(1, length(text) - 40 + 2)) AS t(i)
+            ),
+            dup AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+            marks AS (
+              SELECT w.doc_id, CAST(w.i - 1 AS BIGINT) AS s,
+                     CAST(w.i - 1 + 40 AS BIGINT) AS e
+              FROM w JOIN dup USING (win)),
+            isl AS (
+              SELECT doc_id, s, e,
+                     CASE WHEN s > lag(e) OVER (PARTITION BY doc_id
+                                                ORDER BY s)
+                          THEN 1 ELSE 0 END AS brk
+              FROM marks),
+            g AS (SELECT doc_id, s, e,
+                         sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+                                        ROWS UNBOUNDED PRECEDING) AS grp
+                  FROM isl)
+            SELECT doc_id, min(s) AS start_pos, max(e) AS end_pos,
+                   CAST(max(e) - min(s) AS BIGINT) AS span_len
+            FROM g GROUP BY doc_id, grp
+        """,
         "minhash_dedup_invariants": """
             SELECT min(doc_id) AS rep_id, count(*) AS n_members,
                    CAST(1 AS BIGINT) AS n_distinct_cc
