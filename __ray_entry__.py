@@ -256,6 +256,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_minhash_clusters(sf_dir):
         return _clusters(sf_dir)
 
+    def q_repetition_stats(sf_dir):
+        return textstats.repetition_stats(_docs(sf_dir))
+
     def q_substring_spans(sf_dir):
         from apollo_ray.functions.substring import substring_dup_spans
         return substring_dup_spans(_docs(sf_dir), min_len=40,
@@ -282,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_fingerprint": q_lang_id,
         "ann_topk": q_ann_topk,
         "substring_dup_spans": q_substring_spans,
+        "repetition_stats": q_repetition_stats,
     }
 
 
@@ -430,6 +434,59 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.sig, b.sig)) <= 3
         """,
         "lang_id_fingerprint": _lang_id_sql(),
+        "repetition_stats": r"""
+            WITH l AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+              FROM documents),
+            lc AS (
+              SELECT doc_id, line, count(*) AS cnt,
+                     sum(length(line)) AS chars
+              FROM l GROUP BY doc_id, line),
+            lagg AS (
+              SELECT doc_id,
+                     CAST(sum(cnt) AS BIGINT) AS n_lines,
+                     CAST(sum(cnt) - count(*) AS BIGINT) AS n_dup_lines,
+                     CAST(sum(CASE WHEN cnt >= 2 THEN chars ELSE 0 END)
+                          AS BIGINT) AS dup_line_chars,
+                     CAST(sum(chars) AS BIGINT) AS line_chars
+              FROM lc GROUP BY doc_id),
+            tok AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\s+')
+                     END AS toks
+              FROM documents),
+            g2 AS (
+              SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+              FROM tok, unnest(range(1, greatest(len(toks), 1))) AS t(i)),
+            g2c AS (SELECT doc_id, g, count(*) AS cnt FROM g2
+                    GROUP BY doc_id, g),
+            g2agg AS (
+              SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_2grams,
+                     CAST(sum(cnt) - count(*) AS BIGINT) AS n_dup_2grams
+              FROM g2c GROUP BY doc_id),
+            g3 AS (
+              SELECT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+              FROM tok,
+                   unnest(range(1, greatest(len(toks) - 1, 1))) AS t(i)),
+            g3c AS (SELECT doc_id, g, count(*) AS cnt FROM g3
+                    GROUP BY doc_id, g),
+            g3agg AS (
+              SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_3grams,
+                     CAST(sum(cnt) - count(*) AS BIGINT) AS n_dup_3grams
+              FROM g3c GROUP BY doc_id)
+            SELECT d.doc_id, lagg.n_lines, lagg.n_dup_lines,
+                   lagg.dup_line_chars, lagg.line_chars,
+                   coalesce(g2agg.n_2grams, 0) AS n_2grams,
+                   coalesce(g2agg.n_dup_2grams, 0) AS n_dup_2grams,
+                   coalesce(g3agg.n_3grams, 0) AS n_3grams,
+                   coalesce(g3agg.n_dup_3grams, 0) AS n_dup_3grams
+            FROM documents d
+            JOIN lagg USING (doc_id)
+            LEFT JOIN g2agg USING (doc_id)
+            LEFT JOIN g3agg USING (doc_id)
+        """,
         "substring_dup_spans": """
             WITH w AS (
               SELECT doc_id, i, substr(text, CAST(i AS INT), 40) AS win

@@ -106,6 +106,103 @@ def quality_stats_table(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+def repetition_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Gopher-style within-document repetition signals (Rae et al.
+    2021 §A1.1: duplicate-line and duplicate-n-gram filters), as exact
+    integer numerators per doc:
+
+    (doc_id, n_lines, n_dup_lines, dup_line_chars, line_chars,
+     n_2grams, n_dup_2grams, n_3grams, n_dup_3grams)
+
+    - lines: ``text.split("\\n")`` (empties kept, matching DuckDB
+      ``string_split``); ``n_dup_lines`` = occurrences beyond the
+      first of each distinct line; ``dup_line_chars`` = chars in ALL
+      occurrences of lines appearing >= 2 times.
+    - n-grams: whitespace-token k-grams; dup = occurrences beyond the
+      first of each distinct k-gram.
+
+    Callers derive the Gopher ratios (dup_line_frac etc.) from the
+    numerators; keeping integers makes the oracle comparison exact.
+    Fully vectorized: Arrow split + dictionary-encode, then one
+    np.lexsort per batch — token identity via dictionary codes is
+    exact (no hashing), so distinct counts equal string-distinct
+    counts.  Map-only (streams; no shuffle)."""
+
+    def seg_stats(dv: np.ndarray, cols: list[np.ndarray], n: int,
+                  weights: np.ndarray | None = None):
+        """Per-doc (total, distinct[, dup_weight]) over rows keyed by
+        ``(dv, *cols)``: one lexsort + segment-boundary flags."""
+        total = np.bincount(dv, minlength=n).astype(np.int64)
+        if len(dv) == 0:
+            z = np.zeros(n, dtype=np.int64)
+            return total, z, z
+        order = np.lexsort(tuple(reversed(cols)) + (dv,))
+        d_s = dv[order]
+        first = np.empty(len(d_s), dtype=bool)
+        first[0] = True
+        first[1:] = d_s[1:] != d_s[:-1]
+        for c in cols:
+            c_s = c[order]
+            first[1:] |= c_s[1:] != c_s[:-1]
+        distinct = np.bincount(d_s[first], minlength=n).astype(np.int64)
+        dup_w = np.zeros(n, dtype=np.int64)
+        if weights is not None:
+            gid = np.cumsum(first) - 1
+            gcnt = np.bincount(gid)
+            w_s = weights[order]
+            dup_occ = gcnt[gid] >= 2
+            dup_w = np.bincount(d_s, weights=np.where(dup_occ, w_s, 0),
+                                minlength=n).astype(np.int64)
+        return total, distinct, dup_w
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = len(text)
+        # --- lines ---
+        lines = pc.split_pattern(text, pattern="\n")
+        ll = pc.list_value_length(lines).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = lines.flatten()
+        codes = np.asarray(flat.dictionary_encode().indices, dtype=np.int64)
+        linelen = pc.utf8_length(flat).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        docv = np.repeat(np.arange(n, dtype=np.int64), ll)
+        n_lines, dist_lines, dup_chars = seg_stats(
+            docv, [codes], n, weights=linelen)
+        line_chars = np.bincount(docv, weights=linelen,
+                                 minlength=n).astype(np.int64)
+        # --- token n-grams ---
+        toks = _split_tokens(text)
+        tl = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        tflat = toks.flatten()
+        tcodes = np.asarray(tflat.dictionary_encode().indices, dtype=np.int64)
+        tdoc = np.repeat(np.arange(n, dtype=np.int64), tl)
+        out = {"doc_id": batch.column("doc_id").cast(pa.int64()),
+               "n_lines": pa.array(n_lines, type=pa.int64()),
+               "n_dup_lines": pa.array(n_lines - dist_lines,
+                                       type=pa.int64()),
+               "dup_line_chars": pa.array(dup_chars, type=pa.int64()),
+               "line_chars": pa.array(line_chars, type=pa.int64())}
+        for k in (2, 3):
+            if len(tcodes) >= k:
+                valid = tdoc[:len(tdoc) - k + 1] == tdoc[k - 1:]
+                d_k = tdoc[:len(tdoc) - k + 1][valid]
+                cols = [tcodes[t:len(tcodes) - k + 1 + t][valid]
+                        for t in range(k)]
+            else:
+                d_k, cols = np.empty(0, dtype=np.int64), \
+                    [np.empty(0, dtype=np.int64)] * k
+            tot, dist, _ = seg_stats(d_k, cols, n)
+            out["n_%dgrams" % k] = pa.array(tot, type=pa.int64())
+            out["n_dup_%dgrams" % k] = pa.array(tot - dist, type=pa.int64())
+        return pa.table(out)
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
 def docfreq(docs: "ray.data.Dataset", min_df: int = 1) -> "ray.data.Dataset":
     """(token, df) — document frequency (A1, the
     ``OrderedDocumentFrequencies`` analog, ``apollo/hasher.py:116-117``),

@@ -255,3 +255,32 @@ def test_cosine_topk_partial_equals_global(ray_session):
                        key=lambda i: (-cos[q, i], i))[:4]
         assert list(mine.vec_id) == order
         assert np.allclose(list(mine.cos_r3), [cos[q, i] for i in order])
+
+
+def test_repetition_stats(ray_session):
+    import ray.data as rd
+    from apollo_ray.functions.textstats import repetition_stats
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "aa bb\naa bb\ncc",       # dup line "aa bb" x2
+            "x y x y x z",            # dup 2-gram "x y" x2
+            "",                       # single empty line
+        ]),
+    })
+    df = repetition_stats(rd.from_arrow(t)).to_pandas().set_index("doc_id")
+    r1 = df.loc[1]
+    assert r1.n_lines == 3 and r1.n_dup_lines == 1
+    assert r1.dup_line_chars == 10 and r1.line_chars == 12
+    # tokens: aa bb aa bb cc -> 2-grams: (aa,bb)x2 (bb,aa) (bb,cc) -> 1 dup
+    assert r1.n_2grams == 4 and r1.n_dup_2grams == 1
+    assert r1.n_3grams == 3 and r1.n_dup_3grams == 0
+    r2 = df.loc[2]
+    assert r2.n_lines == 1 and r2.n_dup_lines == 0
+    # x y x y x z: 2-grams (x,y)x2 (y,x)x2... -> total 5
+    assert r2.n_2grams == 5 and r2.n_dup_2grams == 2
+    # 3-grams: xyx yxy xyx yxz -> (x y x) x2
+    assert r2.n_3grams == 4 and r2.n_dup_3grams == 1
+    r3 = df.loc[3]
+    assert r3.n_lines == 1 and r3.n_dup_lines == 0
+    assert r3.line_chars == 0 and r3.n_2grams == 0 and r3.n_3grams == 0
