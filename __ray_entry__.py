@@ -259,6 +259,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_repetition_stats(sf_dir):
         return textstats.repetition_stats(_docs(sf_dir))
 
+    def q_c4_clean(sf_dir):
+        from apollo_ray.functions.clean import c4_clean
+        return c4_clean(_docs(sf_dir))
+
     def q_substring_spans(sf_dir):
         from apollo_ray.functions.substring import substring_dup_spans
         return substring_dup_spans(_docs(sf_dir), min_len=40,
@@ -286,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "substring_dup_spans": q_substring_spans,
         "repetition_stats": q_repetition_stats,
+        "c4_clean": q_c4_clean,
     }
 
 
@@ -434,6 +439,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.sig, b.sig)) <= 3
         """,
         "lang_id_fingerprint": _lang_id_sql(),
+        "c4_clean": r"""
+            WITH l AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, chr(10)),
+                        x -> len(regexp_split_to_array(trim(x), '\s+')) >= 3
+                             AND length(trim(x)) > 0
+                             AND regexp_matches(x, '[.!?"]$')
+                             AND NOT contains(lower(x), 'javascript')
+                             AND NOT contains(lower(x), 'cookie')
+                             AND NOT contains(lower(x), 'lorem ipsum')
+                     ) AS kept,
+                     len(string_split(text, chr(10))) AS n_lines
+              FROM documents)
+            SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept,
+                   CAST(n_lines - len(kept) AS BIGINT) AS n_dropped,
+                   coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+            FROM l
+        """,
         "repetition_stats": r"""
             WITH l AS (
               SELECT doc_id, unnest(string_split(text, chr(10))) AS line

@@ -284,3 +284,22 @@ def test_repetition_stats(ray_session):
     r3 = df.loc[3]
     assert r3.n_lines == 1 and r3.n_dup_lines == 0
     assert r3.line_chars == 0 and r3.n_2grams == 0 and r3.n_3grams == 0
+
+
+def test_c4_clean(ray_session):
+    import ray.data as rd
+    from apollo_ray.functions.clean import c4_clean
+    t = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array([
+            "Good line with punctuation.\nshort\n"
+            "Another fine line mentions Cookie settings.\n"
+            "This line is long enough and fine!",
+            "no terminal punctuation here\n\nLorem Ipsum filler text.",
+        ]),
+    })
+    df = c4_clean(rd.from_arrow(t)).to_pandas().set_index("doc_id")
+    assert df.loc[1, "n_kept"] == 2 and df.loc[1, "n_dropped"] == 2
+    assert df.loc[1, "clean_text"] == ("Good line with punctuation.\n"
+                                       "This line is long enough and fine!")
+    assert df.loc[2, "n_kept"] == 0 and df.loc[2, "clean_text"] == ""
