@@ -102,12 +102,20 @@ def reset(ckpt_root: str, stages: list[str] | None = None) -> None:
 
 
 def read_pages(path: str, columns: list[str] | None = None,
-               lang_filter: list[str] | None = None) -> "ray.data.Dataset":
+               lang_filter: list[str] | None = None,
+               num_blocks: int | None = None) -> "ray.data.Dataset":
     """Read a Common-Crawl-style ``pages`` Parquet table.
 
     Column pruning happens at the read; the language filter (the M1
     analog of apollo's ``-l`` flag, ``doc/cmd/bags.md:8``) is pushed
     down as a row filter so non-matching row groups never leave storage.
+
+    For local many-file corpora the read defaults to ONE task per
+    file: letting Ray split files into sub-file read tasks made each
+    split task decode the whole file again (measured 3x slower on a
+    2M-row 16-file extract at 32 CPUs) — read parallelism should come
+    from the physical file layout, which is how a 100 TB corpus is
+    shaped anyway.  Pass ``num_blocks`` to override.
     """
     import pyarrow.compute as pc
     kwargs: dict[str, Any] = {}
@@ -115,4 +123,9 @@ def read_pages(path: str, columns: list[str] | None = None,
         kwargs["columns"] = columns
     if lang_filter:
         kwargs["filter"] = pc.field("lang").isin(lang_filter)
+    if num_blocks is None and isinstance(path, str) and os.path.isdir(path):
+        n = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+        num_blocks = n or None
+    if num_blocks:
+        kwargs["override_num_blocks"] = num_blocks
     return ray.data.read_parquet(path, **kwargs)

@@ -36,14 +36,18 @@ def ensure_fixture(n_rows: int) -> str:
     whole pipeline's parallelism at the file count (measured: the
     extract stage stopped scaling past 16 workers at 1M rows)."""
     import pyarrow.parquet as pq
-    path = os.path.join(FIXTURE_DIR, "pages_%d_rg8k" % n_rows)
+    path = os.path.join(FIXTURE_DIR, "pages_%d_rg8k_f64" % n_rows)
     done = os.path.join(path, "_DONE")
     if os.path.exists(done):
         return path
     from apollo_ray.fixtures import generate_pages
     os.makedirs(path, exist_ok=True)
     pages, truth = generate_pages(n_rows)
-    n_files = 16
+    # one read task per FILE: asking read_parquet for more blocks than
+    # files makes each split task decode the whole file again
+    # (measured 3x on the 2M extract at 32 CPUs), so parallelism must
+    # come from physical file count, not override_num_blocks
+    n_files = 64
     step = (pages.num_rows + n_files - 1) // n_files
     for i in range(0, pages.num_rows, step):
         pq.write_table(pages.slice(i, step),
@@ -80,11 +84,11 @@ def bench_once() -> dict:
     from apollo_ray.stages.wmh_stage import params_object_ref
     params_object_ref(cfg)   # one-time model artifact, built untimed
     t0 = time.monotonic()
-    # one read task per CPU: more tasks pay per-task footer/decode
-    # overhead (measured 4.4s vs 7.7s at 128 blocks for the 2M read);
-    # Ray still splits oversized outputs by target_max_block_size
+    # exactly one read task per file (see ensure_fixture): block-split
+    # read tasks each decode the whole file again — 20.5s vs 6.7s for
+    # the 2M extract at 32 CPUs when asking for 2 blocks per file
     pages_ds = rd.read_parquet(part_files,
-                               override_num_blocks=max(16, NUM_CPUS))
+                               override_num_blocks=len(part_files))
     out = run_dedup(pages_ds, cfg, num_partitions=max(16, NUM_CPUS * 2))
     n_rows = out["clusters"].count()
     headline = time.monotonic() - t0
