@@ -128,79 +128,90 @@ def repetition_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     exact (no hashing), so distinct counts equal string-distinct
     counts.  Map-only (streams; no shuffle)."""
 
-    def seg_stats(dv: np.ndarray, cols: list[np.ndarray], n: int,
-                  weights: np.ndarray | None = None):
-        """Per-doc (total, distinct[, dup_weight]) over rows keyed by
-        ``(dv, *cols)``: one lexsort + segment-boundary flags."""
-        total = np.bincount(dv, minlength=n).astype(np.int64)
-        if len(dv) == 0:
-            z = np.zeros(n, dtype=np.int64)
-            return total, z, z
-        order = np.lexsort(tuple(reversed(cols)) + (dv,))
-        d_s = dv[order]
-        first = np.empty(len(d_s), dtype=bool)
-        first[0] = True
-        first[1:] = d_s[1:] != d_s[:-1]
-        for c in cols:
-            c_s = c[order]
-            first[1:] |= c_s[1:] != c_s[:-1]
-        distinct = np.bincount(d_s[first], minlength=n).astype(np.int64)
-        dup_w = np.zeros(n, dtype=np.int64)
-        if weights is not None:
-            gid = np.cumsum(first) - 1
-            gcnt = np.bincount(gid)
-            w_s = weights[order]
-            dup_occ = gcnt[gid] >= 2
-            dup_w = np.bincount(d_s, weights=np.where(dup_occ, w_s, 0),
-                                minlength=n).astype(np.int64)
-        return total, distinct, dup_w
-
     def f(batch: pa.Table) -> pa.Table:
         text = batch.column("text")
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        n = len(text)
-        # --- lines ---
-        lines = pc.split_pattern(text, pattern="\n")
-        ll = pc.list_value_length(lines).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        flat = lines.flatten()
-        codes = np.asarray(flat.dictionary_encode().indices, dtype=np.int64)
-        linelen = pc.utf8_length(flat).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        docv = np.repeat(np.arange(n, dtype=np.int64), ll)
-        n_lines, dist_lines, dup_chars = seg_stats(
-            docv, [codes], n, weights=linelen)
-        line_chars = np.bincount(docv, weights=linelen,
-                                 minlength=n).astype(np.int64)
-        # --- token n-grams ---
-        toks = _split_tokens(text)
-        tl = pc.list_value_length(toks).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        tflat = toks.flatten()
-        tcodes = np.asarray(tflat.dictionary_encode().indices, dtype=np.int64)
-        tdoc = np.repeat(np.arange(n, dtype=np.int64), tl)
-        out = {"doc_id": batch.column("doc_id").cast(pa.int64()),
-               "n_lines": pa.array(n_lines, type=pa.int64()),
-               "n_dup_lines": pa.array(n_lines - dist_lines,
-                                       type=pa.int64()),
-               "dup_line_chars": pa.array(dup_chars, type=pa.int64()),
-               "line_chars": pa.array(line_chars, type=pa.int64())}
-        for k in (2, 3):
-            if len(tcodes) >= k:
-                valid = tdoc[:len(tdoc) - k + 1] == tdoc[k - 1:]
-                d_k = tdoc[:len(tdoc) - k + 1][valid]
-                cols = [tcodes[t:len(tcodes) - k + 1 + t][valid]
-                        for t in range(k)]
-            else:
-                d_k, cols = np.empty(0, dtype=np.int64), \
-                    [np.empty(0, dtype=np.int64)] * k
-            tot, dist, _ = seg_stats(d_k, cols, n)
-            out["n_%dgrams" % k] = pa.array(tot, type=pa.int64())
-            out["n_dup_%dgrams" % k] = pa.array(tot - dist, type=pa.int64())
+        nums = repetition_numerators(text)
+        out = {"doc_id": batch.column("doc_id").cast(pa.int64())}
+        out.update({k: pa.array(v, type=pa.int64())
+                    for k, v in nums.items() if k != "n_tokens"})
         return pa.table(out)
 
     return docs.map_batches(f, batch_format="pyarrow")
+
+
+def _seg_stats(dv: np.ndarray, cols: list[np.ndarray], n: int,
+               weights: np.ndarray | None = None):
+    """Per-doc (total, distinct[, dup_weight]) over rows keyed by
+    ``(dv, *cols)``: one lexsort + segment-boundary flags."""
+    total = np.bincount(dv, minlength=n).astype(np.int64)
+    if len(dv) == 0:
+        z = np.zeros(n, dtype=np.int64)
+        return total, z, z
+    order = np.lexsort(tuple(reversed(cols)) + (dv,))
+    d_s = dv[order]
+    first = np.empty(len(d_s), dtype=bool)
+    first[0] = True
+    first[1:] = d_s[1:] != d_s[:-1]
+    for c in cols:
+        c_s = c[order]
+        first[1:] |= c_s[1:] != c_s[:-1]
+    distinct = np.bincount(d_s[first], minlength=n).astype(np.int64)
+    dup_w = np.zeros(n, dtype=np.int64)
+    if weights is not None:
+        gid = np.cumsum(first) - 1
+        gcnt = np.bincount(gid)
+        w_s = weights[order]
+        dup_occ = gcnt[gid] >= 2
+        dup_w = np.bincount(d_s, weights=np.where(dup_occ, w_s, 0),
+                            minlength=n).astype(np.int64)
+    return total, distinct, dup_w
+
+
+def repetition_numerators(text) -> dict[str, np.ndarray]:
+    """The :func:`repetition_stats` numerators for one batch's text
+    column, as int64 arrays — shared by the stats operator and the
+    curation filter."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n = len(text)
+    # --- lines ---
+    lines = pc.split_pattern(text, pattern="\n")
+    ll = pc.list_value_length(lines).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = lines.flatten()
+    codes = np.asarray(flat.dictionary_encode().indices, dtype=np.int64)
+    linelen = pc.utf8_length(flat).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    docv = np.repeat(np.arange(n, dtype=np.int64), ll)
+    n_lines, dist_lines, dup_chars = _seg_stats(
+        docv, [codes], n, weights=linelen)
+    line_chars = np.bincount(docv, weights=linelen,
+                             minlength=n).astype(np.int64)
+    # --- token n-grams ---
+    toks = _split_tokens(text)
+    tl = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    tflat = toks.flatten()
+    tcodes = np.asarray(tflat.dictionary_encode().indices, dtype=np.int64)
+    tdoc = np.repeat(np.arange(n, dtype=np.int64), tl)
+    out = {"n_lines": n_lines,
+           "n_dup_lines": n_lines - dist_lines,
+           "dup_line_chars": dup_chars,
+           "line_chars": line_chars}
+    for k in (2, 3):
+        if len(tcodes) >= k:
+            valid = tdoc[:len(tdoc) - k + 1] == tdoc[k - 1:]
+            d_k = tdoc[:len(tdoc) - k + 1][valid]
+            cols = [tcodes[t:len(tcodes) - k + 1 + t][valid]
+                    for t in range(k)]
+        else:
+            d_k, cols = np.empty(0, dtype=np.int64), \
+                [np.empty(0, dtype=np.int64)] * k
+        tot, dist, _ = _seg_stats(d_k, cols, n)
+        out["n_%dgrams" % k] = tot
+        out["n_dup_%dgrams" % k] = tot - dist
+    out["n_tokens"] = np.bincount(tdoc, minlength=n).astype(np.int64)
+    return out
 
 
 def docfreq(docs: "ray.data.Dataset", min_df: int = 1) -> "ray.data.Dataset":

@@ -1,0 +1,145 @@
+"""End-to-end corpus curation: the composed LLM-training-data flow
+
+    pages ──extract──▶ docs
+      ──[C4 line clean]──▶ cleaned docs
+      ──[quality / repetition / language filters]──▶ kept docs
+      ──MinHash-LSH near-dedup──▶ clusters
+      ──representative selection──▶ curated corpus
+
+Every step is the already-tested operator (``functions/clean.py``,
+``functions/textstats.repetition_numerators``, ``pipelines/dedup``);
+this module only composes them into one streaming pipeline.  The
+clean+filter step is a single ``map_batches`` (one pass over the
+text), dedup reuses ``run_dedup`` with the filtered docs injected
+(``docs_ds=``), and representative selection is the pkey pattern + a
+hash join — no driver-side materialization anywhere.
+
+Scale: identical profile to the flagship dedup (doc/SCALE.md) plus
+one extra inner join of the curated ids against the docs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from apollo_ray.config import DedupConfig
+from apollo_ray.hashing import hash_utf8, mix_to_partition
+from apollo_ray.util import hash_join
+
+
+@dataclass(frozen=True)
+class CurateConfig:
+    """Thresholds for the clean + filter step.
+
+    Defaults follow the published heuristics loosely (C4 line rules;
+    Gopher repetition caps, Rae et al. 2021 §A1.1) — tune per corpus.
+    """
+    clean_lines: bool = True          # C4 line-level filter first
+    min_words_per_line: int = 3
+    langs: tuple[str, ...] | None = None   # allowlist; None = keep all
+    min_tokens: int = 20              # doc-level floor after cleaning
+    max_dup_line_frac: float = 0.30
+    max_dup_3gram_frac: float = 0.60
+
+
+def clean_filter_docs(docs: "ray.data.Dataset", ccfg: CurateConfig
+                      ) -> "ray.data.Dataset":
+    """One-pass clean + filter over ``docs``; rewrites ``text`` (and
+    ``text_hash``) when cleaning, drops failing rows."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        if ccfg.clean_lines:
+            from apollo_ray.functions.clean import (_counts_per_list,
+                                                    keep_mask)
+            lines = pc.split_pattern(text, pattern="\n")
+            ll = pc.list_value_length(lines).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            flat = lines.flatten()
+            km = keep_mask(flat, ccfg.min_words_per_line)
+            n_kept = _counts_per_list(km, ll)
+            off = np.zeros(len(ll) + 1, dtype=np.int64)
+            np.cumsum(n_kept, out=off[1:])
+            kept = pa.ListArray.from_arrays(
+                pa.array(off, type=pa.int32()), flat.filter(pa.array(km)))
+            text = pc.binary_join(kept, "\n")
+            th = pa.array([hash_utf8(t) for t in text.to_pylist()],
+                          type=pa.int64())
+        else:
+            th = batch.column("text_hash")
+        from apollo_ray.functions.textstats import repetition_numerators
+        nums = repetition_numerators(text)
+        keep = nums["n_tokens"] >= ccfg.min_tokens
+        with np.errstate(invalid="ignore", divide="ignore"):
+            dlf = np.where(nums["n_lines"] > 0,
+                           nums["n_dup_lines"] / nums["n_lines"], 0.0)
+            d3f = np.where(nums["n_3grams"] > 0,
+                           nums["n_dup_3grams"] / nums["n_3grams"], 0.0)
+        keep &= dlf <= ccfg.max_dup_line_frac
+        keep &= d3f <= ccfg.max_dup_3gram_frac
+        if ccfg.langs is not None:
+            lang = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+            keep &= np.isin(lang, np.asarray(ccfg.langs, dtype=object))
+        out = batch.set_column(batch.column_names.index("text"),
+                               "text", text)
+        out = out.set_column(batch.column_names.index("text_hash"),
+                             "text_hash", th)
+        return out.filter(pa.array(keep))
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def cluster_representatives(clusters: "ray.data.Dataset",
+                            num_partitions: int = 64
+                            ) -> "ray.data.Dataset":
+    """(doc_id,) — the minimum doc_id of each cc (pkey pattern)."""
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        cc = np.asarray(batch.column("cc_id"), dtype=np.int64)
+        return batch.append_column(
+            "pkey", pa.array(mix_to_partition(cc, num_partitions),
+                             type=pa.int32()))
+
+    def reduce_part(group: pa.Table) -> pa.Table:
+        cc = np.asarray(group.column("cc_id"), dtype=np.int64)
+        if len(cc) == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64())})
+        d = np.asarray(group.column("doc_id"), dtype=np.int64)
+        order = np.lexsort((d, cc))
+        cc_s, d_s = cc[order], d[order]
+        first = np.empty(len(cc_s), dtype=bool)
+        first[0] = True
+        first[1:] = cc_s[1:] != cc_s[:-1]
+        return pa.table({"doc_id": pa.array(d_s[first], type=pa.int64())})
+
+    return clusters.map_batches(add_pkey, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(reduce_part, batch_format="pyarrow")
+
+
+def curate_corpus(pages: "ray.data.Dataset", cfg: DedupConfig,
+                  ccfg: CurateConfig | None = None,
+                  num_partitions: int = 64) -> dict[str, Any]:
+    """Run the full curation flow; returns
+    ``{"curated": Dataset(docs schema), "clusters": ..., "metrics"}``.
+    ``curated`` holds one representative per near-dup cluster of the
+    cleaned, quality-filtered corpus."""
+    from apollo_ray.stages.extract import extract_docs
+    from apollo_ray.pipelines.dedup import run_dedup
+    ccfg = ccfg or CurateConfig()
+    docs = extract_docs(pages, cfg)
+    kept = clean_filter_docs(docs, ccfg).materialize()
+    res = run_dedup(None, cfg, docs_ds=kept, num_partitions=num_partitions)
+    reps = cluster_representatives(res["clusters"], num_partitions)
+    curated = hash_join(kept, reps, on=("doc_id",),
+                        num_partitions=num_partitions)
+    return {"curated": curated, "clusters": res["clusters"],
+            "kept_docs": kept, "metrics": res["metrics"]}

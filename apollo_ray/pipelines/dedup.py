@@ -50,7 +50,8 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
               input_fingerprint: str = "",
               with_communities: bool = False,
               with_stats: bool = False,
-              num_partitions: int = 64) -> dict[str, Any]:
+              num_partitions: int = 64,
+              docs_ds: "ray.data.Dataset | None" = None) -> dict[str, Any]:
     """Run the full pipeline; returns {"clusters": Dataset, ...}.
 
     With ``ckpt_root`` every stage is checkpointed to Parquet and
@@ -94,7 +95,11 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
         metrics[name + "_sec"] = round(time.monotonic() - t0, 3)
         return ds, False
 
-    docs, docs_hit = stage("docs", lambda: extract_docs(pages, cfg))
+    # docs_ds: caller-supplied pre-extracted/filtered docs (the
+    # curation pipeline cleans and filters before deduping); the
+    # extract stage is skipped, everything downstream is identical
+    docs, docs_hit = stage("docs", lambda: (docs_ds if docs_ds is not None
+                                            else extract_docs(pages, cfg)))
     if cfg.collapse_exact:
         # checkpoint-free: reps stays LAZY (fork=False) — it is a cheap
         # broadcast-filter map over the materialized docs, so fusing it

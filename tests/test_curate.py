@@ -1,0 +1,81 @@
+"""End-to-end corpus-curation pipeline (clean -> filter -> dedup ->
+representatives)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from apollo_ray.config import DedupConfig
+from apollo_ray.pipelines.curate import (CurateConfig, clean_filter_docs,
+                                         cluster_representatives,
+                                         curate_corpus)
+
+
+def _pages(texts):
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "url": pa.array([f"http://x/{i}" for i in range(len(texts))]),
+        "lang": pa.array(["en"] * len(texts)),
+        "text": pa.array(texts),
+    }))
+
+
+@pytest.fixture
+def corpus():
+    rng = np.random.default_rng(3)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "theta", "iota", "kappa", "lam"]
+
+    def sent(n):
+        return " ".join(rng.choice(words, n)) + "."
+
+    base = "\n".join(sent(12) for _ in range(6))
+    near = base.replace("alpha", "omega", 3)       # near-dup of base
+    texts = [
+        base,                                      # 0: keeper (rep)
+        near,                                      # 1: near-dup of 0
+        "tiny doc.",                               # 2: too few tokens
+        "\n".join([sent(12)] * 8),                 # 3: one line repeated
+        "\n".join(sent(12) for _ in range(5)),     # 4: independent keeper
+    ]
+    return texts
+
+
+def test_clean_filter_docs(ray_session, corpus):
+    from apollo_ray.stages.extract import extract_docs
+    cfg = DedupConfig(feature_dim_log2=12)
+    docs = extract_docs(_pages(corpus), cfg)
+    kept = clean_filter_docs(docs, CurateConfig()).to_pandas()
+    urls = set(kept["url"])
+    assert "http://x/2" not in urls        # min_tokens
+    assert "http://x/3" not in urls        # dup-line fraction
+    assert {"http://x/0", "http://x/1", "http://x/4"} <= urls
+    # cleaning must keep text_hash consistent with the rewritten text
+    from apollo_ray.hashing import hash_utf8
+    for _, r in kept.iterrows():
+        assert r["text_hash"] == hash_utf8(r["text"])
+
+
+def test_curate_corpus_end_to_end(ray_session, corpus):
+    cfg = DedupConfig(feature_dim_log2=12, threshold=0.7)
+    out = curate_corpus(_pages(corpus), cfg,
+                        CurateConfig(), num_partitions=4)
+    cur = out["curated"].to_pandas()
+    # docs 0/1 are near-dups -> one representative; doc 4 survives
+    assert len(cur) == 2
+    assert set(cur["url"]) < {"http://x/0", "http://x/1", "http://x/4"}
+    assert "http://x/4" in set(cur["url"])
+    clusters = out["clusters"].to_pandas()
+    cc = clusters.set_index("doc_id")["cc_id"]
+    from apollo_ray.hashing import hash_utf8
+    assert cc[hash_utf8("http://x/0")] == cc[hash_utf8("http://x/1")]
+
+
+def test_cluster_representatives(ray_session):
+    import ray.data as rd
+    clusters = rd.from_arrow(pa.table({
+        "doc_id": pa.array([5, 3, 9, 7, 1], type=pa.int64()),
+        "cc_id": pa.array([1, 1, 2, 2, 3], type=pa.int64()),
+    }))
+    reps = cluster_representatives(clusters, num_partitions=2).to_pandas()
+    assert sorted(reps["doc_id"]) == [1, 3, 7]
