@@ -69,6 +69,31 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Clean -> filter -> dedup -> representatives; writes the curated
+    corpus as partitioned Parquet (resumable output layout)."""
+    import ray
+    from apollo_ray.pipelines.curate import CurateConfig, curate_corpus
+    from apollo_ray.sources.io import read_pages
+    owns = _init_ray(args.num_cpus)
+    cfg = _cfg_from_args(args)
+    ccfg = CurateConfig(
+        clean_lines=not args.no_clean,
+        langs=tuple(args.lang.split(",")) if args.lang else None,
+        min_tokens=args.min_tokens,
+        max_dup_line_frac=args.max_dup_line_frac,
+        max_dup_3gram_frac=args.max_dup_3gram_frac)
+    pages = read_pages(args.input)
+    out = curate_corpus(pages, cfg, ccfg)
+    out["curated"].write_parquet(args.output)
+    n_curated = out["curated"].count()
+    print(json.dumps({"curated_docs": n_curated,
+                      "metrics": out["metrics"]}, default=str))
+    if owns:
+        ray.shutdown()
+    return 0
+
+
 def cmd_reset(args) -> int:
     from apollo_ray.sources.io import reset
     stages = args.stages.split(",") if args.stages else None
@@ -137,6 +162,21 @@ def main(argv=None) -> int:
     sp.add_argument("--communities", action="store_true")
     sp.add_argument("--stats", action="store_true")
     sp.set_defaults(handler=cmd_run)
+
+    sp = sub.add_parser("curate")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--num-cpus", type=int, default=None)
+    sp.add_argument("--lang", default=None)
+    sp.add_argument("--no-clean", action="store_true")
+    sp.add_argument("--min-tokens", type=int, default=20)
+    sp.add_argument("--max-dup-line-frac", type=float, default=0.30)
+    sp.add_argument("--max-dup-3gram-frac", type=float, default=0.60)
+    for f in (("--shingle-k", "shingle_k", int), ("--size", "size", int),
+              ("--threshold", "threshold", float), ("--seed", "seed", int),
+              ("--feature-dim-log2", "feature_dim_log2", int)):
+        sp.add_argument(f[0], dest=f[1], type=f[2])
+    sp.set_defaults(handler=cmd_curate)
 
     sp = sub.add_parser("reset")
     sp.add_argument("--ckpt", required=True)

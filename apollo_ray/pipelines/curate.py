@@ -137,6 +137,14 @@ def curate_corpus(pages: "ray.data.Dataset", cfg: DedupConfig,
     ccfg = ccfg or CurateConfig()
     docs = extract_docs(pages, cfg)
     kept = clean_filter_docs(docs, ccfg).materialize()
+    if kept.count() == 0:
+        # empty Ray datasets lose their schema through joins — short-
+        # circuit (e.g. a punctuation-free corpus with clean_lines=True)
+        empty_clusters = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "cc_id": pa.array([], type=pa.int64())}))
+        return {"curated": kept, "clusters": empty_clusters,
+                "kept_docs": kept, "metrics": {"empty_after_filter": True}}
     res = run_dedup(None, cfg, docs_ds=kept, num_partitions=num_partitions)
     reps = cluster_representatives(res["clusters"], num_partitions)
     curated = hash_join(kept, reps, on=("doc_id",),

@@ -44,3 +44,25 @@ def test_cli_round_trip(tmp_path, capsys, ray_session):
     capsys.readouterr()
     assert not os.path.exists(os.path.join(ckpt, "bands"))
     assert os.path.exists(os.path.join(ckpt, "clusters"))
+
+
+def test_cli_curate(tmp_path, capsys, ray_session):
+    from apollo_ray.cli import main
+    from apollo_ray.fixtures import generate_pages
+
+    pages_dir = tmp_path / "pages"
+    pages_dir.mkdir()
+    pages_t, _ = generate_pages(150)
+    pq.write_table(pages_t, str(pages_dir / "part-0.parquet"))
+    out_dir = str(tmp_path / "curated")
+
+    # fixture texts carry no terminal punctuation -> --no-clean
+    assert main(["curate", "--input", str(pages_dir), "--output", out_dir,
+                 "--feature-dim-log2", "12", "--min-tokens", "5",
+                 "--no-clean"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < out["curated_docs"] < 150          # dups were collapsed
+    import glob
+    t = pq.read_table(glob.glob(os.path.join(out_dir, "*.parquet")))
+    assert t.num_rows == out["curated_docs"]
+    assert "text" in t.column_names
