@@ -24,7 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "50000"))
+# 500k default: at 50k the 32-CPU pipeline finishes in ~3.7s and
+# startup/barrier constants dominate the docs/s headline (13k vs the
+# sustained 44k at 500k); the fixture is generated once and cached
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "500000"))
 FIXTURE_DIR = "/tmp/apollo_ray_bench"
 
 
