@@ -263,6 +263,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from apollo_ray.functions.clean import c4_clean
         return c4_clean(_docs(sf_dir))
 
+    def q_bpe_token_counts(sf_dir):
+        return textstats.token_counts(_docs(sf_dir), mode="bpe_ish")
+
     def q_substring_spans(sf_dir):
         from apollo_ray.functions.substring import substring_dup_spans
         return substring_dup_spans(_docs(sf_dir), min_len=40,
@@ -291,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dup_spans": q_substring_spans,
         "repetition_stats": q_repetition_stats,
         "c4_clean": q_c4_clean,
+        "bpe_token_counts": q_bpe_token_counts,
     }
 
 
@@ -439,6 +443,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.sig, b.sig)) <= 3
         """,
         "lang_id_fingerprint": _lang_id_sql(),
+        "bpe_token_counts": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(
+                        text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\v]+'))
+                        AS BIGINT) AS n_tokens
+            FROM documents
+        """,
         "c4_clean": r"""
             WITH l AS (
               SELECT doc_id,

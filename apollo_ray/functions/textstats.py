@@ -46,16 +46,28 @@ def _split_tokens(text_col: pa.Array) -> pa.Array:
         flat.filter(keep))
 
 
-def token_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":
-    """(doc_id, n_tokens) — whitespace tokenization (M3 analog),
-    fully Arrow-vectorized (no per-row Python)."""
+def token_counts(docs: "ray.data.Dataset",
+                 mode: str = "whitespace") -> "ray.data.Dataset":
+    """(doc_id, n_tokens) — token counting (M3 analog), fully
+    Arrow-vectorized (no per-row Python).
+
+    ``whitespace``: split on whitespace runs.  ``bpe_ish``: the ASCII
+    BPE-style pre-tokenizer (``kernels/text.BPE_ISH_PATTERN``), counted
+    with one RE2 ``count_substring_regex`` pass per batch — a
+    subword-ish budget estimate that DuckDB reproduces exactly via
+    ``regexp_extract_all``."""
+    from apollo_ray.kernels.text import BPE_ISH_PATTERN
+
     def f(batch: pa.Table) -> pa.Table:
         text = batch.column("text")
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        toks = _split_tokens(text)
+        if mode == "bpe_ish":
+            n = pc.count_substring_regex(text, BPE_ISH_PATTERN).cast(pa.int64())
+        else:
+            n = pc.list_value_length(_split_tokens(text)).cast(pa.int64())
         return pa.table({"doc_id": batch.column("doc_id").cast(pa.int64()),
-                         "n_tokens": pc.list_value_length(toks).cast(pa.int64())})
+                         "n_tokens": n})
     return docs.map_batches(f, batch_format="pyarrow")
 
 

@@ -53,11 +53,25 @@ def extract_text(html: bytes) -> str:
     return _TAG_RE.sub(b" ", html).decode("utf-8", "replace").strip()
 
 
+# GPT-2-style pre-tokenizer reduced to its ASCII-class core: runs of
+# letters, runs of digits, runs of other-non-whitespace.  The classes
+# are disjoint, so Python re, RE2 (Arrow/DuckDB) and leftmost-first vs
+# leftmost-longest all produce identical matches — which keeps the
+# operator exactly SQL-oracle-able.  Whitespace is spelled as explicit
+# ASCII chars (not \s): Python \s also matches unicode spaces, RE2's
+# does not.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\v]+"
+_BPE_ISH_RE = re.compile(BPE_ISH_PATTERN)
+
+
 def tokenize(text: str, mode: str = "whitespace") -> list[str]:
     """``whitespace``: split on whitespace runs (matches the SQL oracle
-    ``regexp_split_to_array(text, '\\s+')``); ``words``: ``\\w+`` matches."""
+    ``regexp_split_to_array(text, '\\s+')``); ``words``: ``\\w+``
+    matches; ``bpe_ish``: the ASCII BPE-style pre-tokenizer above."""
     if mode == "whitespace":
         return text.split()
+    if mode == "bpe_ish":
+        return _BPE_ISH_RE.findall(text)
     return _WORD_RE.findall(text)
 
 

@@ -163,3 +163,20 @@ def test_batch_bags_match_per_doc():
             assert (w[pos:pos + len(ei)] == ew).all()   # bit-identical
             pos += len(ei)
         assert pos == len(idx)
+
+
+def test_bpe_ish_tokenizer():
+    from apollo_ray.kernels.text import tokenize
+    assert tokenize("Hello, world! abc123 x-y", "bpe_ish") == \
+        ["Hello", ",", "world", "!", "abc", "123", "x", "-", "y"]
+    assert tokenize("", "bpe_ish") == []
+
+
+def test_bpe_ish_arrow_count_matches_re():
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from apollo_ray.kernels.text import BPE_ISH_PATTERN, tokenize
+    texts = ["Hello, world! 42x", "", "  \t ", "a.b.c 1,000.50", "don't stop"]
+    arr = pa.array(texts)
+    counts = pc.count_substring_regex(arr, BPE_ISH_PATTERN).to_pylist()
+    assert counts == [len(tokenize(t, "bpe_ish")) for t in texts]
