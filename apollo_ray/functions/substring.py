@@ -275,3 +275,97 @@ def substring_dup_spans(docs: "ray.data.Dataset", min_len: int = 40,
         batch_format="pyarrow", concurrency=(1, concurrency))
     marks = _dup_marks(windows, num_partitions, max_post)
     return _merge_spans(marks, min_len, num_partitions)
+
+
+def _spans_per_doc(spans: "ray.data.Dataset", num_partitions: int
+                   ) -> "ray.data.Dataset":
+    """(doc_id, starts: binary, ends: binary) — one row per doc with
+    the sorted span offsets packed as int64 blobs, so the docs join
+    below never replicates text per span (and stays Acero-joinable)."""
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        return batch.append_column(
+            "pkey", pa.array(mix_to_partition(d, num_partitions),
+                             type=pa.int32()))
+
+    def reduce_part(group: pa.Table) -> pa.Table:
+        d = np.asarray(group.column("doc_id"), dtype=np.int64)
+        if len(d) == 0:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "starts": pa.array([], type=pa.binary()),
+                "ends": pa.array([], type=pa.binary())})
+        s = np.asarray(group.column("start_pos"), dtype=np.int64)
+        e = np.asarray(group.column("end_pos"), dtype=np.int64)
+        order = np.lexsort((s, d))
+        d_s, s_s, e_s = d[order], s[order], e[order]
+        first = np.empty(len(d_s), dtype=bool)
+        first[0] = True
+        first[1:] = d_s[1:] != d_s[:-1]
+        off = np.append(np.flatnonzero(first), len(d_s))
+        # packed little-endian int64 blobs: Acero joins do not accept
+        # list-typed non-key columns, binary passes through fine
+        starts = [s_s[a:b].tobytes() for a, b in zip(off[:-1], off[1:])]
+        ends = [e_s[a:b].tobytes() for a, b in zip(off[:-1], off[1:])]
+        return pa.table({
+            "doc_id": pa.array(d_s[off[:-1]], type=pa.int64()),
+            "starts": pa.array(starts, type=pa.binary()),
+            "ends": pa.array(ends, type=pa.binary()),
+        })
+
+    return spans.map_batches(add_pkey, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(reduce_part, batch_format="pyarrow")
+
+
+def cut_dup_spans(docs: "ray.data.Dataset", spans: "ray.data.Dataset",
+                  num_partitions: int = 64) -> "ray.data.Dataset":
+    """Remove every span in ``spans`` (e.g. the
+    :func:`substring_dup_spans` output) from its document's text —
+    the dedup ACTION of Lee et al. 2021 (their released tool likewise
+    cuts all occurrences of duplicated substrings).
+
+    Spans are aggregated to one list row per doc before the join, so
+    document text is never replicated per span; docs without spans
+    pass through unchanged (left outer join).  Returns the docs
+    schema with ``text`` rewritten, ``text_hash`` recomputed and an
+    added ``n_cut_chars``."""
+    from apollo_ray.hashing import hash_utf8
+    from apollo_ray.util import hash_join
+    span_lists = _spans_per_doc(spans, num_partitions)
+    joined = hash_join(docs, span_lists, on=("doc_id",),
+                       join_type="left_outer",
+                       num_partitions=num_partitions)
+
+    def cut(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        starts = batch.column("starts").to_pylist()
+        ends = batch.column("ends").to_pylist()
+        out_t: list[str] = []
+        n_cut = np.zeros(len(texts), dtype=np.int64)
+        for i, (t, sb, eb) in enumerate(zip(texts, starts, ends)):
+            if not sb:
+                out_t.append(t)
+                continue
+            ss = np.frombuffer(sb, dtype=np.int64)
+            ee = np.frombuffer(eb, dtype=np.int64)
+            # spans are sorted, already merged (non-overlapping);
+            # cut in codepoint space to match span offsets
+            parts = []
+            pos = 0
+            for s, e in zip(ss, ee):
+                parts.append(t[pos:s])
+                n_cut[i] += e - s
+                pos = e
+            parts.append(t[pos:])
+            out_t.append("".join(parts))
+        keep_cols = [c for c in batch.column_names
+                     if c not in ("text", "text_hash", "starts", "ends")]
+        out = {c: batch.column(c) for c in keep_cols}
+        out["text"] = pa.array(out_t, type=pa.string())
+        out["text_hash"] = pa.array([hash_utf8(t) for t in out_t],
+                                    type=pa.int64())
+        out["n_cut_chars"] = pa.array(n_cut, type=pa.int64())
+        return pa.table(out)
+
+    return joined.map_batches(cut, batch_format="pyarrow")

@@ -153,3 +153,32 @@ def test_no_dups_empty_result(ray_session):
     got = substring_dup_spans(_mk_docs(texts), min_len=10,
                               num_partitions=2)
     assert got.count() == 0
+
+
+def test_cut_dup_spans(ray_session, planted_corpus):
+    from apollo_ray.functions.substring import cut_dup_spans
+    texts, shared = planted_corpus
+    L = 24
+    docs = _mk_docs(texts)
+    spans = substring_dup_spans(docs, min_len=L, num_partitions=4)
+    cut = cut_dup_spans(docs, spans, num_partitions=4).to_pandas() \
+        .set_index("doc_id")
+    # the planted shared region is gone from both docs
+    for did in (1, 2):
+        assert shared not in cut.loc[did, "text"]
+        assert cut.loc[did, "n_cut_chars"] >= len(shared)
+    # docs without spans are untouched
+    assert cut.loc[3, "text"] == texts[3]
+    assert cut.loc[3, "n_cut_chars"] == 0
+    assert cut.loc[4, "text"] == texts[4]
+    # text_hash consistent with rewritten text
+    from apollo_ray.hashing import hash_utf8
+    for did in (1, 2, 3, 4):
+        assert cut.loc[did, "text_hash"] == hash_utf8(cut.loc[did, "text"])
+    # re-detect on the cut corpus: the planted duplicate is resolved
+    import ray.data as rd
+    import pyarrow as pa2
+    redetect = substring_dup_spans(
+        _mk_docs({int(d): t for d, t in cut["text"].items()}),
+        min_len=L, num_partitions=4).to_pandas()
+    assert len(redetect) == 0
