@@ -52,7 +52,6 @@ def _cfg_from_args(args) -> "DedupConfig":
 
 def cmd_run(args) -> int:
     import ray
-    import ray.data as rd
     from apollo_ray.pipelines.dedup import run_dedup
     from apollo_ray.sources.io import read_pages
     owns = _init_ray(args.num_cpus)

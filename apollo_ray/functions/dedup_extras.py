@@ -15,7 +15,6 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Count
 
 from apollo_ray.hashing import (TokenHasher, hash_utf8, mix_to_partition,
                                 pair_mix)

@@ -17,8 +17,8 @@ import ray.data
 from ray.data.aggregate import Count, Max, Sum
 
 from apollo_ray.hashing import TokenHasher
-from apollo_ray.kernels.text import (_STOPWORDS, detect_lang,
-                                     detect_lang_batch, fingerprint)
+from apollo_ray.kernels.text import (_STOPWORDS, detect_lang_batch,
+                                     fingerprint)
 
 _PUNCT = ".,;:!?"
 
@@ -329,8 +329,6 @@ def user_last_event(events: "ray.data.Dataset") -> "ray.data.Dataset":
 def events_hourly(events: "ray.data.Dataset") -> "ray.data.Dataset":
     """(user_id, hour_us, n, sum_value_r4) — tumbling-window aggregate
     (the streaming-window analog over an ordered log; SURVEY §2.9)."""
-    import pandas as pd
-
     def bucket(batch: pa.Table) -> pa.Table:
         ts = np.asarray(batch.column("ts").cast(pa.int64()))
         hour = (ts // 3_600_000_000) * 3_600_000_000

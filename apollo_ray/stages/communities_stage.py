@@ -23,7 +23,6 @@ label = min doc_id in the community).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray.data

@@ -14,7 +14,6 @@ a driver-built RDD join instead, ``apollo/graph.py:387-404``).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray.data

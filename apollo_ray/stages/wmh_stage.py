@@ -25,7 +25,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from apollo_ray.config import DedupConfig
-from apollo_ray.kernels.wmh import generate_params, weighted_minhash_batch
+from apollo_ray.kernels.wmh import generate_params
 
 
 def list_columns_to_csr(batch: pa.Table, idx_name: str, w_name: str
