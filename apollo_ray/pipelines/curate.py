@@ -33,6 +33,11 @@ from apollo_ray.config import DedupConfig
 from apollo_ray.hashing import hash_utf8, mix_to_partition
 from apollo_ray.util import hash_join
 
+# representative-id broadcast cap: above this the final membership
+# filter falls back to a shuffle hash join instead of a driver-held
+# id array (mirrors BROADCAST_COLLAPSE_MAX_DUPS in stages/bags.py)
+REP_BROADCAST_MAX = 50_000_000
+
 
 @dataclass(frozen=True)
 class CurateConfig:
@@ -47,6 +52,12 @@ class CurateConfig:
     min_tokens: int = 20              # doc-level floor after cleaning
     max_dup_line_frac: float = 0.30
     max_dup_3gram_frac: float = 0.60
+    # cross-doc duplicated-substring cutting (Lee et al.) before the
+    # near-dedup: 0 disables; >0 sets the min span length in chars.
+    # Uses winnowed detection when cut_winnow_w is set (the scale
+    # path), exact stride-1 otherwise.
+    cut_substrings_min_len: int = 0
+    cut_winnow_w: int | None = None
 
 
 def clean_filter_docs(docs: "ray.data.Dataset", ccfg: CurateConfig
@@ -137,6 +148,15 @@ def curate_corpus(pages: "ray.data.Dataset", cfg: DedupConfig,
     ccfg = ccfg or CurateConfig()
     docs = extract_docs(pages, cfg)
     kept = clean_filter_docs(docs, ccfg).materialize()
+    if ccfg.cut_substrings_min_len > 0 and kept.count() > 0:
+        from apollo_ray.functions.substring import (cut_dup_spans,
+                                                    substring_dup_spans)
+        spans = substring_dup_spans(kept,
+                                    min_len=ccfg.cut_substrings_min_len,
+                                    winnow_w=ccfg.cut_winnow_w,
+                                    num_partitions=num_partitions)
+        kept = cut_dup_spans(kept, spans,
+                             num_partitions=num_partitions).materialize()
     if kept.count() == 0:
         # empty Ray datasets lose their schema through joins — short-
         # circuit (e.g. a punctuation-free corpus with clean_lines=True)
@@ -147,7 +167,29 @@ def curate_corpus(pages: "ray.data.Dataset", cfg: DedupConfig,
                 "kept_docs": kept, "metrics": {"empty_after_filter": True}}
     res = run_dedup(None, cfg, docs_ds=kept, num_partitions=num_partitions)
     reps = cluster_representatives(res["clusters"], num_partitions)
-    curated = hash_join(kept, reps, on=("doc_id",),
-                        num_partitions=num_partitions)
+    n_reps = reps.count()
+    if n_reps <= REP_BROADCAST_MAX:
+        # broadcast the rep-id array (8 B/row; 400 MB at the 50M cap)
+        # and filter with np.searchsorted — same pattern as the exact-
+        # collapse dup-id broadcast, and it avoids shipping doc text
+        # through a shuffle join
+        import ray
+        ids = [b["doc_id"] for b in reps.iter_batches(batch_format="numpy")]
+        rep_ref = ray.put(np.sort(np.concatenate(ids))
+                          if ids else np.empty(0, dtype=np.int64))
+
+        def keep_reps(batch: pa.Table, rep_ref=rep_ref) -> pa.Table:
+            import ray as _ray
+            arr = _ray.get(rep_ref)
+            d = np.asarray(batch.column("doc_id"), dtype=np.int64)
+            i = np.searchsorted(arr, d)
+            hit = (i < len(arr))
+            hit[hit] &= arr[i[hit]] == d[hit]
+            return batch.filter(pa.array(hit))
+
+        curated = kept.map_batches(keep_reps, batch_format="pyarrow")
+    else:
+        curated = hash_join(kept, reps, on=("doc_id",),
+                            num_partitions=num_partitions)
     return {"curated": curated, "clusters": res["clusters"],
             "kept_docs": kept, "metrics": res["metrics"]}

@@ -79,3 +79,24 @@ def test_cluster_representatives(ray_session):
     }))
     reps = cluster_representatives(clusters, num_partitions=2).to_pandas()
     assert sorted(reps["doc_id"]) == [1, 3, 7]
+
+
+def test_curate_with_substring_cutting(ray_session, corpus):
+    cfg = DedupConfig(feature_dim_log2=12, threshold=0.7)
+    out = curate_corpus(_pages(corpus), cfg,
+                        CurateConfig(cut_substrings_min_len=24),
+                        num_partitions=4)
+    cur = out["curated"].to_pandas()
+    # the near-dup share between docs 0/1 was cut before dedup, so
+    # they are no longer near-dups: both survive as representatives
+    assert len(cur) == 3
+    # no curated text still contains a >=24-char cross-doc substring
+    from apollo_ray.functions.substring import substring_dup_spans
+    import ray.data as rd
+    import pyarrow as pa3
+    redocs = rd.from_arrow(pa3.table({
+        "doc_id": pa3.array(range(len(cur)), type=pa3.int64()),
+        "text": pa3.array(list(cur["text"])),
+    }))
+    assert substring_dup_spans(redocs, min_len=24,
+                               num_partitions=4).count() == 0
