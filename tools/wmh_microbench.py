@@ -19,10 +19,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _worker(n_docs: int, mean_nnz: int, seed: int, out_q) -> None:
+def _worker(n_docs: int, mean_nnz: int, seed: int, out_q, dim_log2: int = 16) -> None:
     from apollo_ray.kernels.wmh import (derive_params, generate_params,
                                         make_work_buffers, wmh_batch_t)
-    dim, size = 1 << 16, 128
+    dim, size = 1 << dim_log2, 128
     params = generate_params(dim, size, seed=1)
     dp = derive_params(params["rs"], params["ln_cs"], params["betas"])
     bufs = make_work_buffers(size)
@@ -44,9 +44,9 @@ def _worker(n_docs: int, mean_nnz: int, seed: int, out_q) -> None:
     out_q.put(time.perf_counter() - t0)
 
 
-def run(nproc: int, n_docs: int, mean_nnz: int) -> float:
+def run(nproc: int, n_docs: int, mean_nnz: int, dim_log2: int = 16) -> float:
     q = mp.Queue()
-    ps = [mp.Process(target=_worker, args=(n_docs, mean_nnz, 100 + i, q))
+    ps = [mp.Process(target=_worker, args=(n_docs, mean_nnz, 100 + i, q, dim_log2))
           for i in range(nproc)]
     t0 = time.perf_counter()
     for p in ps:
@@ -64,11 +64,12 @@ def run(nproc: int, n_docs: int, mean_nnz: int) -> float:
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
     mean_nnz = int(sys.argv[2]) if len(sys.argv) > 2 else 300
+    dim_log2 = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     print(f"WMH kernel microbench: {n_docs} docs/proc, mean nnz {mean_nnz}, "
-          f"dim 2^16, size 128")
-    a1 = run(1, n_docs, mean_nnz)
-    a8 = run(8, n_docs, mean_nnz)
-    a32 = run(32, n_docs, mean_nnz)
+          f"dim 2^{dim_log2}, size 128")
+    a1 = run(1, n_docs, mean_nnz, dim_log2)
+    a8 = run(8, n_docs, mean_nnz, dim_log2)
+    a32 = run(32, n_docs, mean_nnz, dim_log2)
     print(f"  1->8 eff {a8 / (8 * a1):.3f}   8->32 eff {a32 / (4 * a8):.3f}")
 
 
