@@ -68,3 +68,39 @@ def test_empty_pipeline(ray_session):
                       "lang": pa.array([], type=pa.string())})
     out = run_dedup(rd.from_arrow(empty), DedupConfig(feature_dim_log2=12))
     assert out["clusters"].count() == 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(0, 10_000))
+def test_substring_spans_match_brute_no_ray(seed):
+    """Exact-mode mark+merge kernels equal the brute-force string
+    implementation on random small-alphabet corpora (no Ray — pure
+    kernel composition, so hypothesis can drive many cases)."""
+    import numpy as np
+    from collections import Counter
+    from apollo_ray.functions.substring import window_fingerprints
+    from tests.test_substring import brute_spans
+    rng = np.random.default_rng(seed)
+    L = 6
+    texts = {i: "".join(rng.choice(list("abc "), rng.integers(0, 60)))
+             for i in range(4)}
+    # fingerprint marks (what the pipeline shuffles), merged per doc
+    counts = Counter()
+    fps = {}
+    for did, t in texts.items():
+        fps[did] = window_fingerprints(t, L)
+        for f in fps[did]:
+            counts[f] += 1
+    got = set()
+    for did, t in texts.items():
+        marks = [i for i, f in enumerate(fps[did]) if counts[f] >= 2]
+        if not marks:
+            continue
+        start, end = marks[0], marks[0] + L
+        for i in marks[1:]:
+            if i > end:
+                got.add((did, start, end, end - start))
+                start = i
+            end = i + L
+        got.add((did, start, end, end - start))
+    assert got == brute_spans(texts, L)
