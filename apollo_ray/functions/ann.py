@@ -438,3 +438,101 @@ def ivf_topk(embeddings: "ray.data.Dataset", query_vecs: np.ndarray,
 
     return assigned.map_batches(score, batch_format="pyarrow") \
         .groupby("query_id").map_groups(topk, batch_format="pandas")
+
+
+def lsh_topk(embeddings: "ray.data.Dataset", query_ids: list[int],
+             k: int = 10, n_planes: int = 10, n_tables: int = 8,
+             seed: int = 42, id_col: str = "vec_id") -> "ray.data.Dataset":
+    """LSH-bucketed top-k: the scale path of :func:`cosine_topk`.
+
+    The Q queries' bucket keys across ``n_tables`` OR-amplified
+    hyperplane tables are broadcast once; each corpus batch computes
+    its own keys with the same (seeded) planes and exact-rescoring runs
+    ONLY on rows that co-bucket with a query in >= 1 table — per batch
+    O(B * n_tables) key work + O(candidates * d) scoring instead of
+    the brute-force O(Q * B * d) matmul.  Candidate recall follows the
+    OR-amplified collision probability (1 - (1 - p^planes)^tables,
+    p = 1 - theta/pi); near-duplicate neighbors are caught with high
+    probability, far ones may be missed — that asymmetry is the point.
+
+    Output schema matches :func:`cosine_topk` (query_id, vec_id,
+    cos_r3) so results are directly comparable."""
+    q_arr = np.asarray(sorted(int(q) for q in query_ids), dtype=np.int64)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        return batch.filter(pa.array(np.isin(ids, q_arr)))
+
+    q_tab = pa.concat_tables(
+        ray.get(r) for r in embeddings.map_batches(
+            pick, batch_format="pyarrow").to_arrow_refs())
+    q_ids = np.asarray(q_tab.column(id_col), dtype=np.int64)
+    q_mat = _normalize(_batch_matrix(q_tab))
+    dim = q_mat.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, dim, n_planes))
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    # (T, Q) query bucket keys; sorted per table for searchsorted match
+    q_keys = np.stack([((q_mat @ planes[t]) > 0).astype(np.int64) @ weights
+                       for t in range(n_tables)])
+    q_order = np.argsort(q_keys, axis=1, kind="stable")
+    ref = ray.put((q_ids, q_mat, planes, weights, q_keys, q_order))
+
+    def bucket_partial_topk(batch: pa.Table) -> pa.Table:
+        qi, qm, pl, w, qk, qo = ray.get(ref)
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        m = _normalize(_batch_matrix(batch))
+        # candidate (corpus_row, query_row) pairs across tables
+        rows, qrows = [], []
+        for t in range(len(pl)):
+            ck = ((m @ pl[t]) > 0).astype(np.int64) @ w       # (B,)
+            qk_s = qk[t][qo[t]]
+            lo = np.searchsorted(qk_s, ck, side="left")
+            hi = np.searchsorted(qk_s, ck, side="right")
+            n_hits = hi - lo
+            hit = np.flatnonzero(n_hits)
+            if len(hit) == 0:
+                continue
+            rows.append(np.repeat(hit, n_hits[hit]))
+            # flatten the query ranges for the hit rows
+            qrows.append(qo[t][np.concatenate(
+                [np.arange(lo[i], hi[i]) for i in hit])])
+        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                          "vec_id": pa.array([], type=pa.int64()),
+                          "cos_r3": pa.array([], type=pa.float64())})
+        if not rows:
+            return empty
+        cr = np.concatenate(rows)
+        qr = np.concatenate(qrows)
+        # dedup (corpus_row, query_row) across tables
+        pair = np.unique(cr * np.int64(len(qi)) + qr)
+        cr, qr = pair // len(qi), pair % len(qi)
+        keep = ids[cr] != qi[qr]                  # self-exclusion
+        cr, qr = cr[keep], qr[keep]
+        if len(cr) == 0:
+            return empty
+        cos = np.round(np.einsum("ij,ij->i", qm[qr], m[cr]), 3)
+        # per-query partial top-k within the batch
+        order = np.lexsort((ids[cr], -cos, qr))
+        qr_s, cr_s, cos_s = qr[order], cr[order], cos[order]
+        first = np.empty(len(qr_s), dtype=bool)
+        first[0] = True
+        first[1:] = qr_s[1:] != qr_s[:-1]
+        rank = np.arange(len(qr_s)) - np.maximum.accumulate(
+            np.where(first, np.arange(len(qr_s)), 0))
+        sel = rank < k
+        return pa.table({
+            "query_id": pa.array(qi[qr_s[sel]], type=pa.int64()),
+            "vec_id": pa.array(ids[cr_s[sel]], type=pa.int64()),
+            "cos_r3": pa.array(cos_s[sel], type=pa.float64()),
+        })
+
+    import pandas as pd
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cos_r3", "vec_id"],
+                             ascending=[False, True]).head(k)
+
+    return embeddings.map_batches(bucket_partial_topk,
+                                  batch_format="pyarrow") \
+        .groupby("query_id").map_groups(merge_topk, batch_format="pandas")

@@ -303,3 +303,29 @@ def test_c4_clean(ray_session):
     assert df.loc[1, "clean_text"] == ("Good line with punctuation.\n"
                                        "This line is long enough and fine!")
     assert df.loc[2, "n_kept"] == 0 and df.loc[2, "clean_text"] == ""
+
+
+def test_lsh_topk_finds_near_duplicates(ray_session):
+    """The bucketed top-k must recover each query's planted near-dup
+    (cos >= ~0.95) and return a subset of the brute-force candidates
+    with identical scores."""
+    from apollo_ray.functions.ann import cosine_topk, lsh_topk
+    emb, m = _rand_emb_ds(n=100, dim=24, n_dup=30, seed=7, noise=0.1)
+    qids = list(range(10))                 # each has near-dup at n+q
+    got = lsh_topk(emb, qids, k=5, n_planes=8, n_tables=12,
+                   seed=1).to_pandas()
+    brute = cosine_topk(emb, qids, k=5).to_pandas()
+    bt = {(r.query_id, r.vec_id): r.cos_r3 for r in brute.itertuples()}
+    for r in got.itertuples():
+        # every returned (query, vec) score matches exact cosine
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        assert abs(r.cos_r3 - round(float(mn[r.query_id] @ mn[r.vec_id]), 3)) < 1e-9
+    for q in qids:
+        mine = got[got.query_id == q]
+        # the planted near-duplicate (vec_id = 100 + q) is found
+        assert (100 + q) in set(mine.vec_id)
+        # and the top hit agrees with brute force
+        top_b = brute[brute.query_id == q].iloc[0]
+        top_m = mine.sort_values(["cos_r3", "vec_id"],
+                                 ascending=[False, True]).iloc[0]
+        assert (top_m.vec_id, top_m.cos_r3) == (top_b.vec_id, top_b.cos_r3)
