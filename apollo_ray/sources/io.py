@@ -81,6 +81,13 @@ def write_stage(ds: "ray.data.Dataset", ckpt_root: str, stage: str,
 def read_stage(ckpt_root: str, stage: str, columns: list[str] | None = None
                ) -> "ray.data.Dataset":
     d = stage_dir(ckpt_root, stage)
+    if not os.path.isdir(d):
+        raise FileNotFoundError(
+            "checkpoint stage '%s' not found under %s — run "
+            "`apollo_ray.cli run --ckpt %s ...` first (stages present: %s)"
+            % (stage, ckpt_root, ckpt_root,
+               sorted(os.listdir(ckpt_root))
+               if os.path.isdir(ckpt_root) else "none"))
     files = [os.path.join(d, f) for f in sorted(os.listdir(d))
              if f.endswith(".parquet")]
     return ray.data.read_parquet(files, columns=columns)
