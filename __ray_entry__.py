@@ -266,6 +266,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_bpe_token_counts(sf_dir):
         return textstats.token_counts(_docs(sf_dir), mode="bpe_ish")
 
+    def q_asof_purchase(sf_dir):
+        from apollo_ray.functions.asof import asof_latest_event
+        return asof_latest_event(_events(sf_dir), right_type="purchase",
+                                 num_partitions=16)
+
     def q_substring_spans(sf_dir):
         from apollo_ray.functions.substring import substring_dup_spans
         return substring_dup_spans(_docs(sf_dir), min_len=40,
@@ -295,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q_repetition_stats,
         "c4_clean": q_c4_clean,
         "bpe_token_counts": q_bpe_token_counts,
+        "asof_purchase": q_asof_purchase,
     }
 
 
@@ -443,6 +449,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.sig, b.sig)) <= 3
         """,
         "lang_id_fingerprint": _lang_id_sql(),
+        "asof_purchase": """
+            WITH r AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+                     row_number() OVER (PARTITION BY user_id, ts
+                                        ORDER BY event_id DESC) AS rn
+              FROM events WHERE event_type = 'purchase'),
+            r1 AS (SELECT user_id, ts_us, event_id, value
+                   FROM r WHERE rn = 1),
+            l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                  FROM events)
+            SELECT l.event_id, l.user_id, l.ts_us,
+                   coalesce(r1.ts_us, -1) AS prior_ts_us,
+                   coalesce(r1.event_id, -1) AS prior_event_id,
+                   coalesce(r1.value, -1.0) AS prior_value
+            FROM l ASOF LEFT JOIN r1
+              ON l.user_id = r1.user_id AND l.ts_us >= r1.ts_us
+        """,
         "bpe_token_counts": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(

@@ -329,3 +329,30 @@ def test_lsh_topk_finds_near_duplicates(ray_session):
         top_m = mine.sort_values(["cos_r3", "vec_id"],
                                  ascending=[False, True]).iloc[0]
         assert (top_m.vec_id, top_m.cos_r3) == (top_b.vec_id, top_b.cos_r3)
+
+
+def test_asof_latest_event(ray_session):
+    import ray.data as rd
+    from apollo_ray.functions.asof import asof_latest_event
+    us = 1_000_000
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6, 7], type=pa.int64()),
+        "ts": pa.array([1 * us, 2 * us, 3 * us, 2 * us, 1 * us,
+                        2 * us, 2 * us], type=pa.timestamp("us")),
+        "user_id": pa.array([10, 10, 10, 10, 20, 20, 20], type=pa.int64()),
+        "event_type": pa.array(["click", "purchase", "view", "view",
+                                "click", "purchase", "purchase"]),
+        "value": pa.array([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7]),
+        "props": pa.array([""] * 7),
+    })
+    df = asof_latest_event(rd.from_arrow(t), num_partitions=2) \
+        .to_pandas().set_index("event_id")
+    assert df.loc[1, "prior_event_id"] == -1          # before any purchase
+    assert df.loc[2, "prior_event_id"] == 2           # self-match at ts<=ts
+    assert df.loc[3, "prior_event_id"] == 2           # latest prior
+    assert df.loc[4, "prior_event_id"] == 2           # equal ts matches
+    assert df.loc[5, "prior_event_id"] == -1          # other user, earlier
+    # two purchases at the same (user, ts): max event_id wins
+    assert df.loc[6, "prior_event_id"] == 7
+    assert df.loc[7, "prior_event_id"] == 7
+    assert df.loc[7, "prior_value"] == 0.7
