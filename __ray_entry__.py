@@ -271,6 +271,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return asof_latest_event(_events(sf_dir), right_type="purchase",
                                  num_partitions=16)
 
+    def q_purchase_window(sf_dir):
+        from apollo_ray.functions.asof import range_window_stats
+        return range_window_stats(_events(sf_dir), anchor_type="purchase",
+                                  window_us=600_000_000,
+                                  num_partitions=16)
+
     def q_substring_spans(sf_dir):
         from apollo_ray.functions.substring import substring_dup_spans
         return substring_dup_spans(_docs(sf_dir), min_len=40,
@@ -301,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_clean": q_c4_clean,
         "bpe_token_counts": q_bpe_token_counts,
         "asof_purchase": q_asof_purchase,
+        "purchase_window": q_purchase_window,
     }
 
 
@@ -449,6 +456,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.sig, b.sig)) <= 3
         """,
         "lang_id_fingerprint": _lang_id_sql(),
+        "purchase_window": """
+            WITH p AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us
+              FROM events WHERE event_type = 'purchase')
+            SELECT p.event_id, p.user_id, p.ts_us,
+                   CAST(count(e.event_id) AS BIGINT) AS n_win_events,
+                   coalesce(max(e.value), -1.0) AS max_value
+            FROM p LEFT JOIN events e
+              ON e.user_id = p.user_id
+             AND e.event_id != p.event_id
+             AND epoch_us(e.ts) BETWEEN p.ts_us - 600000000 AND p.ts_us
+            GROUP BY p.event_id, p.user_id, p.ts_us
+        """,
         "asof_purchase": """
             WITH r AS (
               SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,

@@ -106,3 +106,127 @@ def asof_latest_event(events: "ray.data.Dataset",
 
     return events.map_batches(prep, batch_format="pyarrow") \
         .groupby("pkey").map_groups(match, batch_format="pyarrow")
+
+
+def range_window_stats(events: "ray.data.Dataset",
+                       anchor_type: str = "purchase",
+                       window_us: int = 600_000_000,
+                       num_partitions: int = 64) -> "ray.data.Dataset":
+    """Distributed RANGE JOIN: for every ``anchor_type`` event, count
+    and max-aggregate the same user's OTHER events with
+    ``ts in [anchor.ts - window, anchor.ts]``.
+
+    Same one-shuffle tagged-sweep shape as :func:`asof_latest_event`,
+    with the range resolved by a rank trick instead of per-row
+    bisection: the window's two boundaries are injected as query rows
+    into the (user, ts)-sorted stream (low boundary sorting BEFORE
+    equal-ts events, high boundary AFTER), so one lexsort gives every
+    anchor's [lo, hi) data-rank range — counts are rank differences,
+    fully vectorized.  The max aggregate runs on a prefix-max over the
+    sorted events (order-independent, so float-exact vs the SQL
+    oracle, unlike a sum).
+
+    Returns (event_id, user_id, ts_us, n_win_events, max_value) with
+    max_value = -1.0 when the window holds no other event."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        u = np.asarray(batch.column("user_id"), dtype=np.int64)
+        t = np.asarray(batch.column("ts").cast(pa.int64()))
+        eid = np.asarray(batch.column("event_id"), dtype=np.int64)
+        val = np.asarray(batch.column("value"), dtype=np.float64)
+        is_a = np.asarray(pc.equal(batch.column("event_type"), anchor_type)
+                          .combine_chunks(), dtype=bool)
+        return pa.table({
+            "user_id": pa.array(u, type=pa.int64()),
+            "ts_us": pa.array(t, type=pa.int64()),
+            "event_id": pa.array(eid, type=pa.int64()),
+            "value": pa.array(val, type=pa.float64()),
+            "is_anchor": pa.array(is_a),
+            "pkey": pa.array(mix_to_partition(u, num_partitions),
+                             type=pa.int32()),
+        })
+
+    def sweep(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "event_id": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "ts_us": pa.array([], type=pa.int64()),
+            "n_win_events": pa.array([], type=pa.int64()),
+            "max_value": pa.array([], type=pa.float64()),
+        })
+        n = group.num_rows
+        if n == 0:
+            return empty
+        u = np.asarray(group.column("user_id"), dtype=np.int64)
+        t = np.asarray(group.column("ts_us"), dtype=np.int64)
+        eid = np.asarray(group.column("event_id"), dtype=np.int64)
+        val = np.asarray(group.column("value"), dtype=np.float64)
+        is_a = np.asarray(group.column("is_anchor"), dtype=bool)
+        ai = np.flatnonzero(is_a)
+        if len(ai) == 0:
+            return empty
+        # merged stream: data rows + per-anchor window boundaries.
+        # tag order at equal (u, ts): lo-boundary(0) < data(1) <
+        # hi-boundary(2)  =>  inclusive [ts-W, ts] window
+        nq = len(ai)
+        mu = np.concatenate([u, u[ai], u[ai]])
+        mt = np.concatenate([t, t[ai] - window_us, t[ai]])
+        tag = np.concatenate([np.ones(n, dtype=np.int8),
+                              np.zeros(nq, dtype=np.int8),
+                              np.full(nq, 2, dtype=np.int8)])
+        # boundary id: which anchor a query row belongs to
+        qid = np.concatenate([np.full(n, -1, dtype=np.int64),
+                              np.arange(nq), np.arange(nq)])
+        order = np.lexsort((tag, mt, mu))
+        tag_s, qid_s = tag[order], qid[order]
+        is_data = tag_s == 1
+        # rank = number of data rows strictly before each position
+        rank = np.cumsum(is_data) - is_data
+        lo = np.empty(nq, dtype=np.int64)
+        hi = np.empty(nq, dtype=np.int64)
+        lo[qid_s[tag_s == 0]] = rank[tag_s == 0]
+        hi[qid_s[tag_s == 2]] = rank[tag_s == 2]
+        # user-boundary guard: clamp lo to the anchor's user segment
+        # (the lo boundary could sort into the previous user)
+        data_pos = np.flatnonzero(is_data)
+        du = mu[order][data_pos]
+        seg_lo = np.searchsorted(du, u[ai], side="left")
+        lo = np.maximum(lo, seg_lo)
+        counts = hi - lo - 1                      # exclude the anchor
+        # exact max over the window EXCLUDING the anchor row: two
+        # reduceat sub-ranges [lo, a_rank) and [a_rank+1, hi) over the
+        # (user, ts, event_id)-sorted value array, -inf sentinel pad
+        # so end == m stays a valid reduceat index
+        didx = np.lexsort((eid, t, u))
+        dval = val[didx]
+        m = len(dval)
+        rank_of = np.empty(m, dtype=np.int64)
+        rank_of[didx] = np.arange(m)
+        a_rank = rank_of[ai]
+        dval_p = np.append(dval, -np.inf)
+
+        def seg_max(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+            length = ends - starts
+            st = np.minimum(starts, m)
+            en = np.maximum(np.minimum(ends, m), st)
+            idxs = np.empty(2 * len(st), dtype=np.int64)
+            idxs[0::2] = st
+            idxs[1::2] = np.maximum(en, st + (length > 0))
+            red = np.maximum.reduceat(dval_p, idxs)[0::2]
+            return np.where(length > 0, red, -np.inf)
+
+        left_max = seg_max(lo, a_rank)
+        right_max = seg_max(a_rank + 1, hi)
+        max_val = np.maximum(left_max, right_max)
+        out_max = np.where(np.isfinite(max_val), max_val, -1.0)
+        return pa.table({
+            "event_id": pa.array(eid[ai], type=pa.int64()),
+            "user_id": pa.array(u[ai], type=pa.int64()),
+            "ts_us": pa.array(t[ai], type=pa.int64()),
+            "n_win_events": pa.array(counts, type=pa.int64()),
+            "max_value": pa.array(out_max, type=pa.float64()),
+        })
+
+    return events.map_batches(prep, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(sweep, batch_format="pyarrow")

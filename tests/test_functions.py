@@ -356,3 +356,60 @@ def test_asof_latest_event(ray_session):
     assert df.loc[6, "prior_event_id"] == 7
     assert df.loc[7, "prior_event_id"] == 7
     assert df.loc[7, "prior_value"] == 0.7
+
+
+def test_range_window_stats(ray_session):
+    import ray.data as rd
+    from apollo_ray.functions.asof import range_window_stats
+    us = 1_000_000
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+        "ts": pa.array([0, 5 * us, 9 * us, 10 * us, 20 * us, 9 * us],
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1, 1, 2], type=pa.int64()),
+        "event_type": pa.array(["click", "view", "click", "purchase",
+                                "view", "purchase"]),
+        "value": pa.array([9.0, 2.0, 3.0, 1.0, 5.0, 7.0]),
+        "props": pa.array([""] * 6),
+    })
+    df = range_window_stats(rd.from_arrow(t), window_us=10 * us,
+                            num_partitions=2).to_pandas() \
+        .set_index("event_id")
+    # purchase id 4 at t=10s, window [0s, 10s]: events 1,2,3 (not 5)
+    assert df.loc[4, "n_win_events"] == 3
+    assert df.loc[4, "max_value"] == 9.0
+    # purchase id 6 (user 2): no other events in window
+    assert df.loc[6, "n_win_events"] == 0
+    assert df.loc[6, "max_value"] == -1.0
+    assert set(df.index) == {4, 6}
+
+
+def test_range_window_stats_vs_brute(ray_session):
+    import ray.data as rd
+    from apollo_ray.functions.asof import range_window_stats
+    rng = np.random.default_rng(5)
+    n = 400
+    us = 1_000_000
+    t_us = np.sort(rng.integers(0, 3600 * us, n))
+    users = rng.integers(0, 12, n)
+    types = rng.choice(["click", "view", "purchase"], n, p=[.5, .3, .2])
+    vals = np.round(rng.random(n) * 10, 2)
+    tab = pa.table({
+        "event_id": pa.array(range(n), type=pa.int64()),
+        "ts": pa.array(t_us, type=pa.timestamp("us")),
+        "user_id": pa.array(users, type=pa.int64()),
+        "event_type": pa.array(types),
+        "value": pa.array(vals, type=pa.float64()),
+        "props": pa.array([""] * n),
+    })
+    W = 300 * us
+    df = range_window_stats(rd.from_arrow(tab), window_us=W,
+                            num_partitions=4).to_pandas() \
+        .set_index("event_id")
+    for i in np.flatnonzero(types == "purchase"):
+        in_win = [(j, vals[j]) for j in range(n)
+                  if j != i and users[j] == users[i]
+                  and t_us[i] - W <= t_us[j] <= t_us[i]]
+        assert df.loc[i, "n_win_events"] == len(in_win), i
+        expect = max((v for _, v in in_win), default=-1.0)
+        assert df.loc[i, "max_value"] == expect, i
