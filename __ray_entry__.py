@@ -80,6 +80,36 @@ def _lang_id_sql() -> str:
         """ % (score_cols, case)
 
 
+def _pii_stats_sql() -> str:
+    """pii_stats oracle generated from the operator's own pattern
+    table (single source of truth; both sides are RE2)."""
+    from apollo_ray.functions.pii import PII_PATTERNS
+    cols = ",\n                   ".join(
+        "CAST(len(regexp_extract_all(text, '%s')) AS BIGINT) AS n_%s"
+        % (pat, name) for name, pat, _ in PII_PATTERNS)
+    return "SELECT doc_id,\n                   %s\n            FROM documents" % cols
+
+
+def _redact_pii_sql() -> str:
+    """redact_pii oracle: sequential regexp_replace chain, each
+    pattern counted on the text as it sees it (mirrors the engine's
+    loop)."""
+    from apollo_ray.functions.pii import PII_PATTERNS
+    sql = ("WITH s0 AS (SELECT doc_id, text AS t0,"
+           " CAST(0 AS BIGINT) AS c0 FROM documents)")
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS, start=1):
+        sql += (
+            ",\n            s%d AS (SELECT doc_id,"
+            " regexp_replace(t%d, '%s', '%s', 'g') AS t%d,"
+            " c%d + CAST(len(regexp_extract_all(t%d, '%s')) AS BIGINT)"
+            " AS c%d FROM s%d)"
+            % (i, i - 1, pat, repl, i, i - 1, i - 1, pat, i, i - 1))
+    n = len(PII_PATTERNS)
+    sql += ("\n            SELECT doc_id, t%d AS clean_text,"
+            " c%d AS n_redacted FROM s%d" % (n, n, n))
+    return sql
+
+
 def _docs(sf_dir: str):
     import ray.data
     return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -282,6 +312,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return substring_dup_spans(_docs(sf_dir), min_len=40,
                                    num_partitions=16)
 
+    def q_decontam(sf_dir):
+        import pyarrow as pa
+        from apollo_ray.functions.decontam import decontaminate
+
+        def bench_rows(batch: pa.Table) -> pa.Table:
+            import numpy as np
+            ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+            return batch.filter(pa.array(ids % 97 == 0))
+
+        bench = _docs(sf_dir).map_batches(bench_rows, batch_format="pyarrow")
+        return decontaminate(_docs(sf_dir), bench, k=3)
+
+    def q_hash_sample(sf_dir):
+        from apollo_ray.functions.decontam import hash_sample
+        return hash_sample(_docs(sf_dir), rate_permille=200)
+
+    def q_pii_stats(sf_dir):
+        from apollo_ray.functions.pii import pii_stats
+        return pii_stats(_docs(sf_dir))
+
+    def q_redact_pii(sf_dir):
+        from apollo_ray.functions.pii import redact_pii
+        return redact_pii(_docs(sf_dir))
+
     return {
         "exact_dedup_groups": q_exact_dedup,
         "lang_stats": q_lang_stats,
@@ -308,6 +362,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": q_bpe_token_counts,
         "asof_purchase": q_asof_purchase,
         "purchase_window": q_purchase_window,
+        "decontam_overlap": q_decontam,
+        "hash_sample_200": q_hash_sample,
+        "pii_stats": q_pii_stats,
+        "redact_pii": q_redact_pii,
     }
 
 
@@ -593,6 +651,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS BIGINT) AS n_distinct_cc
             FROM documents GROUP BY text
         """,
+        "decontam_overlap": r"""
+            WITH tok AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents WHERE length(trim(text)) > 0),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
+              FROM tok,
+                   LATERAL (SELECT unnest(range(1, greatest(len(toks) - 2, 0)
+                                                  + 1)) AS i)),
+            bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+            sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            hits AS (
+              SELECT sh.doc_id, count(*) AS n_hits
+              FROM sh JOIN bench USING (s) GROUP BY sh.doc_id)
+            SELECT d.doc_id,
+                   coalesce(sz.n_sh, 0) AS n_shingles,
+                   coalesce(hits.n_hits, 0) AS n_bench_hits,
+                   coalesce(hits.n_hits, 0) > 0 AS contaminated
+            FROM documents d
+            LEFT JOIN sz USING (doc_id)
+            LEFT JOIN hits USING (doc_id)
+        """,
+        "hash_sample_200": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < 200
+        """,
+        "pii_stats": _pii_stats_sql(),
+        "redact_pii": _redact_pii_sql(),
         "emb_dup_pairs": """
             SELECT a.vec_id AS u, b.vec_id AS v,
                    round(CAST(list_cosine_similarity(a.embedding, b.embedding)
