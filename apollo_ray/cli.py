@@ -68,6 +68,27 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_append(args) -> int:
+    """Incrementally hash ONE new corpus shard into an existing
+    checkpointed run (only edges/CC are rebuilt over the union)."""
+    import ray
+    from apollo_ray.pipelines.dedup import append_dedup
+    from apollo_ray.sources.io import read_pages
+    owns = _init_ray(args.num_cpus)
+    cfg = _cfg_from_args(args)
+    pages = read_pages(args.input, lang_filter=args.lang.split(",")
+                       if args.lang else None)
+    import hashlib
+    shard_fp = args.shard or hashlib.md5(args.input.encode()).hexdigest()[:16]
+    out = append_dedup(pages, cfg, ckpt_root=args.ckpt,
+                       shard_fingerprint=shard_fp)
+    n = out["clusters"].count()
+    print(json.dumps({"docs": n, "metrics": out["metrics"]}, default=str))
+    if owns:
+        ray.shutdown()
+    return 0
+
+
 def cmd_curate(args) -> int:
     """Clean -> filter -> dedup -> representatives; writes the curated
     corpus as partitioned Parquet (resumable output layout)."""
@@ -161,6 +182,15 @@ def main(argv=None) -> int:
     sp.add_argument("--communities", action="store_true")
     sp.add_argument("--stats", action="store_true")
     sp.set_defaults(handler=cmd_run)
+
+    sp = sub.add_parser("append")
+    common(sp)
+    sp.add_argument("--input", required=True,
+                    help="pages parquet dir of the NEW shard")
+    sp.add_argument("--lang", default=None)
+    sp.add_argument("--shard", default=None,
+                    help="shard fingerprint (defaults to --input path)")
+    sp.set_defaults(handler=cmd_append)
 
     sp = sub.add_parser("curate")
     sp.add_argument("--input", required=True)

@@ -197,3 +197,106 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
         out["communities"] = comms
     metrics["total_sec"] = round(time.monotonic() - t_start, 3)
     return out
+
+
+def append_dedup(new_pages: "ray.data.Dataset", cfg: DedupConfig,
+                 ckpt_root: str, shard_fingerprint: str,
+                 num_partitions: int = 64) -> dict[str, Any]:
+    """Incrementally add a corpus shard to an existing checkpointed
+    dedup run — the analog of the reference's append-style ingestion,
+    where a new ``bags``/``hash`` invocation extends the Cassandra
+    tables and ``cc`` re-runs over everything
+    (``apollo/hasher.py:181-203``, ``apollo/graph.py:91-148``).
+
+    Only the NEW shard is extracted and hashed (at 100 TB the hash
+    tier dominates; a daily increment re-hashes only itself).  The
+    shard's docs/reps/bands are appended to the stage checkpoints as
+    ``shard-<fp>/`` subdirectories; then the cheap wide stages —
+    bucket edges and connected components — are rebuilt over the FULL
+    band table, because a new doc landing in an old bucket must link
+    to the old members.  Cross-shard exact duplicates need no special
+    casing: identical text means identical signature means identical
+    buckets, so the LSH tier merges them.
+
+    Constraints (raise): the base checkpoints must exist with the same
+    config hash; ``cfg.verify`` and idf/min-df weighting are
+    unsupported (verification reads a bags checkpoint this mode does
+    not maintain, and document-frequency weights are corpus-global —
+    appending would hash the shard against a different df model).
+
+    Idempotent: re-running with the same ``shard_fingerprint`` skips
+    the shard compute and only rebuilds edges/clusters if needed.
+    """
+    from apollo_ray.stages.fused import fused_bands
+
+    import re
+    if not re.fullmatch(r"[A-Za-z0-9._+-]+", shard_fingerprint):
+        raise ValueError("shard_fingerprint must be a filesystem-safe "
+                         "token, got %r" % shard_fingerprint)
+    if cfg.verify or cfg.needs_docfreq:
+        raise ValueError(
+            "append_dedup supports only verify=False and non-idf "
+            "weighting without min_df (corpus-global state)")
+    chash = cfg.config_hash()
+    for st in ("docs", "bands") + (("reps",) if cfg.collapse_exact else ()):
+        try:
+            man = ckpt_io.read_manifest(ckpt_root, st)
+        except (OSError, ValueError):
+            raise FileNotFoundError(
+                "append_dedup: base stage '%s' missing under %s — run the "
+                "full pipeline with a checkpoint root first" % (st, ckpt_root))
+        if man.get("config_hash") != chash:
+            raise ValueError(
+                "append_dedup: config hash mismatch on stage '%s' "
+                "(checkpoint %s, config %s)"
+                % (st, man.get("config_hash"), chash))
+    metrics: dict[str, Any] = {}
+    t_start = time.monotonic()
+    stages_to_fill = [
+        s for s in (("docs", "reps", "bands") if cfg.collapse_exact
+                    else ("docs", "bands"))
+        if not ckpt_io.has_shard(ckpt_root, s, shard_fingerprint)]
+    if stages_to_fill:
+        t0 = time.monotonic()
+        new_docs = extract_docs(new_pages, cfg).materialize()
+        if cfg.collapse_exact:
+            new_reps, _ = collapse_exact(new_docs, with_membership=True)
+            new_reps = new_reps.materialize()
+        else:
+            new_reps = new_docs
+        new_bands = fused_bands(new_reps, cfg).materialize()
+        metrics["shard_hash_sec"] = round(time.monotonic() - t0, 3)
+        ckpt_io.append_stage(new_docs, ckpt_root, "docs", shard_fingerprint)
+        if cfg.collapse_exact:
+            ckpt_io.append_stage(new_reps, ckpt_root, "reps",
+                                 shard_fingerprint)
+        ckpt_io.append_stage(new_bands, ckpt_root, "bands",
+                             shard_fingerprint)
+        metrics["shard_rows"] = new_docs.count()
+    else:
+        metrics["shard_cached"] = True
+
+    docs = ckpt_io.read_stage(ckpt_root, "docs")
+    bands = ckpt_io.read_stage(ckpt_root, "bands")
+    combined_fp = "+".join(
+        [ckpt_io.read_manifest(ckpt_root, "docs").get("input_fingerprint", "")]
+        + ckpt_io.read_manifest(ckpt_root, "docs").get("shards", []))
+
+    t0 = time.monotonic()
+    edges = bucket_star_edges(bands, cfg, num_partitions=num_partitions)
+    if cfg.collapse_exact:
+        reps = ckpt_io.read_stage(ckpt_root, "reps")
+        edges = edges.union(exact_member_edges(reps))
+    edges = ckpt_io.write_stage(edges, ckpt_root, "edges", chash, combined_fp)
+    metrics["edges_sec"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    final_edges = connected_components(edges, num_partitions=num_partitions,
+                                       max_rounds=cfg.cc_max_rounds)
+    clusters = assign_clusters(docs.select_columns(["doc_id"]), final_edges)
+    clusters = ckpt_io.write_stage(clusters, ckpt_root, "clusters", chash,
+                                   combined_fp)
+    metrics["clusters_sec"] = round(time.monotonic() - t0, 3)
+    metrics["total_sec"] = round(time.monotonic() - t_start, 3)
+    return {"docs": docs, "bands": bands, "edges": edges,
+            "clusters": clusters, "metrics": metrics}

@@ -80,6 +80,8 @@ def write_stage(ds: "ray.data.Dataset", ckpt_root: str, stage: str,
 
 def read_stage(ckpt_root: str, stage: str, columns: list[str] | None = None
                ) -> "ray.data.Dataset":
+    """Read a stage: its top-level part files plus any appended
+    ``shard-*/`` subdirectories (see :func:`append_stage`)."""
     d = stage_dir(ckpt_root, stage)
     if not os.path.isdir(d):
         raise FileNotFoundError(
@@ -90,7 +92,51 @@ def read_stage(ckpt_root: str, stage: str, columns: list[str] | None = None
                if os.path.isdir(ckpt_root) else "none"))
     files = [os.path.join(d, f) for f in sorted(os.listdir(d))
              if f.endswith(".parquet")]
+    for sub in sorted(os.listdir(d)):
+        subd = os.path.join(d, sub)
+        if sub.startswith("shard-") and os.path.isdir(subd):
+            files += [os.path.join(subd, f) for f in sorted(os.listdir(subd))
+                      if f.endswith(".parquet")]
     return ray.data.read_parquet(files, columns=columns)
+
+
+def has_shard(ckpt_root: str, stage: str, shard_fp: str) -> bool:
+    return os.path.isdir(os.path.join(stage_dir(ckpt_root, stage),
+                                      "shard-" + shard_fp))
+
+
+def append_stage(ds: "ray.data.Dataset", ckpt_root: str, stage: str,
+                 shard_fp: str) -> None:
+    """Append one shard's rows to an existing stage checkpoint as an
+    atomically-renamed ``shard-<fp>/`` subdirectory (the analog of the
+    reference appending rows to its Cassandra tables — new corpus
+    increments extend ``bags``/``hashes``/``hashtables`` in place,
+    ``apollo/bags.py:20-25``, ``apollo/hasher.py:181-203``).
+
+    Idempotent per (stage, shard_fp): an existing shard dir is left
+    untouched.  The manifest gains the shard fp in a ``shards`` list;
+    a crash between rename and manifest update leaves readable data
+    whose next append attempt is a no-op, so re-running the append is
+    always safe.
+    """
+    out = os.path.join(stage_dir(ckpt_root, stage), "shard-" + shard_fp)
+    if os.path.isdir(out):
+        return
+    if not os.path.isdir(stage_dir(ckpt_root, stage)):
+        raise FileNotFoundError(
+            "cannot append to missing stage '%s' under %s" % (stage, ckpt_root))
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    ds.write_parquet(tmp)
+    os.replace(tmp, out)
+    try:
+        man = read_manifest(ckpt_root, stage)
+    except (OSError, ValueError):
+        man = {"stage": stage}
+    man.setdefault("shards", []).append(shard_fp)
+    with open(manifest_path(ckpt_root, stage), "w") as f:
+        json.dump(man, f, indent=1)
 
 
 def read_manifest(ckpt_root: str, stage: str) -> dict[str, Any]:
