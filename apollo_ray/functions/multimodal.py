@@ -1,11 +1,12 @@
 """Multimodal column plumbing: binary payloads + typed metadata.
 
 Image/audio/video are opaque ``binary`` columns processed by actor-pool
-``map_batches`` stages.  PNG and WAV are decoded for real with the
-pure-stdlib codecs in ``kernels/codecs.py`` (struct + zlib + numpy);
-formats that genuinely need external decoders (JPEG, MP3, video) fall
-back to a deterministic byte-statistics vector in ``mode="fake"`` and
-raise exactly at the plug-in point in ``mode="strict"``.
+``map_batches`` stages.  PNG, WAV and baseline JPEG are decoded for
+real with the pure-stdlib codecs in ``kernels/codecs.py`` /
+``kernels/jpeg.py`` (struct + zlib + numpy); formats that genuinely
+need external decoders (progressive JPEG, MP3, video) fall back to a
+deterministic byte-statistics vector in ``mode="fake"`` and raise
+exactly at the plug-in point in ``mode="strict"``.
 
 The Ray-side plumbing is the part that matters at scale and is fully
 real either way: schema contracts, small batch sizes for large
@@ -22,6 +23,7 @@ import ray.data
 
 from apollo_ray.kernels.codecs import (decode_png, decode_wav, parse_png,
                                        parse_wav, sniff)
+from apollo_ray.kernels.jpeg import decode_jpeg, parse_jpeg
 
 FEATURE_DIM = 16
 
@@ -34,15 +36,25 @@ def _byte_hist(blob: bytes) -> np.ndarray:
     return (hist / max(1, len(arr))).astype(np.float32)
 
 
-def _png_features(blob: bytes) -> np.ndarray:
-    px = decode_png(blob).astype(np.float32)
+def _image_features(px: np.ndarray, kind_code: float) -> np.ndarray:
+    px = px.astype(np.float32)
+    if px.ndim == 2:
+        px = px[:, :, None]
     lum = px.mean(axis=2).ravel() / 255.0
     hist = np.histogram(lum, bins=10, range=(0.0, 1.0))[0].astype(np.float32)
     hist /= max(1, lum.size)
     h, w, ch = px.shape
-    head = np.array([1.0, w, h, ch, float(px.mean() / 255.0),
+    head = np.array([kind_code, w, h, ch, float(px.mean() / 255.0),
                      float(px.std() / 255.0)], dtype=np.float32)
     return np.concatenate([head, hist])
+
+
+def _png_features(blob: bytes) -> np.ndarray:
+    return _image_features(decode_png(blob), 1.0)
+
+
+def _jpeg_features(blob: bytes) -> np.ndarray:
+    return _image_features(decode_jpeg(blob), 3.0)
 
 
 def _wav_features(blob: bytes) -> np.ndarray:
@@ -83,10 +95,20 @@ class BinaryFeatureExtractor:
             return _png_features(blob)
         if kind == "wav":
             return _wav_features(blob)
+        if kind == "jpeg":
+            try:
+                return _jpeg_features(blob)
+            except NotImplementedError:
+                # progressive / arithmetic JPEG — beyond the pure-
+                # stdlib decoder
+                if self.mode == "strict":
+                    raise
+                return _byte_hist(blob)
         if self.mode == "strict":
             raise NotImplementedError(
-                "payload is neither PNG nor WAV; decoding it needs an "
-                "external library (PIL/ffmpeg) — plug the decoder in here")
+                "payload is not PNG/WAV/baseline-JPEG; decoding it needs "
+                "an external library (PIL/ffmpeg) — plug the decoder in "
+                "here")
         return _byte_hist(blob)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -126,6 +148,9 @@ class MediaMetadata:
             if kind == "png":
                 m = parse_png(blob)
                 w, h, ch = m["width"], m["height"], m["n_channels"]
+            elif kind == "jpeg":
+                m = parse_jpeg(blob)
+                w, h, ch = m["width"], m["height"], m["n_components"]
             elif kind == "wav":
                 m = parse_wav(blob)
                 rate, ch = m["sample_rate"], m["n_channels"]

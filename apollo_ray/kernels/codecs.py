@@ -8,9 +8,13 @@ Covers the formats a dependency-free engine can own outright:
   greyscale/RGB/RGBA non-interlaced images (zlib inflate + all five
   scanline filters per the PNG spec §9).
 
-Encoders exist for round-trip tests.  Formats beyond these (JPEG,
-MP3, video) still need external decoders — that boundary is where
-``functions/multimodal.py`` raises in strict mode.
+- JPEG (baseline sequential, via ``kernels/jpeg.py``): metadata for
+  any JPEG; full decode for SOF0 greyscale/YCbCr up to 2x2 sampling
+  (4:4:4 / 4:2:2 / 4:2:0) with restart markers.
+
+Encoders exist for round-trip tests.  Formats beyond these
+(progressive JPEG, MP3, video) still need external decoders — that
+boundary is where ``functions/multimodal.py`` raises in strict mode.
 """
 
 from __future__ import annotations
@@ -26,11 +30,13 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type -> channels
 
 
 def sniff(blob: bytes) -> str:
-    """'png' | 'wav' | 'unknown' by magic bytes."""
+    """'png' | 'wav' | 'jpeg' | 'unknown' by magic bytes."""
     if blob[:8] == PNG_MAGIC:
         return "png"
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return "wav"
+    if blob[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return "unknown"
 
 

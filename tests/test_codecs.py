@@ -89,7 +89,8 @@ def test_png_all_filter_types_decode():
 
 
 def test_sniff_unknown():
-    assert sniff(b"\xff\xd8\xff") == "unknown"      # JPEG magic
+    assert sniff(b"\xff\xd8\xff") == "jpeg"
+    assert sniff(b"\xff\xd8zz") == "unknown"        # SOI but no marker
     assert sniff(b"") == "unknown"
     with pytest.raises(ValueError):
         parse_png(b"nope")
