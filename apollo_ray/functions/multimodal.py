@@ -16,12 +16,15 @@ payloads, actor ``__init__`` decoder setup, and output layout
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pyarrow as pa
 
 import ray.data
 
-from apollo_ray.kernels.codecs import (decode_png, decode_wav, parse_png,
+from apollo_ray.kernels.codecs import (decode_png, decode_wav, parse_avi,
+                                       parse_mp3, parse_mp4, parse_png,
                                        parse_wav, sniff)
 from apollo_ray.kernels.jpeg import decode_jpeg, parse_jpeg
 
@@ -145,16 +148,13 @@ class MediaMetadata:
             kind = sniff(blob)
             w = h = ch = rate = 0
             dur = 0.0
-            if kind == "png":
-                m = parse_png(blob)
-                w, h, ch = m["width"], m["height"], m["n_channels"]
-            elif kind == "jpeg":
-                m = parse_jpeg(blob)
-                w, h, ch = m["width"], m["height"], m["n_components"]
-            elif kind == "wav":
-                m = parse_wav(blob)
-                rate, ch = m["sample_rate"], m["n_channels"]
-                dur = m["duration_s"]
+            try:
+                w, h, ch, rate, dur = self._parse(kind, blob)
+            except (ValueError, NotImplementedError, struct.error,
+                    IndexError):
+                # truncated/corrupt header on a sniffed format: a
+                # metadata sweep over a dirty corpus must not die
+                kind = "corrupt_" + kind
             rows["kind"].append(kind)
             rows["width"].append(w)
             rows["height"].append(h)
@@ -173,6 +173,35 @@ class MediaMetadata:
             if name != self.payload_col:
                 out = out.append_column(name, batch.column(name))
         return out
+
+    @staticmethod
+    def _parse(kind: str, blob: bytes):
+        w = h = ch = rate = 0
+        dur = 0.0
+        if kind == "png":
+            m = parse_png(blob)
+            w, h, ch = m["width"], m["height"], m["n_channels"]
+        elif kind == "jpeg":
+            m = parse_jpeg(blob)
+            w, h, ch = m["width"], m["height"], m["n_components"]
+        elif kind == "wav":
+            m = parse_wav(blob)
+            rate, ch = m["sample_rate"], m["n_channels"]
+            dur = m["duration_s"]
+        elif kind == "mp3":
+            m = parse_mp3(blob)
+            rate, ch = m["sample_rate"], m["n_channels"]
+            dur = m["duration_s"]
+        elif kind == "mp4":
+            m = parse_mp4(blob)
+            w, h = m["width"], m["height"]
+            ch = m["n_tracks"]
+            dur = m["duration_s"]
+        elif kind == "avi":
+            m = parse_avi(blob)
+            w, h = m["width"], m["height"]
+            dur = m["duration_s"]
+        return w, h, ch, rate, dur
 
 
 def extract_binary_features(ds: "ray.data.Dataset", payload_col: str = "payload",

@@ -142,3 +142,106 @@ def test_strict_mode_raises_only_for_unknown(media_ds):
         ds.to_pandas()
     assert "NotImplementedError" in str(ei.value) or \
         isinstance(ei.value, NotImplementedError)
+
+
+# --- MP3 / MP4 / AVI header metadata (no sample decode) ------------------
+
+def _mp3_frames(n_frames=10, xing_frames=0, id3_pad=0):
+    """Hand-built MPEG1 Layer III 128 kbps 44.1 kHz stereo frames."""
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])   # sync, V1 L3, 128k/44.1, stereo
+    flen = (144 * 128000) // 44100          # 417 bytes, no padding
+    frame = bytearray(hdr + b"\x00" * (flen - 4))
+    if xing_frames:
+        p = 4 + 32                           # after MPEG1-stereo side info
+        frame[p:p + 4] = b"Xing"
+        frame[p + 4:p + 12] = struct.pack(">II", 1, xing_frames)
+    blob = bytes(frame) * n_frames
+    if id3_pad:
+        tag = (b"ID3" + b"\x04\x00\x00"
+               + bytes([(id3_pad >> 21) & 0x7F, (id3_pad >> 14) & 0x7F,
+                        (id3_pad >> 7) & 0x7F, id3_pad & 0x7F])
+               + b"\x00" * id3_pad)
+        blob = tag + blob
+    return blob
+
+
+def test_mp3_header_cbr_and_xing():
+    from apollo_ray.kernels.codecs import parse_mp3
+    blob = _mp3_frames(10)
+    assert sniff(blob) == "mp3"
+    m = parse_mp3(blob)
+    assert m["mpeg_version"] == 1 and m["layer"] == 3
+    assert m["bitrate_kbps"] == 128 and m["sample_rate"] == 44100
+    assert m["n_channels"] == 2 and not m["vbr"]
+    assert abs(m["duration_s"] - len(blob) * 8 / 128000) < 1e-9
+
+    vbr = parse_mp3(_mp3_frames(10, xing_frames=500))
+    assert vbr["vbr"]
+    assert abs(vbr["duration_s"] - 500 * 1152 / 44100) < 1e-9
+
+    tagged = _mp3_frames(4, id3_pad=200)
+    assert sniff(tagged) == "mp3"
+    assert parse_mp3(tagged)["bitrate_kbps"] == 128
+
+
+def _box(btype, body):
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _mp4_blob(timescale=1000, duration=5000, w=640, h=360):
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    mvhd = _box(b"mvhd", struct.pack(">B3xII", 0, 0, 0)
+                + struct.pack(">II", timescale, duration)
+                + b"\x00" * 80)
+    tkhd = _box(b"tkhd", b"\x00" * 76
+                + struct.pack(">II", w << 16, h << 16))
+    hdlr = _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    trak = _box(b"trak", tkhd + _box(b"mdia", hdlr))
+    return ftyp + _box(b"moov", mvhd + trak)
+
+
+def test_mp4_box_walk():
+    from apollo_ray.kernels.codecs import parse_mp4
+    blob = _mp4_blob()
+    assert sniff(blob) == "mp4"
+    m = parse_mp4(blob)
+    assert m["major_brand"] == "isom"
+    assert abs(m["duration_s"] - 5.0) < 1e-9
+    assert (m["width"], m["height"]) == (640, 360)
+    assert m["n_tracks"] == 1 and m["has_video"] and not m["has_audio"]
+
+
+def _avi_blob(us_pf=33333, frames=90, w=320, h=240):
+    avih_body = struct.pack("<IIIIIIII", us_pf, 0, 0, 0, frames, 0, 1, 0) \
+        + struct.pack("<II", w, h) + b"\x00" * 16
+    avih = b"avih" + struct.pack("<I", len(avih_body)) + avih_body
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih)) + b"hdrl" + avih
+    return b"RIFF" + struct.pack("<I", 4 + len(hdrl)) + b"AVI " + hdrl
+
+
+def test_avi_header():
+    from apollo_ray.kernels.codecs import parse_avi
+    blob = _avi_blob()
+    assert sniff(blob) == "avi"
+    m = parse_avi(blob)
+    assert (m["width"], m["height"], m["n_frames"]) == (320, 240, 90)
+    assert abs(m["fps"] - 1e6 / 33333) < 1e-6
+    assert abs(m["duration_s"] - 90 * 33333 / 1e6) < 1e-3
+
+
+def test_media_metadata_containers(ray_session):
+    import ray.data as rd
+    from apollo_ray.functions.multimodal import media_metadata
+    ds = rd.from_arrow(pa.table({
+        "item_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "payload": pa.array(
+            [_mp3_frames(6), _mp4_blob(), _avi_blob(),
+             _mp3_frames(1)[:3]],        # truncated: sniffs mp3, parse fails
+            type=pa.binary()),
+    }))
+    df = media_metadata(ds).to_pandas().set_index("item_id")
+    assert df.loc[1, "kind"] == "mp3" and df.loc[1, "sample_rate"] == 44100
+    assert df.loc[2, "kind"] == "mp4"
+    assert (df.loc[2, "width"], df.loc[2, "height"]) == (640, 360)
+    assert df.loc[3, "kind"] == "avi" and df.loc[3, "width"] == 320
+    assert df.loc[4, "kind"] == "corrupt_mp3"
