@@ -110,6 +110,11 @@ def _redact_pii_sql() -> str:
     return sql
 
 
+def _minhash_signatures_sql_entry() -> str:
+    from apollo_ray.functions.dedup_extras import minhash_signatures_sql
+    return minhash_signatures_sql()
+
+
 def _docs(sf_dir: str):
     import ray.data
     return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -193,6 +198,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_simhash_pairs(sf_dir):
         return dedup_extras.simhash_pairs(_docs(sf_dir))
+
+    def q_minhash_signatures(sf_dir):
+        return dedup_extras.minhash_signatures(_docs(sf_dir))
 
     def q_lang_id(sf_dir):
         return textstats.lang_id(_docs(sf_dir))
@@ -354,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_clusters": q_minhash_clusters,
         "minhash_dedup_invariants": q_minhash_invariants,
         "simhash_pairs": q_simhash_pairs,
+        "minhash_signatures": q_minhash_signatures,
         "lang_id_fingerprint": q_lang_id,
         "ann_topk": q_ann_topk,
         "substring_dup_spans": q_substring_spans,
@@ -514,6 +523,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.sig, b.sig)) <= 3
         """,
         "lang_id_fingerprint": _lang_id_sql(),
+        "minhash_signatures": _minhash_signatures_sql_entry(),
         "purchase_window": """
             WITH p AS (
               SELECT event_id, user_id, epoch_us(ts) AS ts_us

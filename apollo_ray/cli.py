@@ -41,7 +41,8 @@ def _cfg_from_args(args) -> "DedupConfig":
     from apollo_ray.config import DedupConfig
     cfg = DedupConfig()
     over = {}
-    for f in ("shingle_k", "size", "threshold", "seed", "feature_dim_log2"):
+    for f in ("shingle_k", "size", "threshold", "seed", "feature_dim_log2",
+              "minhash_mode"):
         v = getattr(args, f, None)
         if v is not None:
             over[f] = v
@@ -174,6 +175,11 @@ def main(argv=None) -> int:
         sp.add_argument("--threshold", type=float)
         sp.add_argument("--seed", type=int)
         sp.add_argument("--feature-dim-log2", dest="feature_dim_log2", type=int)
+        sp.add_argument("--minhash-mode", dest="minhash_mode",
+                        choices=("weighted", "unweighted"), default=None,
+                        help="weighted = Ioffe WMH over weighted bags "
+                             "(reference scheme); unweighted = classic "
+                             "k-permutation MinHash (binary Jaccard)")
 
     sp = sub.add_parser("run")
     common(sp)

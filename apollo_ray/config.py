@@ -34,6 +34,11 @@ class DedupConfig:
     # --- Weighted MinHash (apollo `hash` command) ---
     size: int = 128               # samples per signature (--size)
     seed: int = 42                # WMH param seed (--seed; fixed => reusable params)
+    # "weighted": Ioffe WMH over weighted bags (the reference's scheme);
+    # "unweighted": classic k-permutation MinHash over the distinct
+    # feature set (kernels/minhash.py) — binary Jaccard semantics,
+    # compute-bound kernel (no param gather), the cheap web-dedup mode
+    minhash_mode: str = "weighted"
 
     # --- LSH banding ---
     threshold: float = 0.8        # Jaccard similarity threshold (--threshold)

@@ -216,6 +216,94 @@ def ngram_jaccard_pairs(docs: "ray.data.Dataset", k: int = 3,
         .groupby("pkey").map_groups(count_and_filter, batch_format="pyarrow")
 
 
+def minhash_signatures(docs: "ray.data.Dataset", k: int = 3,
+                       n_perm: int = 16, seed: int = 42
+                       ) -> "ray.data.Dataset":
+    """(doc_id, j, sig) — classic unweighted k-permutation MinHash
+    signatures over the doc's DISTINCT k-shingle strings, md5-hashed
+    to 32 bits (DuckDB ``md5_number_lower % 2**32`` semantics), then
+    permuted with the seeded coefficients of
+    ``kernels.minhash.generate_minhash_params`` (the same model the
+    ``minhash_mode="unweighted"`` pipeline regenerates per worker).
+
+    Everything is exact uint64 arithmetic, so the full signature table
+    is value-reproducible in SQL — the driver hash-checks all
+    ``n_docs_with_shingles * n_perm`` rows.  Docs with < k tokens have
+    no shingles and emit no rows (mirrors the oracle).  Map-only
+    stage: streams at any corpus size.
+    """
+    from apollo_ray.kernels.minhash import generate_minhash_params, minhash_batch
+    from apollo_ray.kernels.text import _md5_u64
+    params = generate_minhash_params(n_perm, seed)
+
+    def f(batch: pa.Table) -> pa.Table:
+        a, b = params["a"], params["b"]
+        memo: dict = {}
+        ids: list[int] = []
+        sets: list[np.ndarray] = []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            toks = t.split()
+            if len(toks) < k:
+                continue
+            shingles = {" ".join(toks[i:i + k])
+                        for i in range(len(toks) - k + 1)}
+            vals = []
+            for s in shingles:
+                v = memo.get(s)
+                if v is None:
+                    v = _md5_u64(s) & 0xFFFFFFFF
+                    memo[s] = v
+                vals.append(v)
+            ids.append(did)
+            sets.append(np.unique(np.asarray(vals, dtype=np.uint64)))
+        if not ids:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "j": pa.array([], type=pa.int64()),
+                             "sig": pa.array([], type=pa.int64())})
+        indptr = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum([len(s) for s in sets], out=indptr[1:])
+        sigs = minhash_batch(indptr, np.concatenate(sets), a, b)
+        n = len(ids)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(np.asarray(ids, dtype=np.int64),
+                                         n_perm), type=pa.int64()),
+            "j": pa.array(np.tile(np.arange(n_perm, dtype=np.int64), n),
+                          type=pa.int64()),
+            "sig": pa.array(sigs.astype(np.int64).ravel(), type=pa.int64()),
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def minhash_signatures_sql(k: int = 3, n_perm: int = 16,
+                           seed: int = 42) -> str:
+    """DuckDB oracle for :func:`minhash_signatures`, generated from
+    the kernel's own seeded coefficients (single source of truth)."""
+    from apollo_ray.kernels.minhash import P_MINHASH, generate_minhash_params
+    params = generate_minhash_params(n_perm, seed)
+    values = ", ".join("(%d, %d::UBIGINT, %d::UBIGINT)" % (j, a, b)
+                       for j, (a, b) in enumerate(zip(params["a"],
+                                                      params["b"])))
+    return r"""
+            WITH par(j, a, b) AS (VALUES %s),
+            tok AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents WHERE length(trim(text)) > 0),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     md5_number_lower(array_to_string(toks[i:i+%d], ' '))
+                       %% 4294967296::UBIGINT AS u
+              FROM tok,
+                   LATERAL (SELECT unnest(range(1, greatest(len(toks) - %d, 0) + 1)) AS i)
+              WHERE len(toks) >= %d)
+            SELECT doc_id, j,
+                   CAST(min((u * a + b) %% %d::UBIGINT) AS BIGINT) AS sig
+            FROM sh CROSS JOIN par
+            GROUP BY doc_id, j
+        """ % (values, k - 1, k - 1, k, P_MINHASH)
+
+
 def md5_simhash_sig(text: str, k: int = 3,
                     memo: dict | None = None) -> int | None:
     """64-bit unweighted SimHash over the doc's DISTINCT k-shingle

@@ -77,12 +77,22 @@ def oracle_clusters(urls: list[str], htmls: list[bytes], cfg: DedupConfig
         indices.append(idx)
         weights.append(w)
         indptr.append(indptr[-1] + len(idx))
-    p = generate_params(cfg.feature_dim, cfg.size, cfg.seed)
-    sigs = weighted_minhash_batch(
-        np.asarray(indptr, dtype=np.int64),
-        np.concatenate(indices) if indices else np.empty(0, np.uint32),
-        np.concatenate(weights) if weights else np.empty(0, np.float32),
-        p["rs"], p["ln_cs"], p["betas"])
+    if cfg.minhash_mode == "unweighted":
+        from apollo_ray.kernels.minhash import (generate_minhash_params,
+                                                minhash_batch,
+                                                sig_to_u32_lanes)
+        mp = generate_minhash_params(cfg.size, cfg.seed)
+        sigs = sig_to_u32_lanes(minhash_batch(
+            np.asarray(indptr, dtype=np.int64),
+            np.concatenate(indices) if indices else np.empty(0, np.uint32),
+            mp["a"], mp["b"]))
+    else:
+        p = generate_params(cfg.feature_dim, cfg.size, cfg.seed)
+        sigs = weighted_minhash_batch(
+            np.asarray(indptr, dtype=np.int64),
+            np.concatenate(indices) if indices else np.empty(0, np.uint32),
+            np.concatenate(weights) if weights else np.empty(0, np.float32),
+            p["rs"], p["ln_cs"], p["betas"])
 
     # banding into dict buckets keyed by raw band bytes
     from apollo_ray.stages.bands import band_params

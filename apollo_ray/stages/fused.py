@@ -116,10 +116,15 @@ def fused_hash_batch(batch: pa.Table, cfg: DedupConfig, params_ref,
         return pa.table({"band_id": pa.array([], type=pa.int32()),
                          "bucket": pa.array([], type=pa.int64()),
                          "doc_id": pa.array([], type=pa.int64())})
-    sigs = wmh_batch_t(indptr_np, idx_flat, w_flat,
-                       st["dparams"], nnz_budget=_FUSED_NNZ_BUDGET,
-                       work_bufs=st["bufs"])
-    flat = sigs.reshape(len(keep_rows), -1)
+    if cfg.minhash_mode == "unweighted":
+        from apollo_ray.kernels.minhash import minhash_batch, sig_to_u32_lanes
+        flat = sig_to_u32_lanes(minhash_batch(
+            indptr_np, idx_flat, st["dparams"]["a"], st["dparams"]["b"]))
+    else:
+        sigs = wmh_batch_t(indptr_np, idx_flat, w_flat,
+                           st["dparams"], nnz_budget=_FUSED_NNZ_BUDGET,
+                           work_bufs=st["bufs"])
+        flat = sigs.reshape(len(keep_rows), -1)
     buckets = bucket_keys(flat, htnum, band_size)
     ids = doc_ids[keep_rows]
     n = len(ids)

@@ -125,8 +125,12 @@ class ProbeHasher:
 
     def __init__(self, cfg: DedupConfig):
         self.cfg = cfg
-        p = generate_params(cfg.feature_dim, cfg.size, cfg.seed)
-        self.rs, self.ln_cs, self.betas = p["rs"], p["ln_cs"], p["betas"]
+        if cfg.minhash_mode == "unweighted":
+            from apollo_ray.kernels.minhash import generate_minhash_params
+            self.mh_params = generate_minhash_params(cfg.size, cfg.seed)
+        else:
+            p = generate_params(cfg.feature_dim, cfg.size, cfg.seed)
+            self.rs, self.ln_cs, self.betas = p["rs"], p["ln_cs"], p["betas"]
         self.hasher = TokenHasher(seed=cfg.seed)
         self.htnum, self.band_size = band_params(cfg)
 
@@ -137,9 +141,15 @@ class ProbeHasher:
         idx, w = doc_to_bag(text, self.hasher, cfg.shingle_k,
                             cfg.feature_dim_log2, **cfg.bag_kwargs)
         indptr = np.array([0, len(idx)], dtype=np.int64)
-        sig = weighted_minhash_batch(indptr, idx, w, self.rs, self.ln_cs,
-                                     self.betas)[0]
-        flat = sig.reshape(1, -1)
+        if cfg.minhash_mode == "unweighted":
+            from apollo_ray.kernels.minhash import (minhash_batch,
+                                                    sig_to_u32_lanes)
+            flat = sig_to_u32_lanes(minhash_batch(
+                indptr, idx, self.mh_params["a"], self.mh_params["b"]))
+        else:
+            sig = weighted_minhash_batch(indptr, idx, w, self.rs, self.ln_cs,
+                                         self.betas)[0]
+            flat = sig.reshape(1, -1)
         buckets = bucket_keys(flat, self.htnum, self.band_size)[0]
         return buckets, idx, w
 
@@ -155,7 +165,9 @@ def _bucket_candidates(buckets: np.ndarray,
         return batch.filter(pa.array(np.isin(b, barr))).select(["doc_id"])
 
     out = bands_ds.map_batches(flt, batch_format="pyarrow").unique("doc_id")
-    return [int(c) for c in out]
+    # Dataset.unique returns None (not []) when the filter matched
+    # nothing — a probe with no shared buckets has no candidates
+    return [int(c) for c in out] if out else []
 
 
 def _verify_candidates(cands: list[int], bags_ds: "ray.data.Dataset",
@@ -170,10 +182,17 @@ def _verify_candidates(cands: list[int], bags_ds: "ray.data.Dataset",
         mask = np.isin(d, cand_arr)
         sub = batch.filter(pa.array(mask))
         ip, ix, w = list_columns_to_csr(sub, "indices", "weights")
+        binary = cfg.minhash_mode == "unweighted"
         keep = []
         for i in range(sub.num_rows):
-            s = weighted_jaccard_sparse(ix[ip[i]:ip[i + 1]], w[ip[i]:ip[i + 1]],
-                                        p_idx, p_w)
+            ii = ix[ip[i]:ip[i + 1]]
+            if binary:  # plain set Jaccard — what unweighted sigs estimate
+                inter = len(np.intersect1d(ii, p_idx, assume_unique=True))
+                union = len(ii) + len(p_idx) - inter
+                s = inter / union if union else 0.0
+            else:
+                s = weighted_jaccard_sparse(ii, w[ip[i]:ip[i + 1]],
+                                            p_idx, p_w)
             keep.append(s >= cfg.threshold)
         return sub.select(["doc_id"]).filter(pa.array(np.array(keep, dtype=bool)))
 

@@ -52,7 +52,11 @@ def unpack_bag(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     return idx, w
 
 
-def _jaccard_filter(batch: pa.Table, threshold: float) -> pa.Table:
+def _jaccard_filter(batch: pa.Table, threshold: float,
+                    binary: bool = False) -> pa.Table:
+    """``binary``: plain set Jaccard over the feature indices (the
+    similarity the unweighted MinHash signatures estimate); otherwise
+    weighted Jaccard over the bag weights (the WMH similarity)."""
     bu = batch.column("bag_u").to_pylist()
     bv = batch.column("bag_v").to_pylist()
     n = batch.num_rows
@@ -61,7 +65,12 @@ def _jaccard_filter(batch: pa.Table, threshold: float) -> pa.Table:
     for i in range(n):
         iu, wu = unpack_bag(bu[i])
         iv, wv = unpack_bag(bv[i])
-        s = weighted_jaccard_sparse(iu, wu, iv, wv)
+        if binary:
+            inter = len(np.intersect1d(iu, iv, assume_unique=True))
+            union = len(iu) + len(iv) - inter
+            s = inter / union if union else 0.0
+        else:
+            s = weighted_jaccard_sparse(iu, wu, iv, wv)
         sims[i] = s
         keep[i] = s >= threshold
     out = pa.table({
@@ -84,5 +93,7 @@ def verify_edges(edges: "ray.data.Dataset", bags: "ray.data.Dataset",
     jv = hash_join(ju, packed, on=("v",), right_on=("doc_id",),
                    num_partitions=num_partitions)
     jv = jv.rename_columns({"bag": "bag_v"})
-    return jv.map_batches(_jaccard_filter, batch_format="pyarrow",
-                          fn_kwargs={"threshold": cfg.threshold})
+    return jv.map_batches(
+        _jaccard_filter, batch_format="pyarrow",
+        fn_kwargs={"threshold": cfg.threshold,
+                   "binary": cfg.minhash_mode == "unweighted"})

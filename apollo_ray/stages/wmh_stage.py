@@ -86,25 +86,66 @@ class WmhHasher:
         })
 
 
+class MinHasher:
+    """Actor-pool hasher for ``minhash_mode="unweighted"``: classic
+    k-permutation MinHash over the bag's distinct feature indices
+    (weights ignored — binary Jaccard semantics).  Parameters are
+    2 × ``size`` uint64 coefficients regenerated from the seed in
+    ``__init__`` (no broadcast needed at that size); output uses the
+    same ``sig: list<uint32>[2*size]`` layout as WMH so the band
+    exploder and checkpoints are shared."""
+
+    def __init__(self, cfg: DedupConfig):
+        from apollo_ray.kernels.minhash import generate_minhash_params
+        self.params = generate_minhash_params(cfg.size, cfg.seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from apollo_ray.kernels.minhash import minhash_batch, sig_to_u32_lanes
+        indptr, indices, _ = list_columns_to_csr(batch, "indices", "weights")
+        keep = np.flatnonzero(np.diff(indptr) > 0)
+        if len(keep) < batch.num_rows:
+            batch = batch.take(pa.array(keep))
+            indptr, indices, _ = list_columns_to_csr(batch, "indices", "weights")
+        sigs = minhash_batch(indptr, indices, self.params["a"],
+                             self.params["b"])
+        flat = sig_to_u32_lanes(sigs)
+        sig_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(flat.ravel(), type=pa.uint32()), flat.shape[1])
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "sig": sig_arr,
+        })
+
+
 _PARAMS_REF_CACHE: dict = {}
 
 
 def params_object_ref(cfg: DedupConfig):
-    """Generate + ray.put the derived WMH params once per process
+    """Generate + ray.put the derived hashing params once per process
     (the wmhparams model-reuse rule, ``doc/model/wmh.md:12-14``)."""
     import ray
-    from apollo_ray.kernels.wmh import derive_params
-    key = (cfg.feature_dim, cfg.size, cfg.seed)
+    key = (cfg.minhash_mode, cfg.feature_dim, cfg.size, cfg.seed)
     ref = _PARAMS_REF_CACHE.get(key)
     if ref is None:
-        p = generate_params(cfg.feature_dim, cfg.size, cfg.seed)
-        ref = ray.put(derive_params(p["rs"], p["ln_cs"], p["betas"]))
+        if cfg.minhash_mode == "unweighted":
+            from apollo_ray.kernels.minhash import generate_minhash_params
+            ref = ray.put(generate_minhash_params(cfg.size, cfg.seed))
+        else:
+            from apollo_ray.kernels.wmh import derive_params
+            p = generate_params(cfg.feature_dim, cfg.size, cfg.seed)
+            ref = ray.put(derive_params(p["rs"], p["ln_cs"], p["betas"]))
         _PARAMS_REF_CACHE[key] = ref
     return ref
 
 
 def compute_signatures(bags: "ray.data.Dataset", cfg: DedupConfig
                        ) -> "ray.data.Dataset":
+    if cfg.minhash_mode == "unweighted":
+        return bags.map_batches(
+            MinHasher, fn_constructor_args=(cfg,),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size, concurrency=(1, cfg.wmh_concurrency),
+            num_cpus=0.5)
     params_ref = params_object_ref(cfg)
     return bags.map_batches(
         WmhHasher, fn_constructor_args=(cfg, params_ref),
