@@ -36,9 +36,42 @@ import numpy as np
 # 32-bit v/a/b and is representable in DuckDB's UBIGINT
 P_MINHASH = 4294967311
 
-# samples per tile in the batch kernel: bounds the (nnz x tile)
-# temporary to ~2 MB at the default nnz budget
-_SAMPLE_TILE = 16
+# samples per tile in the batch kernel: bounds the (tile x nnz)
+# temporaries; 8 measured fastest on this host (smaller live set per
+# pass beats fewer passes over the value stream)
+_SAMPLE_TILE = 8
+
+_M32 = np.uint64(0xFFFFFFFF)
+_S32 = np.uint64(32)
+_C15 = np.uint64(15)
+_P16 = np.uint64(16) * np.uint64(P_MINHASH)
+
+
+def _mod_p_inplace(t: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """In-place ``t % P_MINHASH`` for arbitrary uint64 ``t`` without the
+    hardware 64-bit divide (which costs ~10x a multiply per element).
+
+    p = 2**32 + 15, so 2**32 ≡ -15 (mod p) and x = hi·2**32 + lo ≡
+    lo - 15·hi.  Round 1 adds 16p (> 15·max(hi)) to keep the subtraction
+    non-negative, leaving y ≡ x with y < 2**37; round 2 repeats with a
+    single +p headroom, leaving z in (0, 2p); the final min() is the
+    branchless conditional subtract (z-p wraps to a huge value iff z<p).
+    Exactness is pinned by tests against ``np.remainder``.
+    """
+    p = np.uint64(P_MINHASH)
+    np.right_shift(t, _S32, out=hi)
+    np.multiply(hi, _C15, out=hi)
+    np.bitwise_and(t, _M32, out=t)
+    np.add(t, _P16, out=t)
+    np.subtract(t, hi, out=t)
+    np.right_shift(t, _S32, out=hi)
+    np.multiply(hi, _C15, out=hi)
+    np.bitwise_and(t, _M32, out=t)
+    np.add(t, p, out=t)
+    np.subtract(t, hi, out=t)
+    np.subtract(t, p, out=hi)
+    np.minimum(t, hi, out=t)
+    return t
 
 
 def generate_minhash_params(size: int, seed: int) -> dict[str, np.ndarray]:
@@ -71,14 +104,34 @@ def minhash_scalar(values: np.ndarray, a: np.ndarray, b: np.ndarray
     return out
 
 
+_MINHASH_NNZ_BUDGET = 1 << 16
+
+
+def make_minhash_buffers(nnz_budget: int = _MINHASH_NNZ_BUDGET
+                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Reusable work buffers (~12 MB at the default budget) — cache one
+    set per worker process (``fused.py`` worker-state pattern) so each
+    batch call touches warm pages instead of faulting fresh temporaries
+    (the per-call (nnz x tile) allocation was the dominant cost under
+    32-way task parallelism)."""
+    return (np.empty((_SAMPLE_TILE, nnz_budget), dtype=np.uint64),
+            np.empty((_SAMPLE_TILE, nnz_budget), dtype=np.uint64),
+            np.empty((_SAMPLE_TILE, nnz_budget), dtype=np.uint64))
+
+
 def minhash_batch(indptr: np.ndarray, values: np.ndarray,
-                  a: np.ndarray, b: np.ndarray) -> np.ndarray:
+                  a: np.ndarray, b: np.ndarray,
+                  work_bufs: tuple | None = None) -> np.ndarray:
     """Batch kernel over CSR sets: (n_docs, size) uint64 signatures.
 
-    One pass per sample tile over the flat value stream —
-    ``minimum.reduceat`` collapses each document's segment.  Callers
-    must drop empty documents first (same contract as ``wmh_batch_t``;
-    an empty segment would silently echo the next doc's first value).
+    Documents are processed in nnz-budget chunks over the (cached) work
+    buffers; within a chunk, one pass per sample tile over the flat
+    value stream in a (tile, nnz) layout so ``minimum.reduceat`` runs
+    along axis 1 over *contiguous* per-document segments (the axis-0
+    strided form is ~1.5x slower), with the divide-free
+    :func:`_mod_p_inplace` reduction.  Callers must drop empty
+    documents first (same contract as ``wmh_batch_t``; an empty segment
+    would silently echo the next doc's first value).
     """
     n = len(indptr) - 1
     size = len(a)
@@ -86,18 +139,37 @@ def minhash_batch(indptr: np.ndarray, values: np.ndarray,
     out = np.empty((n, size), dtype=np.uint64)
     if n == 0:
         return out
-    starts = np.asarray(indptr[:-1], dtype=np.int64)
-    p = np.uint64(P_MINHASH)
-    nnz = len(v)
-    tmp = np.empty((nnz, _SAMPLE_TILE), dtype=np.uint64)
-    vcol = v[:, None]
-    for t0 in range(0, size, _SAMPLE_TILE):
-        t1 = min(t0 + _SAMPLE_TILE, size)
-        t = tmp[:, :t1 - t0]
-        np.multiply(vcol, a[None, t0:t1], out=t)
-        np.add(t, b[None, t0:t1], out=t)
-        np.remainder(t, p, out=t)
-        np.minimum.reduceat(t, starts, axis=0, out=out[:, t0:t1])
+    if work_bufs is None:
+        work_bufs = make_minhash_buffers()
+    tmp, scr, o2 = work_bufs
+    budget = tmp.shape[1]
+    indptr = np.asarray(indptr, dtype=np.int64)
+    d0 = 0
+    while d0 < n:
+        d1 = int(np.searchsorted(indptr, indptr[d0] + budget,
+                                 side="right")) - 1
+        if d1 <= d0:          # one document larger than the budget
+            d1 = d0 + 1
+            nz = int(indptr[d1] - indptr[d0])
+            t_buf = np.empty((_SAMPLE_TILE, nz), dtype=np.uint64)
+            s_buf = np.empty((_SAMPLE_TILE, nz), dtype=np.uint64)
+            o_buf = np.empty((_SAMPLE_TILE, 1), dtype=np.uint64)
+        else:
+            t_buf, s_buf, o_buf = tmp, scr, o2
+        s0, s1 = int(indptr[d0]), int(indptr[d1])
+        vc = v[s0:s1]
+        starts = indptr[d0:d1] - s0
+        nc, nd = s1 - s0, d1 - d0
+        for t0 in range(0, size, _SAMPLE_TILE):
+            t1 = min(t0 + _SAMPLE_TILE, size)
+            t = t_buf[:t1 - t0, :nc]
+            np.multiply(a[t0:t1, None], vc[None, :], out=t)
+            np.add(t, b[t0:t1, None], out=t)
+            _mod_p_inplace(t, s_buf[:t1 - t0, :nc])
+            oc = o_buf[:t1 - t0, :nd]
+            np.minimum.reduceat(t, starts, axis=1, out=oc)
+            out[d0:d1, t0:t1] = oc.T
+        d0 = d1
     return out
 
 

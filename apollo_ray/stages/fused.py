@@ -31,6 +31,7 @@ from apollo_ray.config import DedupConfig
 from apollo_ray.hashing import TokenHasher
 from apollo_ray.kernels.text import (bag_from_token_hashes,
                                      batch_token_hashes, tokenize)
+from apollo_ray.kernels.minhash import make_minhash_buffers
 from apollo_ray.kernels.wmh import make_work_buffers, wmh_batch_t
 from apollo_ray.stages.bands import band_params, bucket_keys
 
@@ -53,6 +54,8 @@ def _get_state(cfg: DedupConfig, params_ref, df_ref=None) -> dict:
             "min_df": (effective_min_df(df, cfg) if df is not None
                        else cfg.min_docfreq),
             "bufs": make_work_buffers(cfg.size, _FUSED_NNZ_BUDGET),
+            "mh_bufs": (make_minhash_buffers()
+                        if cfg.minhash_mode == "unweighted" else None),
             "band": band_params(cfg),
         }
         _WORKER_STATE.clear()                 # one config per worker
@@ -119,7 +122,8 @@ def fused_hash_batch(batch: pa.Table, cfg: DedupConfig, params_ref,
     if cfg.minhash_mode == "unweighted":
         from apollo_ray.kernels.minhash import minhash_batch, sig_to_u32_lanes
         flat = sig_to_u32_lanes(minhash_batch(
-            indptr_np, idx_flat, st["dparams"]["a"], st["dparams"]["b"]))
+            indptr_np, idx_flat, st["dparams"]["a"], st["dparams"]["b"],
+            work_bufs=st["mh_bufs"]))
     else:
         sigs = wmh_batch_t(indptr_np, idx_flat, w_flat,
                            st["dparams"], nnz_budget=_FUSED_NNZ_BUDGET,

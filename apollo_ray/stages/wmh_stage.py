@@ -96,8 +96,10 @@ class MinHasher:
     exploder and checkpoints are shared."""
 
     def __init__(self, cfg: DedupConfig):
-        from apollo_ray.kernels.minhash import generate_minhash_params
+        from apollo_ray.kernels.minhash import (generate_minhash_params,
+                                                make_minhash_buffers)
         self.params = generate_minhash_params(cfg.size, cfg.seed)
+        self.work_bufs = make_minhash_buffers()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from apollo_ray.kernels.minhash import minhash_batch, sig_to_u32_lanes
@@ -107,7 +109,7 @@ class MinHasher:
             batch = batch.take(pa.array(keep))
             indptr, indices, _ = list_columns_to_csr(batch, "indices", "weights")
         sigs = minhash_batch(indptr, indices, self.params["a"],
-                             self.params["b"])
+                             self.params["b"], work_bufs=self.work_bufs)
         flat = sig_to_u32_lanes(sigs)
         sig_arr = pa.FixedSizeListArray.from_arrays(
             pa.array(flat.ravel(), type=pa.uint32()), flat.shape[1])

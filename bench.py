@@ -81,7 +81,9 @@ def bench_once() -> dict:
     rd.read_parquet(part_files).count()
 
     cfg = DedupConfig(wmh_concurrency=max(4, NUM_CPUS // 2),
-                      batch_size=2048)
+                      batch_size=2048,
+                      minhash_mode=os.environ.get("GRAFT_MINHASH_MODE",
+                                                  "weighted"))
     queries: dict[str, float] = {}
 
     from apollo_ray.stages.wmh_stage import params_object_ref

@@ -153,3 +153,16 @@ def test_unweighted_verify_tier(ray_session):
         by_text.setdefault(t, []).append(did)
     for ids in by_text.values():
         assert len({lab[i] for i in ids}) == 1
+
+
+def test_mod_p_inplace_exact():
+    from apollo_ray.kernels.minhash import P_MINHASH, _mod_p_inplace
+    rng = np.random.default_rng(7)
+    # dense random uint64 plus the wraparound edges of both rounds
+    x = rng.integers(0, 1 << 64, size=200_000, dtype=np.uint64)
+    edges = np.array([0, 1, P_MINHASH - 1, P_MINHASH, P_MINHASH + 1,
+                      (1 << 32) - 1, 1 << 32, (1 << 64) - 1,
+                      2 * P_MINHASH, 2 * P_MINHASH - 1], dtype=np.uint64)
+    x = np.concatenate([x, edges])
+    got = _mod_p_inplace(x.copy(), np.empty_like(x))
+    assert np.array_equal(got, x % np.uint64(P_MINHASH))
