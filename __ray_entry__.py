@@ -115,6 +115,11 @@ def _minhash_signatures_sql_entry() -> str:
     return minhash_signatures_sql()
 
 
+def _semdedup_sql_entry() -> str:
+    from apollo_ray.functions.semdedup import semdedup_sql
+    return semdedup_sql(k=8, iters=2, dim=64, threshold=0.3)
+
+
 def _docs(sf_dir: str):
     import ray.data
     return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -340,6 +345,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from apollo_ray.functions.pii import pii_stats
         return pii_stats(_docs(sf_dir))
 
+    def q_semdedup(sf_dir):
+        from apollo_ray.functions.semdedup import semdedup
+        return semdedup(_embeddings(sf_dir), k=8, threshold=0.3, iters=2)
+
     def q_redact_pii(sf_dir):
         from apollo_ray.functions.pii import redact_pii
         return redact_pii(_docs(sf_dir))
@@ -375,6 +384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample_200": q_hash_sample,
         "pii_stats": q_pii_stats,
         "redact_pii": q_redact_pii,
+        "semdedup": q_semdedup,
     }
 
 
@@ -689,6 +699,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_stats": _pii_stats_sql(),
         "redact_pii": _redact_pii_sql(),
+        "semdedup": _semdedup_sql_entry(),
         "emb_dup_pairs": """
             SELECT a.vec_id AS u, b.vec_id AS v,
                    round(CAST(list_cosine_similarity(a.embedding, b.embedding)
