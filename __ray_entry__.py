@@ -120,6 +120,19 @@ def _semdedup_sql_entry() -> str:
     return semdedup_sql(k=8, iters=2, dim=64, threshold=0.3)
 
 
+_STRAT_RATES = {"en": 250, "de": 600, "es": 800, "fr": 900, "zh": 1000}
+
+
+def _stratified_sql_entry() -> str:
+    from apollo_ray.functions.sampling import stratified_sample_sql
+    return stratified_sample_sql(_STRAT_RATES, group_col="lang")
+
+
+def _temperature_sql_entry() -> str:
+    from apollo_ray.functions.sampling import temperature_sample_sql
+    return temperature_sample_sql(base_permille=300, group_col="lang")
+
+
 def _docs(sf_dir: str):
     import ray.data
     return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -349,6 +362,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from apollo_ray.functions.semdedup import semdedup
         return semdedup(_embeddings(sf_dir), k=8, threshold=0.3, iters=2)
 
+    def q_stratified_sample(sf_dir):
+        from apollo_ray.functions.sampling import stratified_sample
+        return stratified_sample(_docs(sf_dir), _STRAT_RATES,
+                                 group_col="lang")
+
+    def q_temperature_sample(sf_dir):
+        from apollo_ray.functions.sampling import temperature_sample
+        return temperature_sample(_docs(sf_dir), alpha=0.0,
+                                  base_permille=300, group_col="lang")
+
     def q_redact_pii(sf_dir):
         from apollo_ray.functions.pii import redact_pii
         return redact_pii(_docs(sf_dir))
@@ -385,6 +408,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_stats": q_pii_stats,
         "redact_pii": q_redact_pii,
         "semdedup": q_semdedup,
+        "stratified_sample": q_stratified_sample,
+        "temperature_sample_a0": q_temperature_sample,
     }
 
 
@@ -700,6 +725,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_stats": _pii_stats_sql(),
         "redact_pii": _redact_pii_sql(),
         "semdedup": _semdedup_sql_entry(),
+        "stratified_sample": _stratified_sql_entry(),
+        "temperature_sample_a0": _temperature_sql_entry(),
         "emb_dup_pairs": """
             SELECT a.vec_id AS u, b.vec_id AS v,
                    round(CAST(list_cosine_similarity(a.embedding, b.embedding)

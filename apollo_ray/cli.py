@@ -106,10 +106,45 @@ def cmd_curate(args) -> int:
         max_dup_3gram_frac=args.max_dup_3gram_frac)
     pages = read_pages(args.input)
     out = curate_corpus(pages, cfg, ccfg)
-    out["curated"].write_parquet(args.output)
-    n_curated = out["curated"].count()
-    print(json.dumps({"curated_docs": n_curated,
-                      "metrics": out["metrics"]}, default=str))
+    curated = out["curated"]
+    if args.sample_alpha is not None:
+        from apollo_ray.functions.sampling import temperature_sample
+        curated = temperature_sample(
+            curated, alpha=args.sample_alpha,
+            base_permille=args.sample_base_permille,
+            group_col=args.sample_group_col)
+    if args.shards:
+        from apollo_ray.pipelines.export import export_shards
+        manifest = export_shards(curated, args.output, args.shards)
+        print(json.dumps({"curated_docs": manifest["rows"],
+                          "shards": manifest["per_shard"],
+                          "metrics": out["metrics"]}, default=str))
+    else:
+        curated.write_parquet(args.output)
+        n_curated = curated.count()
+        print(json.dumps({"curated_docs": n_curated,
+                          "metrics": out["metrics"]}, default=str))
+    if owns:
+        ray.shutdown()
+    return 0
+
+
+def cmd_export(args) -> int:
+    """Re-shard an existing docs Parquet directory (optionally with
+    temperature rebalancing) into training shards."""
+    import ray
+    import ray.data
+    from apollo_ray.pipelines.export import export_shards
+    owns = _init_ray(args.num_cpus)
+    docs = ray.data.read_parquet(args.input)
+    if args.sample_alpha is not None:
+        from apollo_ray.functions.sampling import temperature_sample
+        docs = temperature_sample(docs, alpha=args.sample_alpha,
+                                  base_permille=args.sample_base_permille,
+                                  group_col=args.sample_group_col)
+    manifest = export_shards(docs, args.output, args.shards,
+                             key=args.key)
+    print(json.dumps(manifest))
     if owns:
         ray.shutdown()
     return 0
@@ -207,11 +242,28 @@ def main(argv=None) -> int:
     sp.add_argument("--min-tokens", type=int, default=20)
     sp.add_argument("--max-dup-line-frac", type=float, default=0.30)
     sp.add_argument("--max-dup-3gram-frac", type=float, default=0.60)
+    sp.add_argument("--shards", type=int, default=0,
+                    help="write hash-sharded training output")
+    sp.add_argument("--sample-alpha", type=float, default=None,
+                    help="temperature-rebalance groups before output")
+    sp.add_argument("--sample-base-permille", type=int, default=1000)
+    sp.add_argument("--sample-group-col", default="lang")
     for f in (("--shingle-k", "shingle_k", int), ("--size", "size", int),
               ("--threshold", "threshold", float), ("--seed", "seed", int),
               ("--feature-dim-log2", "feature_dim_log2", int)):
         sp.add_argument(f[0], dest=f[1], type=f[2])
     sp.set_defaults(handler=cmd_curate)
+
+    sp = sub.add_parser("export")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--shards", type=int, required=True)
+    sp.add_argument("--key", default="doc_id")
+    sp.add_argument("--num-cpus", type=int, default=None)
+    sp.add_argument("--sample-alpha", type=float, default=None)
+    sp.add_argument("--sample-base-permille", type=int, default=1000)
+    sp.add_argument("--sample-group-col", default="lang")
+    sp.set_defaults(handler=cmd_export)
 
     sp = sub.add_parser("reset")
     sp.add_argument("--ckpt", required=True)

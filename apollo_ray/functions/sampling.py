@@ -1,0 +1,140 @@
+"""Deterministic corpus-mixing samplers (training-data extras).
+
+Multi-source LLM corpora are mixed by re-weighting groups — languages,
+domains, crawl snapshots — before training (GPT-3 / Gopher / LLaMA all
+document per-source sampling weights; temperature-flattening over
+groups is the multilingual-corpus standard from the mBERT/XLM-R
+line).  Both operators here are map-only streaming filters built on
+the same md5 row-hash rule as ``decontam.hash_sample``: a row is kept
+iff ``md5_number_lower(CAST(key AS VARCHAR)) % 1000 < rate_permille``
+of its group, so the sample is machine-independent, re-runnable, and
+bit-for-bit reproducible in the DuckDB oracle.  No reference
+counterpart (apollo has no sampling operators); scale shape: one tiny
+group-count aggregate (group cardinality is small by construction),
+rates broadcast in the closure, then a single streaming pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from apollo_ray.kernels.text import _md5_u64
+
+
+def _keep_mask(keys: list, rates: np.ndarray) -> np.ndarray:
+    h = np.fromiter((_md5_u64(str(v)) for v in keys),
+                    dtype=np.uint64, count=len(keys))
+    return (h % np.uint64(1000)) < rates.astype(np.uint64)
+
+
+def stratified_sample(docs: "ray.data.Dataset",
+                      rates_permille: dict[str, int],
+                      group_col: str = "lang", key: str = "doc_id",
+                      default_permille: int = 0) -> "ray.data.Dataset":
+    """Per-group quota sample: keep a row iff its md5 row hash mod 1000
+    is below its group's rate (groups absent from the dict use
+    ``default_permille``).  Map-only; streams; exactly SQL-expressible
+    as a CASE over ``md5_number_lower``."""
+    for g, r in rates_permille.items():
+        if not 0 <= int(r) <= 1000:
+            raise ValueError("rate for %r out of [0, 1000]: %r" % (g, r))
+    if not 0 <= int(default_permille) <= 1000:
+        raise ValueError("default_permille out of [0, 1000]")
+
+    def f(batch: pa.Table) -> pa.Table:
+        groups = batch.column(group_col).to_pylist()
+        rates = np.fromiter(
+            (rates_permille.get(g, default_permille) for g in groups),
+            dtype=np.int64, count=len(groups))
+        keys = batch.column(key).cast(pa.int64()).to_pylist()
+        return batch.filter(pa.array(_keep_mask(keys, rates)))
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def temperature_rates(counts: dict[str, int], alpha: float,
+                      base_permille: int = 1000) -> dict[str, int]:
+    """Per-group keep rates for temperature-flattened resampling:
+    kept count of group g targets ``n_g ** alpha`` (normalized so the
+    LARGEST group keeps ``base_permille``/1000 of itself) — alpha=1
+    keeps natural proportions, alpha=0 equalizes every group's kept
+    count to the capped quota.
+
+    alpha=0 uses pure integer arithmetic (``base * n_max // n_g``) so
+    the DuckDB oracle reproduces the rates exactly; fractional alpha
+    goes through float ``pow`` (fine operationally, but floor at an
+    exact integer boundary is not cross-engine-stable, so the contract
+    query pins alpha=0)."""
+    if not counts:
+        return {}
+    n_max = max(counts.values())
+    out: dict[str, int] = {}
+    for g, n in counts.items():
+        if n <= 0:
+            out[g] = 0
+        elif alpha == 0.0:
+            out[g] = min(1000, (base_permille * n_max) // n)
+        else:
+            out[g] = min(1000, int(base_permille
+                                   * (n_max / n) ** (1.0 - alpha)))
+    return out
+
+
+def group_counts(docs: "ray.data.Dataset", group_col: str) -> dict[str, int]:
+    """Tiny group-count aggregate collected to the driver (group
+    cardinality — languages/sources — is small by construction)."""
+    from ray.data.aggregate import Count
+    rows = docs.groupby(group_col).aggregate(
+        Count(alias_name="n")).take_all()
+    return {r[group_col]: int(r["n"]) for r in rows}
+
+
+def temperature_sample(docs: "ray.data.Dataset", alpha: float = 0.0,
+                       base_permille: int = 1000,
+                       group_col: str = "lang", key: str = "doc_id"
+                       ) -> "ray.data.Dataset":
+    """Temperature-flattened group resampling: one count aggregate,
+    rates from :func:`temperature_rates`, then the stratified md5
+    filter.  The classic multilingual rebalancing (small groups kept
+    whole, the dominant group down-sampled toward equal quota as
+    alpha -> 0)."""
+    counts = group_counts(docs, group_col)
+    rates = temperature_rates(counts, alpha, base_permille)
+    return stratified_sample(docs, rates, group_col=group_col, key=key)
+
+
+def stratified_sample_sql(rates_permille: dict[str, int],
+                          group_col: str = "lang",
+                          default_permille: int = 0,
+                          table: str = "documents",
+                          key: str = "doc_id",
+                          columns: str = "*") -> str:
+    """DuckDB twin of :func:`stratified_sample` (explicit rates)."""
+    cases = " ".join("WHEN '%s' THEN %d" % (g, int(r))
+                     for g, r in sorted(rates_permille.items()))
+    return ("SELECT %s FROM %s WHERE "
+            "md5_number_lower(CAST(%s AS VARCHAR)) %% 1000 < "
+            "(CASE %s %s ELSE %d END)"
+            % (columns, table, key, group_col, cases,
+               int(default_permille)))
+
+
+def temperature_sample_sql(base_permille: int = 1000,
+                           group_col: str = "lang",
+                           table: str = "documents",
+                           key: str = "doc_id",
+                           columns: str = "t.*") -> str:
+    """DuckDB twin of :func:`temperature_sample` at alpha=0 — the
+    rates are computed IN SQL from the same integer quota rule, so the
+    oracle is self-contained (no injected counts)."""
+    return ("""
+        WITH gc AS (SELECT %(g)s AS g, count(*) AS n FROM %(t)s GROUP BY 1),
+        r AS (SELECT g, LEAST(1000, %(b)d * (SELECT max(n) FROM gc) // n)
+                     AS rate FROM gc)
+        SELECT %(cols)s FROM %(t)s t JOIN r ON t.%(g)s = r.g
+        WHERE md5_number_lower(CAST(t.%(k)s AS VARCHAR)) %% 1000 < r.rate
+    """ % {"g": group_col, "t": table, "b": int(base_permille),
+           "k": key, "cols": columns})

@@ -1,0 +1,88 @@
+"""Stratified / temperature sampling: rate math, determinism, and
+DuckDB parity of the generated SQL twins."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from apollo_ray.functions.sampling import temperature_rates
+
+
+def _docs_table(n=400, seed=5):
+    rng = np.random.default_rng(seed)
+    langs = rng.choice(["en", "de", "zh"], size=n, p=[0.7, 0.2, 0.1])
+    return pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "lang": pa.array(langs.tolist()),
+        "text": pa.array(["w%d" % i for i in range(n)]),
+    })
+
+
+def test_temperature_rates_alpha_edges():
+    counts = {"en": 1000, "de": 100, "zh": 10}
+    # alpha=1: natural proportions — every group keeps the base rate
+    assert temperature_rates(counts, 1.0, 400) == \
+        {"en": 400, "de": 400, "zh": 400}
+    # alpha=0: equal quota — integer rule, capped at 1000
+    r0 = temperature_rates(counts, 0.0, 300)
+    assert r0 == {"en": 300, "de": 1000, "zh": 1000}
+    assert temperature_rates({}, 0.0) == {}
+    assert temperature_rates({"a": 0}, 0.0)["a"] == 0
+
+
+def test_stratified_deterministic_and_partition_independent(ray_session):
+    import ray.data
+    from apollo_ray.functions.sampling import stratified_sample
+    tab = _docs_table()
+    rates = {"en": 200, "de": 700, "zh": 1000}
+    a = stratified_sample(ray.data.from_arrow(tab), rates) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = stratified_sample(ray.data.from_arrow(tab).repartition(7), rates) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    # zh rate 1000 keeps every zh row; unknown default drops nothing here
+    n_zh = (tab.column("lang").to_pandas() == "zh").sum()
+    assert (a["lang"] == "zh").sum() == n_zh
+    # en down-sampled to roughly 20%
+    n_en = (tab.column("lang").to_pandas() == "en").sum()
+    kept_en = (a["lang"] == "en").sum()
+    assert 0.1 * n_en < kept_en < 0.35 * n_en
+
+
+def test_stratified_bad_rate_raises(ray_session):
+    import ray.data
+    from apollo_ray.functions.sampling import stratified_sample
+    with pytest.raises(ValueError):
+        stratified_sample(ray.data.from_arrow(_docs_table()), {"en": 1001})
+
+
+def test_sql_parity(ray_session):
+    import duckdb
+    import ray.data
+    from apollo_ray.functions.sampling import (stratified_sample,
+                                               stratified_sample_sql,
+                                               temperature_sample,
+                                               temperature_sample_sql)
+    tab = _docs_table()
+    con = duckdb.connect()
+    con.register("documents", tab)
+    rates = {"en": 150, "de": 650}          # zh falls to default 0
+    eng = stratified_sample(ray.data.from_arrow(tab), rates) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ora = con.execute(stratified_sample_sql(rates)
+                      + " ORDER BY doc_id").fetchdf()
+    assert list(eng["doc_id"]) == list(ora["doc_id"])
+    assert (eng["lang"] != "zh").all()
+
+    eng_t = temperature_sample(ray.data.from_arrow(tab), alpha=0.0,
+                               base_permille=250) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ora_t = con.execute(temperature_sample_sql(base_permille=250)
+                        + " ORDER BY doc_id").fetchdf()
+    assert list(eng_t["doc_id"]) == list(ora_t["doc_id"])
+    # flattening: the dominant group's kept share is ~25%, the smallest
+    # group keeps (capped) everything its quota allows
+    kept = eng_t.groupby("lang")["doc_id"].count()
+    total = tab.to_pandas().groupby("lang")["doc_id"].count()
+    assert kept["en"] / total["en"] < 0.4
+    assert kept["zh"] / total["zh"] > 0.8
