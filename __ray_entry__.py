@@ -133,6 +133,11 @@ def _temperature_sql_entry() -> str:
     return temperature_sample_sql(base_permille=300, group_col="lang")
 
 
+def _unigram_score_sql_entry() -> str:
+    from apollo_ray.functions.lm import UNIGRAM_SCORE_SQL
+    return UNIGRAM_SCORE_SQL
+
+
 def _docs(sf_dir: str):
     import ray.data
     return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -362,6 +367,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from apollo_ray.functions.semdedup import semdedup
         return semdedup(_embeddings(sf_dir), k=8, threshold=0.3, iters=2)
 
+    def q_corpus_stats(sf_dir):
+        return textstats.corpus_stats(_docs(sf_dir))
+
+    def q_unigram_score(sf_dir):
+        from apollo_ray.functions.lm import unigram_score
+        return unigram_score(_docs(sf_dir))
+
     def q_stratified_sample(sf_dir):
         from apollo_ray.functions.sampling import stratified_sample
         return stratified_sample(_docs(sf_dir), _STRAT_RATES,
@@ -410,6 +422,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": q_semdedup,
         "stratified_sample": q_stratified_sample,
         "temperature_sample_a0": q_temperature_sample,
+        "corpus_stats": q_corpus_stats,
+        "unigram_score": q_unigram_score,
     }
 
 
@@ -727,6 +741,17 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": _semdedup_sql_entry(),
         "stratified_sample": _stratified_sql_entry(),
         "temperature_sample_a0": _temperature_sql_entry(),
+        "corpus_stats": r"""
+            SELECT source, lang, count(*) AS n_docs,
+                   count(DISTINCT text) AS n_unique_texts,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\s+')) END)
+                        AS BIGINT) AS sum_tokens
+            FROM documents GROUP BY source, lang
+        """,
+        "unigram_score": _unigram_score_sql_entry(),
         "emb_dup_pairs": """
             SELECT a.vec_id AS u, b.vec_id AS v,
                    round(CAST(list_cosine_similarity(a.embedding, b.embedding)

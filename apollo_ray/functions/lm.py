@@ -1,0 +1,152 @@
+"""Unigram-LM pseudo-perplexity scoring (ccnet-style quality signal).
+
+ccnet (Wenzek et al. 2020) buckets Common-Crawl documents by the
+perplexity of a KenLM 5-gram trained on Wikipedia; the bucket is the
+dominant quality feature of the CCNet/LLaMA data recipes.  No n-gram
+LM toolkit exists in this container, so this module implements the
+same *shape* with a corpus-internal unigram model — declared as the
+baseline stand-in, NOT a KenLM replacement: the operator surface
+(two-pass train+score, broadcast model, per-doc score) is what a real
+LM plugs into.
+
+Pass 1 trains the model: per-batch partial token counts (map-side
+pre-aggregation — one (token, n) row per DISTINCT token per batch, so
+the shuffle moves vocabulary, not occurrences), one pkey groupby to
+total counts, collected to the driver (web-scale: cap with
+``vocab_cap`` — top-V tokens by frequency — and everything else
+scores at the OOV floor; the model stays O(V)).  Pass 2 broadcasts
+``{token: log10 p}`` once via ``ray.put`` and scores each batch with
+a dictionary-encode + gather + ``reduceat`` mean — the per-token
+Python work is one dict lookup per batch-DISTINCT token.
+
+Determinism: per-token logprobs are rounded to 6 decimals and the
+per-doc mean to 4, so the DuckDB oracle (same split, same
+count/total division, ``log10`` + ``round``) reproduces the scores
+exactly (the ``sum_value_r4`` precedent).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from apollo_ray.functions.textstats import _split_tokens
+from apollo_ray.hashing import hash_utf8, mix_to_partition
+
+
+def token_term_freqs(docs: "ray.data.Dataset", num_partitions: int = 64
+                     ) -> "ray.data.Dataset":
+    """(token, n) corpus-wide term frequencies (occurrences, not the
+    per-doc-unique counts of :func:`textstats.docfreq`)."""
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        flat = _split_tokens(text).flatten()
+        if len(flat) == 0:
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64()),
+                             "pkey": pa.array([], type=pa.int32())})
+        vc = flat.value_counts()
+        tok = vc.field("values")
+        h = np.fromiter((hash_utf8(t) for t in tok.to_pylist()),
+                        dtype=np.int64, count=len(tok))
+        return pa.table({
+            "token": tok,
+            "n": vc.field("counts").cast(pa.int64()),
+            "pkey": pa.array(mix_to_partition(h, num_partitions),
+                             type=pa.int32()),
+        })
+
+    def sum_part(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        enc = group.column("token").combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.asarray(group.column("n"), dtype=np.int64)
+        sums = np.bincount(codes, weights=n,
+                           minlength=len(enc.dictionary)).astype(np.int64)
+        return pa.table({"token": enc.dictionary,
+                         "n": pa.array(sums, type=pa.int64())})
+
+    return docs.map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(sum_part, batch_format="pyarrow")
+
+
+def unigram_score(docs: "ray.data.Dataset", vocab_cap: int | None = None,
+                  num_partitions: int = 64) -> "ray.data.Dataset":
+    """(doc_id, n_tokens, avg_lp_r4): mean unigram log10-probability
+    per document (higher = more typical of the corpus; the ccnet
+    perplexity-bucket analog).  Empty documents are dropped (no
+    tokens to score — same contract as the hashers)."""
+    tf = token_term_freqs(docs, num_partitions)
+    rows = tf.take_all()                  # O(V); capped below at scale
+    if not rows:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "n_tokens": pa.array([], type=pa.int64()),
+            "avg_lp_r4": pa.array([], type=pa.float64())}))
+    toks = np.asarray([r["token"] for r in rows], dtype=object)
+    ns = np.asarray([r["n"] for r in rows], dtype=np.int64)
+    total = int(ns.sum())
+    if vocab_cap is not None and len(toks) > vocab_cap:
+        order = np.lexsort((toks, -ns))[:vocab_cap]
+        toks, ns = toks[order], ns[order]
+    lp = np.round(np.log10(ns / total), 6)
+    # OOV floor: half an occurrence (only reachable with vocab_cap)
+    oov_lp = round(float(np.log10(0.5 / total)), 6)
+    model_ref = ray.put((dict(zip(toks.tolist(), lp.tolist())), oov_lp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        model, oov = ray.get(model_ref)
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        tok_lists = _split_tokens(text)
+        n_tok = pc.list_value_length(tok_lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = n_tok > 0
+        flat = tok_lists.flatten()
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dict_lp = np.fromiter(
+            (model.get(t, oov) for t in enc.dictionary.to_pylist()),
+            dtype=np.float64, count=len(enc.dictionary))
+        tok_lp = dict_lp[codes]
+        offsets = np.zeros(len(n_tok) + 1, dtype=np.int64)
+        np.cumsum(n_tok, out=offsets[1:])
+        starts = offsets[:-1][keep]
+        sums = np.add.reduceat(tok_lp, starts) if keep.any() else \
+            np.empty(0, dtype=np.float64)
+        avg = np.round(sums / n_tok[keep], 4)
+        ids = np.asarray(batch.column("doc_id").cast(pa.int64()))[keep]
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_tokens": pa.array(n_tok[keep], type=pa.int64()),
+            "avg_lp_r4": pa.array(avg, type=pa.float64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+UNIGRAM_SCORE_SQL = r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    tf AS (SELECT t, count(*) AS n FROM tok GROUP BY t),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS s FROM tf),
+    lp AS (SELECT t, round(log10(n / (SELECT s FROM tot)), 6) AS lp
+           FROM tf)
+    SELECT tok.doc_id,
+           count(*) AS n_tokens,
+           round(sum(lp.lp) / count(*), 4) AS avg_lp_r4
+    FROM tok JOIN lp ON tok.t = lp.t
+    GROUP BY tok.doc_id
+"""

@@ -429,3 +429,88 @@ def user_sessions(events: "ray.data.Dataset", gap_sec: int = 1800,
 
     return events.map_batches(to_cols, batch_format="pyarrow") \
         .groupby("pkey").map_groups(reduce_part, batch_format="pyarrow")
+
+
+def corpus_stats(docs: "ray.data.Dataset", num_partitions: int = 16
+                 ) -> "ray.data.Dataset":
+    """Per-(source, lang) corpus rollup:
+    ``(source, lang, n_docs, n_unique_texts, sum_chars, sum_tokens)``
+    — the summary report a curation run ends with (what went in, how
+    much of it is distinct, the token budget per slice).
+
+    One map pass computes per-row (group hash, text hash, token count)
+    with Arrow kernels; one pkey shuffle on the group hash; the
+    per-partition reduce is a vectorized segment rollup with distinct
+    texts counted via ``np.unique`` over (group, text_hash) pairs —
+    group cardinality is #sources x #langs (small), but the pattern
+    stays safe if it is not.  Distinct texts use the engine's 63-bit
+    content hash (collision odds negligible below ~10^9 texts; the
+    SQL oracle counts DISTINCT raw text)."""
+    from apollo_ray.hashing import hash_utf8, mix_to_partition
+
+    def tag(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_tok = pc.list_value_length(_split_tokens(text)).cast(pa.int64())
+        src = batch.column("source").to_pylist()
+        lang = batch.column("lang").to_pylist()
+        gh = np.fromiter(
+            (hash_utf8("%s\x00%s" % (s, l)) for s, l in zip(src, lang)),
+            dtype=np.int64, count=len(src))
+        th = np.fromiter((hash_utf8(t) for t in text.to_pylist()),
+                         dtype=np.int64, count=len(src))
+        return pa.table({
+            "source": batch.column("source"),
+            "lang": batch.column("lang"),
+            "gh": pa.array(gh, type=pa.int64()),
+            "th": pa.array(th, type=pa.int64()),
+            "n_chars": batch.column("n_chars").cast(pa.int64()),
+            "n_tokens": n_tok,
+            "pkey": pa.array(mix_to_partition(gh, num_partitions),
+                             type=pa.int32()),
+        })
+
+    def reduce_part(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "source": pa.array([], type=pa.string()),
+            "lang": pa.array([], type=pa.string()),
+            "n_docs": pa.array([], type=pa.int64()),
+            "n_unique_texts": pa.array([], type=pa.int64()),
+            "sum_chars": pa.array([], type=pa.int64()),
+            "sum_tokens": pa.array([], type=pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        gh = np.asarray(group.column("gh"), dtype=np.int64)
+        th = np.asarray(group.column("th"), dtype=np.int64)
+        nc = np.asarray(group.column("n_chars"), dtype=np.int64)
+        nt = np.asarray(group.column("n_tokens"), dtype=np.int64)
+        order = np.argsort(gh, kind="stable")
+        gh_s, nc_s, nt_s = gh[order], nc[order], nt[order]
+        first = np.empty(len(gh_s), dtype=bool)
+        first[0] = True
+        first[1:] = gh_s[1:] != gh_s[:-1]
+        starts = np.flatnonzero(first)
+        n_docs = np.diff(np.append(starts, len(gh_s)))
+        sum_c = np.add.reduceat(nc_s, starts)
+        sum_t = np.add.reduceat(nt_s, starts)
+        # distinct texts per group: unique (gh, th) pairs, then count
+        pair = np.unique(np.stack([gh, th], axis=1), axis=0)
+        uniq = np.bincount(
+            np.searchsorted(gh_s[starts], pair[:, 0]),
+            minlength=len(starts)).astype(np.int64)
+        src = np.asarray(group.column("source").to_pylist(),
+                         dtype=object)[order][first]
+        lang = np.asarray(group.column("lang").to_pylist(),
+                          dtype=object)[order][first]
+        return pa.table({
+            "source": pa.array(src.tolist(), type=pa.string()),
+            "lang": pa.array(lang.tolist(), type=pa.string()),
+            "n_docs": pa.array(n_docs, type=pa.int64()),
+            "n_unique_texts": pa.array(uniq, type=pa.int64()),
+            "sum_chars": pa.array(sum_c, type=pa.int64()),
+            "sum_tokens": pa.array(sum_t, type=pa.int64()),
+        })
+
+    return docs.map_batches(tag, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(reduce_part, batch_format="pyarrow")

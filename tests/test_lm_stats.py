@@ -1,0 +1,75 @@
+"""corpus_stats rollup and unigram pseudo-perplexity scoring."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _docs():
+    texts = ["a a b", "a b c", "", "a a a a", "b c", "a a b"]
+    return pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts),
+        "lang": pa.array(["en", "en", "de", "de", "en", "en"]),
+        "source": pa.array(["s0", "s0", "s0", "s1", "s1", "s0"]),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+    })
+
+
+def test_corpus_stats_values(ray_session):
+    import ray.data
+    from apollo_ray.functions.textstats import corpus_stats
+    out = corpus_stats(ray.data.from_arrow(_docs())) \
+        .to_pandas().set_index(["source", "lang"]).sort_index()
+    assert out.loc[("s0", "en")].tolist() == [3, 2, 15, 9]   # docs 0,1,5; 0==5
+    assert out.loc[("s0", "de")].tolist() == [1, 1, 0, 0]    # empty text
+    assert out.loc[("s1", "de")].tolist() == [1, 1, 7, 4]
+    assert out.loc[("s1", "en")].tolist() == [1, 1, 3, 2]
+
+
+def test_token_term_freqs(ray_session):
+    import ray.data
+    from apollo_ray.functions.lm import token_term_freqs
+    tf = token_term_freqs(ray.data.from_arrow(_docs())) \
+        .to_pandas().set_index("token")["n"]
+    assert tf["a"] == 9 and tf["b"] == 4 and tf["c"] == 2
+
+
+def test_unigram_score_math_and_order(ray_session):
+    import ray.data
+    from apollo_ray.functions.lm import unigram_score
+    out = unigram_score(ray.data.from_arrow(_docs())) \
+        .to_pandas().set_index("doc_id").sort_index()
+    # empty doc dropped
+    assert 2 not in out.index and len(out) == 5
+    total = 15
+    lp = {t: round(float(np.log10(n / total)), 6)
+          for t, n in {"a": 9, "b": 4, "c": 2}.items()}
+    exp0 = round((2 * lp["a"] + lp["b"]) / 3, 4)
+    assert out.loc[0, "avg_lp_r4"] == exp0
+    assert out.loc[0, "n_tokens"] == 3
+    # the all-'a' doc is the most "typical" (highest mean logprob)
+    assert out["avg_lp_r4"].idxmax() == 3
+    # rare-token doc scores lower than common-token doc
+    assert out.loc[4, "avg_lp_r4"] < out.loc[3, "avg_lp_r4"]
+
+
+def test_unigram_vocab_cap_oov(ray_session):
+    import ray.data
+    from apollo_ray.functions.lm import unigram_score
+    out = unigram_score(ray.data.from_arrow(_docs()), vocab_cap=1) \
+        .to_pandas().set_index("doc_id")
+    total = 15
+    oov = round(float(np.log10(0.5 / total)), 6)
+    lp_a = round(float(np.log10(9 / total)), 6)
+    # doc 4 = "b c": both OOV at cap 1 (only 'a' survives)
+    assert out.loc[4, "avg_lp_r4"] == round(oov, 4)
+    assert out.loc[3, "avg_lp_r4"] == round(lp_a, 4)
+
+
+def test_unigram_empty_corpus(ray_session):
+    import ray.data
+    from apollo_ray.functions.lm import unigram_score
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "text": pa.array([], type=pa.string())})
+    out = unigram_score(ray.data.from_arrow(empty))
+    assert out.count() == 0
