@@ -138,6 +138,11 @@ def _unigram_score_sql_entry() -> str:
     return UNIGRAM_SCORE_SQL
 
 
+def _line_dedup_sql_entry() -> str:
+    from apollo_ray.functions.clean import line_dedup_sql
+    return line_dedup_sql(min_len=1)
+
+
 def _docs(sf_dir: str):
     import ray.data
     return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -324,6 +329,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from apollo_ray.functions.clean import c4_clean
         return c4_clean(_docs(sf_dir))
 
+    def q_line_dedup(sf_dir):
+        from apollo_ray.functions.clean import line_dedup
+        return line_dedup(_docs(sf_dir)) \
+            .select_columns(["doc_id", "text", "n_dup_lines"])
+
     def q_bpe_token_counts(sf_dir):
         return textstats.token_counts(_docs(sf_dir), mode="bpe_ish")
 
@@ -412,6 +422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dup_spans": q_substring_spans,
         "repetition_stats": q_repetition_stats,
         "c4_clean": q_c4_clean,
+        "line_dedup": q_line_dedup,
         "bpe_token_counts": q_bpe_token_counts,
         "asof_purchase": q_asof_purchase,
         "purchase_window": q_purchase_window,
@@ -628,6 +639,7 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(array_to_string(kept, chr(10)), '') AS clean_text
             FROM l
         """,
+        "line_dedup": _line_dedup_sql_entry(),
         "repetition_stats": r"""
             WITH l AS (
               SELECT doc_id, unnest(string_split(text, chr(10))) AS line

@@ -103,7 +103,11 @@ def cmd_curate(args) -> int:
         langs=tuple(args.lang.split(",")) if args.lang else None,
         min_tokens=args.min_tokens,
         max_dup_line_frac=args.max_dup_line_frac,
-        max_dup_3gram_frac=args.max_dup_3gram_frac)
+        max_dup_3gram_frac=args.max_dup_3gram_frac,
+        dedup_lines=args.dedup_lines,
+        line_dedup_min_len=args.line_dedup_min_len,
+        cut_substrings_min_len=args.cut_substrings_min_len,
+        cut_winnow_w=args.winnow_w)
     pages = read_pages(args.input)
     out = curate_corpus(pages, cfg, ccfg)
     curated = out["curated"]
@@ -242,6 +246,12 @@ def main(argv=None) -> int:
     sp.add_argument("--min-tokens", type=int, default=20)
     sp.add_argument("--max-dup-line-frac", type=float, default=0.30)
     sp.add_argument("--max-dup-3gram-frac", type=float, default=0.60)
+    sp.add_argument("--dedup-lines", action="store_true",
+                    help="ccnet-style cross-doc line dedup before near-dedup")
+    sp.add_argument("--line-dedup-min-len", type=int, default=1)
+    sp.add_argument("--cut-substrings-min-len", type=int, default=0,
+                    help="cut cross-doc duplicated substrings >= this length")
+    sp.add_argument("--winnow-w", type=int, default=None)
     sp.add_argument("--shards", type=int, default=0,
                     help="write hash-sharded training output")
     sp.add_argument("--sample-alpha", type=float, default=None,

@@ -84,3 +84,193 @@ def c4_clean(docs: "ray.data.Dataset", min_words: int = 3
         })
 
     return docs.map_batches(f, batch_format="pyarrow")
+
+
+def _drop_lists_per_doc(drops: "ray.data.Dataset", num_partitions: int
+                        ) -> "ray.data.Dataset":
+    """(doc_id, drop_idx: binary) — sorted dropped line indices packed
+    as an int64 blob per doc (Acero joins reject list-typed non-key
+    columns; the `_spans_per_doc` precedent)."""
+    from apollo_ray.hashing import mix_to_partition
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        return batch.append_column(
+            "pkey", pa.array(mix_to_partition(d, num_partitions),
+                             type=pa.int32()))
+
+    def pack(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "drop_idx": pa.array([], type=pa.binary())})
+        d = np.asarray(group.column("doc_id"), dtype=np.int64)
+        ix = np.asarray(group.column("idx"), dtype=np.int64)
+        order = np.lexsort((ix, d))
+        d_s, ix_s = d[order], ix[order]
+        first = np.empty(len(d_s), dtype=bool)
+        first[0] = True
+        first[1:] = d_s[1:] != d_s[:-1]
+        off = np.append(np.flatnonzero(first), len(d_s))
+        blobs = [ix_s[a:b].tobytes() for a, b in zip(off[:-1], off[1:])]
+        return pa.table({
+            "doc_id": pa.array(d_s[off[:-1]], type=pa.int64()),
+            "drop_idx": pa.array(blobs, type=pa.binary()),
+        })
+
+    return drops.map_batches(add_pkey, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(pack, batch_format="pyarrow")
+
+
+def line_dedup(docs: "ray.data.Dataset", min_len: int = 1,
+               num_partitions: int = 64) -> "ray.data.Dataset":
+    """Cross-document duplicated-line removal (the ccnet / RefinedWeb
+    line-dedup step, Wenzek et al. 2020 §3.1): hash every line of every
+    document, keep only the corpus-wide FIRST occurrence of each line
+    (ordered by ``(doc_id, line index)``), remove the rest, and rebuild
+    each document from its surviving lines.
+
+    Lines shorter than ``min_len`` codepoints are ineligible and always
+    kept (``min_len=1`` exempts empty lines, so blank separators are
+    not collapsed corpus-wide).
+
+    Scale shape: one shuffle keyed on the 63-bit line hash (line TEXT
+    never moves — only ``(hash, doc_id, idx)`` 24-byte rows), a second
+    tiny shuffle packing per-doc dropped indices, then one left-outer
+    hash join back onto ``docs`` (document text moves exactly once).
+    Per-batch hashing touches only batch-DISTINCT lines via
+    ``dictionary_encode``.  Returns the ``docs`` schema with ``text``
+    rewritten plus ``n_dup_lines``.
+    """
+    from apollo_ray.hashing import hash_utf8, mix_to_partition
+    from apollo_ray.util import hash_join
+
+    def occurrences(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"lh": pa.array([], type=pa.int64()),
+                          "doc_id": pa.array([], type=pa.int64()),
+                          "idx": pa.array([], type=pa.int64()),
+                          "pkey": pa.array([], type=pa.int32())})
+        if batch.num_rows == 0:
+            return empty
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lists = pc.split_pattern(text, pattern="\n")
+        lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = lists.flatten()
+        if len(flat) == 0:
+            return empty
+        enc = flat.dictionary_encode()
+        dict_lines = enc.dictionary.to_pylist()
+        dict_h = np.fromiter((hash_utf8(s) for s in dict_lines),
+                             dtype=np.int64, count=len(dict_lines))
+        dict_elig = pc.utf8_length(enc.dictionary).to_numpy(
+            zero_copy_only=False).astype(np.int64) >= min_len
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        lh = dict_h[codes]
+        elig = dict_elig[codes]
+        ids = np.asarray(batch.column("doc_id").cast(pa.int64()))
+        doc = np.repeat(ids, lens)
+        starts = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=starts[1:])
+        idx = np.arange(len(lh), dtype=np.int64) - np.repeat(starts[:-1], lens)
+        lh, doc, idx = lh[elig], doc[elig], idx[elig]
+        return pa.table({
+            "lh": pa.array(lh, type=pa.int64()),
+            "doc_id": pa.array(doc, type=pa.int64()),
+            "idx": pa.array(idx, type=pa.int64()),
+            "pkey": pa.array(mix_to_partition(lh, num_partitions),
+                             type=pa.int32()),
+        })
+
+    def dup_occurrences(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "idx": pa.array([], type=pa.int64())})
+        lh = np.asarray(group.column("lh"), dtype=np.int64)
+        d = np.asarray(group.column("doc_id"), dtype=np.int64)
+        ix = np.asarray(group.column("idx"), dtype=np.int64)
+        order = np.lexsort((ix, d, lh))
+        lh_s, d_s, ix_s = lh[order], d[order], ix[order]
+        dup = np.empty(len(lh_s), dtype=bool)
+        dup[0] = False
+        dup[1:] = lh_s[1:] == lh_s[:-1]
+        return pa.table({"doc_id": pa.array(d_s[dup], type=pa.int64()),
+                         "idx": pa.array(ix_s[dup], type=pa.int64())})
+
+    drops = docs.map_batches(occurrences, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(dup_occurrences, batch_format="pyarrow")
+    # metadata-only side (one row per doc WITH dups, text never here);
+    # materialize to count — fully-empty shuffle blocks lose their
+    # schema through Acero joins (the curate/reps precedent)
+    drop_lists = _drop_lists_per_doc(drops, num_partitions).materialize()
+    if drop_lists.count() == 0:
+        def passthrough(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "n_dup_lines",
+                pa.array(np.zeros(batch.num_rows, dtype=np.int64),
+                         type=pa.int64()))
+        return docs.map_batches(passthrough, batch_format="pyarrow")
+    joined = hash_join(docs, drop_lists, on=("doc_id",),
+                       join_type="left_outer",
+                       num_partitions=num_partitions)
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        blobs = batch.column("drop_idx").to_pylist()
+        out_t: list[str] = []
+        n_dup = np.zeros(len(texts), dtype=np.int64)
+        for i, (t, b) in enumerate(zip(texts, blobs)):
+            if not b:
+                out_t.append(t)
+                continue
+            di = np.frombuffer(b, dtype=np.int64)
+            parts = t.split("\n")
+            mask = np.ones(len(parts), dtype=bool)
+            mask[di] = False
+            n_dup[i] = len(di)
+            out_t.append("\n".join(p for p, m in zip(parts, mask) if m))
+        keep_cols = [c for c in batch.column_names
+                     if c not in ("text", "drop_idx")]
+        out = {c: batch.column(c) for c in keep_cols}
+        out["text"] = pa.array(out_t, type=pa.string())
+        out["n_dup_lines"] = pa.array(n_dup, type=pa.int64())
+        return pa.table(out)
+
+    return joined.map_batches(rebuild, batch_format="pyarrow")
+
+
+def line_dedup_sql(min_len: int = 1) -> str:
+    """DuckDB oracle reproducing :func:`line_dedup` byte-for-byte on
+    the ``documents`` table (parallel ``unnest`` zips line with index;
+    ``row_number`` over the raw line = first-occurrence rule; docs
+    whose every line was dropped come back via the left join)."""
+    return f"""
+        WITH l AS (
+          SELECT doc_id,
+                 unnest(split(text, chr(10))) AS line,
+                 unnest(range(len(split(text, chr(10))))) AS idx
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, idx, line,
+                 length(line) >= {min_len} AS elig,
+                 row_number() OVER (PARTITION BY line
+                                    ORDER BY doc_id, idx) AS rn
+          FROM l
+        ),
+        kept AS (
+          SELECT doc_id, idx, line FROM r WHERE NOT elig OR rn = 1
+        ),
+        agg AS (
+          SELECT doc_id,
+                 string_agg(line, chr(10) ORDER BY idx) AS text,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.text, '') AS text,
+               CAST(len(split(d.text, chr(10))) - coalesce(a.n_kept, 0)
+                    AS BIGINT) AS n_dup_lines
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """

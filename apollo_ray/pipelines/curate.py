@@ -3,6 +3,8 @@
     pages ──extract──▶ docs
       ──[C4 line clean]──▶ cleaned docs
       ──[quality / repetition / language filters]──▶ kept docs
+      ──[cross-doc line dedup]──▶ (optional, ccnet-style)
+      ──[duplicated-substring cutting]──▶ (optional, Lee et al.)
       ──MinHash-LSH near-dedup──▶ clusters
       ──representative selection──▶ curated corpus
 
@@ -58,6 +60,10 @@ class CurateConfig:
     # path), exact stride-1 otherwise.
     cut_substrings_min_len: int = 0
     cut_winnow_w: int | None = None
+    # ccnet-style cross-doc line dedup before the near-dedup:
+    # False disables; line_dedup_min_len sets the eligibility floor.
+    dedup_lines: bool = False
+    line_dedup_min_len: int = 1
 
 
 def clean_filter_docs(docs: "ray.data.Dataset", ccfg: CurateConfig
@@ -148,6 +154,20 @@ def curate_corpus(pages: "ray.data.Dataset", cfg: DedupConfig,
     ccfg = ccfg or CurateConfig()
     docs = extract_docs(pages, cfg)
     kept = clean_filter_docs(docs, ccfg).materialize()
+    if ccfg.dedup_lines and kept.count() > 0:
+        from apollo_ray.functions.clean import line_dedup
+        from apollo_ray.hashing import hash_utf8 as _h
+
+        def rehash(batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            th = pa.array([_h(t) for t in texts], type=pa.int64())
+            out = batch.set_column(batch.column_names.index("text_hash"),
+                                   "text_hash", th)
+            return out.drop_columns(["n_dup_lines"])
+
+        kept = line_dedup(kept, min_len=ccfg.line_dedup_min_len,
+                          num_partitions=num_partitions) \
+            .map_batches(rehash, batch_format="pyarrow").materialize()
     if ccfg.cut_substrings_min_len > 0 and kept.count() > 0:
         from apollo_ray.functions.substring import (cut_dup_spans,
                                                     substring_dup_spans)

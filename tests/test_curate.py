@@ -100,3 +100,39 @@ def test_curate_with_substring_cutting(ray_session, corpus):
     }))
     assert substring_dup_spans(redocs, min_len=24,
                                num_partitions=4).count() == 0
+
+
+def test_curate_with_line_dedup(ray_session):
+    # two long docs sharing several exact lines + one independent doc;
+    # line dedup strips the shared lines from the later doc BEFORE
+    # near-dedup, so both survive as representatives
+    rng = np.random.default_rng(11)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "theta", "iota", "kappa", "lam"]
+
+    def sent(n):
+        return " ".join(rng.choice(words, n)) + "."
+
+    shared = [sent(12) for _ in range(5)]
+    own_a = [sent(12) for _ in range(4)]
+    own_b = [sent(12) for _ in range(4)]
+    texts = [
+        "\n".join(shared + own_a),     # 0: keeps the shared lines
+        "\n".join(shared + own_b),     # 1: shared lines stripped
+        "\n".join(sent(12) for _ in range(5)),   # 2: independent
+    ]
+    cfg = DedupConfig(feature_dim_log2=12, threshold=0.7)
+    out = curate_corpus(_pages(texts), cfg,
+                        CurateConfig(dedup_lines=True),
+                        num_partitions=4)
+    cur = out["curated"].to_pandas().sort_values("url")
+    assert len(cur) == 3
+    t0, t1 = cur.iloc[0]["text"], cur.iloc[1]["text"]
+    # first-occurrence owner is min doc_id (= url hash), so exactly ONE
+    # of docs 0/1 keeps the shared lines; each keeps its own lines
+    for ln in shared:
+        assert (ln in t0) != (ln in t1)
+    for ln in own_a:
+        assert ln in t0
+    for ln in own_b:
+        assert ln in t1
