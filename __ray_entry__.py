@@ -133,9 +133,9 @@ def _temperature_sql_entry() -> str:
     return temperature_sample_sql(base_permille=300, group_col="lang")
 
 
-def _unigram_score_sql_entry() -> str:
-    from apollo_ray.functions.lm import UNIGRAM_SCORE_SQL
-    return UNIGRAM_SCORE_SQL
+def _unigram_score_sql_entry(vocab_cap=None) -> str:
+    from apollo_ray.functions.lm import unigram_score_sql
+    return unigram_score_sql(vocab_cap)
 
 
 def _line_dedup_sql_entry() -> str:
@@ -384,6 +384,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from apollo_ray.functions.lm import unigram_score
         return unigram_score(_docs(sf_dir))
 
+    def q_unigram_score_cap16(sf_dir):
+        # distributed top-V + OOV-floor path (the web-scale mode)
+        from apollo_ray.functions.lm import unigram_score
+        return unigram_score(_docs(sf_dir), vocab_cap=16)
+
     def q_stratified_sample(sf_dir):
         from apollo_ray.functions.sampling import stratified_sample
         return stratified_sample(_docs(sf_dir), _STRAT_RATES,
@@ -435,6 +440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_sample_a0": q_temperature_sample,
         "corpus_stats": q_corpus_stats,
         "unigram_score": q_unigram_score,
+        "unigram_score_cap16": q_unigram_score_cap16,
     }
 
 
@@ -764,6 +770,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source, lang
         """,
         "unigram_score": _unigram_score_sql_entry(),
+        "unigram_score_cap16": _unigram_score_sql_entry(vocab_cap=16),
         "emb_dup_pairs": """
             SELECT a.vec_id AS u, b.vec_id AS v,
                    round(CAST(list_cosine_similarity(a.embedding, b.embedding)

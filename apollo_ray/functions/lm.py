@@ -86,18 +86,24 @@ def unigram_score(docs: "ray.data.Dataset", vocab_cap: int | None = None,
     perplexity-bucket analog).  Empty documents are dropped (no
     tokens to score — same contract as the hashers)."""
     tf = token_term_freqs(docs, num_partitions)
-    rows = tf.take_all()                  # O(V); capped below at scale
-    if not rows:
+    if vocab_cap is not None:
+        # distributed top-V: the driver only ever sees <= vocab_cap
+        # rows; the normalizing total comes from a scalar aggregate
+        from ray.data.aggregate import Sum
+        agg = tf.aggregate(Sum("n"))
+        total = int(agg["sum(n)"] or 0)
+        rows = tf.sort(["n", "token"], descending=[True, False]) \
+            .limit(vocab_cap).take_all()
+    else:
+        rows = tf.take_all()              # O(V) — small-corpus path
+        total = sum(r["n"] for r in rows)
+    if not rows or total == 0:
         return ray.data.from_arrow(pa.table({
             "doc_id": pa.array([], type=pa.int64()),
             "n_tokens": pa.array([], type=pa.int64()),
             "avg_lp_r4": pa.array([], type=pa.float64())}))
     toks = np.asarray([r["token"] for r in rows], dtype=object)
     ns = np.asarray([r["n"] for r in rows], dtype=np.int64)
-    total = int(ns.sum())
-    if vocab_cap is not None and len(toks) > vocab_cap:
-        order = np.lexsort((toks, -ns))[:vocab_cap]
-        toks, ns = toks[order], ns[order]
     lp = np.round(np.log10(ns / total), 6)
     # OOV floor: half an occurrence (only reachable with vocab_cap)
     oov_lp = round(float(np.log10(0.5 / total)), 6)
@@ -135,18 +141,39 @@ def unigram_score(docs: "ray.data.Dataset", vocab_cap: int | None = None,
     return docs.map_batches(score, batch_format="pyarrow")
 
 
-UNIGRAM_SCORE_SQL = r"""
+def unigram_score_sql(vocab_cap: int | None = None) -> str:
+    """DuckDB oracle for :func:`unigram_score` (same split, same
+    count/total division, same 6/4-decimal rounding; with a cap, the
+    same ``n DESC, token ASC`` top-V rule and 0.5-occurrence OOV
+    floor)."""
+    if vocab_cap is None:
+        lp_cte = ("lp AS (SELECT t, round(log10(n / (SELECT s FROM tot)),"
+                  " 6) AS lp FROM tf)")
+        score = "sum(lp.lp)"
+        join = "JOIN"
+    else:
+        lp_cte = f"""ranked AS (
+          SELECT t, n, row_number() OVER (ORDER BY n DESC, t) AS r
+          FROM tf),
+        lp AS (SELECT t, round(log10(n / (SELECT s FROM tot)), 6) AS lp
+               FROM ranked WHERE r <= {vocab_cap})"""
+        score = ("sum(coalesce(lp.lp, "
+                 "round(log10(0.5 / (SELECT s FROM tot)), 6)))")
+        join = "LEFT JOIN"
+    return rf"""
     WITH tok AS (
       SELECT doc_id,
              unnest(regexp_split_to_array(trim(text), '\s+')) AS t
       FROM documents WHERE length(trim(text)) > 0),
     tf AS (SELECT t, count(*) AS n FROM tok GROUP BY t),
     tot AS (SELECT CAST(sum(n) AS BIGINT) AS s FROM tf),
-    lp AS (SELECT t, round(log10(n / (SELECT s FROM tot)), 6) AS lp
-           FROM tf)
+    {lp_cte}
     SELECT tok.doc_id,
            count(*) AS n_tokens,
-           round(sum(lp.lp) / count(*), 4) AS avg_lp_r4
-    FROM tok JOIN lp ON tok.t = lp.t
+           round({score} / count(*), 4) AS avg_lp_r4
+    FROM tok {join} lp ON tok.t = lp.t
     GROUP BY tok.doc_id
 """
+
+
+UNIGRAM_SCORE_SQL = unigram_score_sql()
