@@ -380,6 +380,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_corpus_stats(sf_dir):
         return textstats.corpus_stats(_docs(sf_dir))
 
+    def q_top_terms(sf_dir):
+        return textstats.top_terms(_docs(sf_dir), k=5)
+
     def q_unigram_score(sf_dir):
         from apollo_ray.functions.lm import unigram_score
         return unigram_score(_docs(sf_dir))
@@ -439,6 +442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "temperature_sample_a0": q_temperature_sample,
         "corpus_stats": q_corpus_stats,
+        "top_terms_lang": q_top_terms,
         "unigram_score": q_unigram_score,
         "unigram_score_cap16": q_unigram_score_cap16,
     }
@@ -771,6 +775,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "unigram_score": _unigram_score_sql_entry(),
         "unigram_score_cap16": _unigram_score_sql_entry(vocab_cap=16),
+        "top_terms_lang": r"""
+            WITH tok AS (SELECT lang,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                 FROM documents WHERE length(trim(text)) > 0),
+            tf AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+                   FROM tok GROUP BY lang, token),
+            r AS (SELECT lang, token, n, row_number()
+                     OVER (PARTITION BY lang ORDER BY n DESC, token) AS rk
+                  FROM tf)
+            SELECT lang, token, n FROM r WHERE rk <= 5
+        """,
         "emb_dup_pairs": """
             SELECT a.vec_id AS u, b.vec_id AS v,
                    round(CAST(list_cosine_similarity(a.embedding, b.embedding)

@@ -514,3 +514,133 @@ def corpus_stats(docs: "ray.data.Dataset", num_partitions: int = 16
 
     return docs.map_batches(tag, batch_format="pyarrow") \
         .groupby("pkey").map_groups(reduce_part, batch_format="pyarrow")
+
+
+def top_terms(docs: "ray.data.Dataset", k: int = 10,
+              group_col: str = "lang", num_partitions: int = 64
+              ) -> "ray.data.Dataset":
+    """(group, token, n) — the exact top-``k`` tokens by occurrence
+    count within each ``group_col`` slice (ties broken by token
+    ascending) — the per-language vocabulary report of a curation run.
+
+    Distributed two-level top-k with exact totals:
+
+    1. map-side partial counts, one row per batch-DISTINCT
+       (group, token);
+    2. pkey shuffle on hash(group, token) — each pair's TOTAL is
+       complete inside exactly one partition;
+    3. per-partition per-group top-k candidates (a superset of the
+       answer: every true top-k pair has its complete total in some
+       partition, which must locally rank it top-k);
+    4. candidates (<= groups x k x partitions rows) re-shuffle on
+       hash(group) for the exact final per-group top-k.
+
+    Token text never leaves a count row; no stage holds more than one
+    partition's distinct pairs.
+    """
+    from apollo_ray.hashing import hash_utf8, mix_to_partition
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"grp": pa.array([], type=pa.string()),
+                          "token": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64()),
+                          "pkey": pa.array([], type=pa.int32())})
+        if batch.num_rows == 0:
+            return empty
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = _split_tokens(text)
+        flat = toks.flatten()
+        if len(flat) == 0:
+            return empty
+        n_tok = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        grp = batch.column(group_col).to_pylist()
+        g_of_tok = np.repeat(
+            np.arange(len(n_tok), dtype=np.int64), n_tok)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_dict = len(enc.dictionary)
+        # count per (doc-group, token-code): docs sharing a group merge
+        g_codes = np.fromiter((hash_utf8(g) for g in grp),
+                              dtype=np.int64, count=len(grp))
+        # count per (group, token): segment-reduce after one lexsort
+        gid = g_codes[g_of_tok]
+        order = np.lexsort((codes, gid))
+        gid_s, code_s = gid[order], codes[order]
+        first = np.empty(len(gid_s), dtype=bool)
+        if len(gid_s):
+            first[0] = True
+            first[1:] = (gid_s[1:] != gid_s[:-1]) | (code_s[1:] != code_s[:-1])
+        starts = np.flatnonzero(first)
+        n = np.diff(np.append(starts, len(gid_s))).astype(np.int64)
+        # map gid back to the group string via first doc holding it
+        gid_to_grp = {g_codes[i]: grp[i] for i in range(len(grp))}
+        out_grp = [gid_to_grp[g] for g in gid_s[starts]]
+        toks_out = enc.dictionary.take(
+            pa.array(code_s[starts], type=pa.int64()))
+        kh = np.fromiter(
+            (hash_utf8("%s\x00%s" % (g, t))
+             for g, t in zip(out_grp, toks_out.to_pylist())),
+            dtype=np.int64, count=len(out_grp))
+        return pa.table({
+            "grp": pa.array(out_grp, type=pa.string()),
+            "token": toks_out,
+            "n": pa.array(n, type=pa.int64()),
+            "pkey": pa.array(mix_to_partition(kh, num_partitions),
+                             type=pa.int32()),
+        })
+
+    def _topk_within(group: pa.Table, sum_first: bool) -> pa.Table:
+        empty = pa.table({"grp": pa.array([], type=pa.string()),
+                          "token": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64()),
+                          "gkey": pa.array([], type=pa.int32())})
+        if group.num_rows == 0:
+            return empty
+        grp = np.asarray(group.column("grp").to_pylist(), dtype=object)
+        tok = np.asarray(group.column("token").to_pylist(), dtype=object)
+        n = np.asarray(group.column("n"), dtype=np.int64)
+        if sum_first:
+            # sum duplicate (grp, token) partials from different batches
+            order = np.lexsort((tok, grp))
+            grp, tok, n = grp[order], tok[order], n[order]
+            first = np.empty(len(grp), dtype=bool)
+            first[0] = True
+            first[1:] = (grp[1:] != grp[:-1]) | (tok[1:] != tok[:-1])
+            starts = np.flatnonzero(first)
+            n = np.add.reduceat(n, starts)
+            grp, tok = grp[starts], tok[starts]
+        # rank: per grp by (n desc, token asc)
+        order = np.lexsort((tok, -n, grp))
+        grp, tok, n = grp[order], tok[order], n[order]
+        first = np.empty(len(grp), dtype=bool)
+        first[0] = True
+        first[1:] = grp[1:] != grp[:-1]
+        seg_id = np.cumsum(first) - 1
+        seg_start = np.flatnonzero(first)
+        rank = np.arange(len(grp)) - seg_start[seg_id]
+        keep = rank < k
+        grp, tok, n = grp[keep], tok[keep], n[keep]
+        gh = np.fromiter((hash_utf8(g) for g in grp),
+                         dtype=np.int64, count=len(grp))
+        return pa.table({
+            "grp": pa.array(grp.tolist(), type=pa.string()),
+            "token": pa.array(tok.tolist(), type=pa.string()),
+            "n": pa.array(n, type=pa.int64()),
+            "gkey": pa.array(mix_to_partition(gh, num_partitions),
+                             type=pa.int32()),
+        })
+
+    def candidates(group: pa.Table) -> pa.Table:
+        return _topk_within(group.drop_columns(["pkey"]), sum_first=True)
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        out = _topk_within(group.drop_columns(["gkey"]), sum_first=False)
+        out = out.drop_columns(["gkey"])
+        return out.rename_columns([group_col, "token", "n"])
+
+    return docs.map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(candidates, batch_format="pyarrow") \
+        .groupby("gkey").map_groups(final_topk, batch_format="pyarrow")

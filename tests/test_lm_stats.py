@@ -73,3 +73,49 @@ def test_unigram_empty_corpus(ray_session):
                       "text": pa.array([], type=pa.string())})
     out = unigram_score(ray.data.from_arrow(empty))
     assert out.count() == 0
+
+
+def test_top_terms_exact_and_ties(ray_session):
+    import ray.data
+    from apollo_ray.functions.textstats import top_terms
+    out = top_terms(ray.data.from_arrow(_docs()), k=2) \
+        .to_pandas().sort_values(["lang", "token"]).reset_index(drop=True)
+    # en: a=5 ('a a b','a b c','b c','a a b'), b=4, c=2 -> top2 a,b
+    en = out[out["lang"] == "en"]
+    assert dict(zip(en["token"], en["n"])) == {"a": 5, "b": 4}
+    # de: only 'a a a a' (empty doc has no tokens) -> a=4
+    de = out[out["lang"] == "de"]
+    assert dict(zip(de["token"], de["n"])) == {"a": 4}
+
+
+def test_top_terms_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from apollo_ray.functions.textstats import top_terms
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(3, 40)))
+             for _ in range(80)]
+    langs = rng.choice(["en", "de", "fr"], size=80).tolist()
+    t = pa.table({"doc_id": pa.array(np.arange(80, dtype=np.int64)),
+                  "text": pa.array(texts), "lang": pa.array(langs)})
+    got = top_terms(ray.data.from_arrow(t), k=5, num_partitions=7) \
+        .to_pandas().sort_values(["lang", "token"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    exp = con.execute(r"""
+        WITH tok AS (SELECT lang,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+             FROM documents WHERE length(trim(text)) > 0),
+        tf AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+               FROM tok GROUP BY lang, token),
+        r AS (SELECT lang, token, n, row_number()
+                 OVER (PARTITION BY lang ORDER BY n DESC, token) AS rk
+              FROM tf)
+        SELECT lang, token, n FROM r WHERE rk <= 5
+    """).df().sort_values(["lang", "token"]).reset_index(drop=True)
+    assert got[["lang", "token"]].values.tolist() == \
+        exp[["lang", "token"]].values.tolist()
+    assert got["n"].astype(int).tolist() == exp["n"].astype(int).tolist()
