@@ -143,6 +143,11 @@ def _line_dedup_sql_entry() -> str:
     return line_dedup_sql(min_len=1)
 
 
+def _tfidf_sql_entry() -> str:
+    from apollo_ray.functions.lm import tfidf_top_terms_sql
+    return tfidf_top_terms_sql(k=5)
+
+
 def _docs(sf_dir: str):
     import ray.data
     return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -392,6 +397,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from apollo_ray.functions.lm import unigram_score
         return unigram_score(_docs(sf_dir), vocab_cap=16)
 
+    def q_tfidf_top_terms(sf_dir):
+        from apollo_ray.functions.lm import tfidf_top_terms
+        return tfidf_top_terms(_docs(sf_dir), k=5)
+
     def q_stratified_sample(sf_dir):
         from apollo_ray.functions.sampling import stratified_sample
         return stratified_sample(_docs(sf_dir), _STRAT_RATES,
@@ -445,6 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_lang": q_top_terms,
         "unigram_score": q_unigram_score,
         "unigram_score_cap16": q_unigram_score_cap16,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -775,6 +785,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "unigram_score": _unigram_score_sql_entry(),
         "unigram_score_cap16": _unigram_score_sql_entry(vocab_cap=16),
+        "tfidf_top_terms": _tfidf_sql_entry(),
         "top_terms_lang": r"""
             WITH tok AS (SELECT lang,
                    unnest(regexp_split_to_array(trim(text), '\s+')) AS token

@@ -177,3 +177,118 @@ def unigram_score_sql(vocab_cap: int | None = None) -> str:
 
 
 UNIGRAM_SCORE_SQL = unigram_score_sql()
+
+
+def tfidf_top_terms(docs: "ray.data.Dataset", k: int = 5,
+                    vocab_cap: int | None = None,
+                    num_partitions: int = 64) -> "ray.data.Dataset":
+    """(doc_id, token, tfidf_r6) — the top-``k`` tokens of each
+    document by tf-idf (keyword extraction; the per-doc analog of the
+    reference's log-tf-log-idf weighting, ``apollo/hasher.py:224-228``,
+    surfaced as a query instead of a hash input).
+
+    ``score = round(tf * log10((N+1) / (df+1)), 6)`` with ties broken
+    by token ascending; ``N`` = total documents.  The docfreq model is
+    built by the existing :func:`textstats.docfreq` pass; with
+    ``vocab_cap`` only the top-V tokens by ``(df DESC, token ASC)``
+    are kept (distributed sort+limit — the driver never holds the full
+    vocabulary) and out-of-model tokens take the max-idf floor
+    ``df=0``.  Scoring is map-only: one broadcast of the model, per
+    batch a dictionary-encode so Python touches only batch-distinct
+    tokens, per-doc tf + top-k via one lexsort.
+    """
+    from apollo_ray.functions.textstats import _split_tokens, docfreq
+
+    df_ds = docfreq(docs)
+    if vocab_cap is not None:
+        rows = df_ds.sort(["df", "token"], descending=[True, False]) \
+            .limit(vocab_cap).take_all()
+    else:
+        rows = df_ds.take_all()           # O(V) — small-corpus path
+    n_docs = docs.count()
+    model = {r["token"]: int(r["df"]) for r in rows}
+    model_ref = ray.put(model)
+
+    def score(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "token": pa.array([], type=pa.string()),
+                          "tfidf_r6": pa.array([], type=pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        m = ray.get(model_ref)
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = _split_tokens(text)
+        flat = toks.flatten()
+        if len(flat) == 0:
+            return empty
+        n_tok = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_dict = len(enc.dictionary)
+        uniq, tf = np.unique(doc_idx * n_dict + codes, return_counts=True)
+        u_doc = uniq // n_dict
+        u_code = (uniq % n_dict).astype(np.int64)
+        dict_toks = enc.dictionary.to_pylist()
+        dict_idf = np.fromiter(
+            (np.log10((n_docs + 1) / (m.get(t, 0) + 1)) for t in dict_toks),
+            dtype=np.float64, count=n_dict)
+        sc = np.round(tf.astype(np.float64) * dict_idf[u_code], 6)
+        # per-doc top-k by (score desc, token asc): lexsort with the
+        # token order taken from the dictionary's own sorted ranks
+        tok_rank = np.empty(n_dict, dtype=np.int64)
+        tok_rank[np.argsort(np.asarray(dict_toks, dtype=object))] = \
+            np.arange(n_dict)
+        order = np.lexsort((tok_rank[u_code], -sc, u_doc))
+        u_doc, u_code, sc = u_doc[order], u_code[order], sc[order]
+        first = np.empty(len(u_doc), dtype=bool)
+        first[0] = True
+        first[1:] = u_doc[1:] != u_doc[:-1]
+        seg_start = np.flatnonzero(first)
+        rank = np.arange(len(u_doc)) - seg_start[np.cumsum(first) - 1]
+        keep = rank < k
+        ids = np.asarray(batch.column("doc_id").cast(pa.int64()))
+        return pa.table({
+            "doc_id": pa.array(ids[u_doc[keep]], type=pa.int64()),
+            "token": enc.dictionary.take(pa.array(u_code[keep])),
+            "tfidf_r6": pa.array(sc[keep], type=pa.float64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def tfidf_top_terms_sql(k: int = 5, vocab_cap: int | None = None) -> str:
+    """DuckDB oracle for :func:`tfidf_top_terms` (same tf, df, N,
+    log10 scoring, 6-decimal rounding, and (score DESC, token ASC)
+    per-doc rank)."""
+    if vocab_cap is None:
+        df_cte = "dfm AS (SELECT token, df FROM dfx)"
+    else:
+        df_cte = f"""dfr AS (
+          SELECT token, df, row_number()
+              OVER (ORDER BY df DESC, token) AS r FROM dfx),
+        dfm AS (SELECT token, df FROM dfr WHERE r <= {vocab_cap})"""
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0),
+    tf AS (SELECT doc_id, token, count(*) AS tf
+           FROM tok GROUP BY doc_id, token),
+    dfx AS (SELECT token, count(DISTINCT doc_id) AS df
+            FROM tok GROUP BY token),
+    n AS (SELECT count(*) AS n FROM documents),
+    {df_cte},
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * log10(((SELECT n FROM n) + 1)
+                                 / (coalesce(dfm.df, 0) + 1)), 6) AS s
+      FROM tf LEFT JOIN dfm ON tf.token = dfm.token),
+    r AS (SELECT doc_id, token, s, row_number()
+             OVER (PARTITION BY doc_id ORDER BY s DESC, token) AS rk
+          FROM scored)
+    SELECT doc_id, token, s AS tfidf_r6 FROM r WHERE rk <= {k}
+"""

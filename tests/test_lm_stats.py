@@ -119,3 +119,41 @@ def test_top_terms_matches_duckdb(ray_session):
     assert got[["lang", "token"]].values.tolist() == \
         exp[["lang", "token"]].values.tolist()
     assert got["n"].astype(int).tolist() == exp["n"].astype(int).tolist()
+
+
+def test_tfidf_top_terms_values(ray_session):
+    import ray.data
+    from apollo_ray.functions.lm import tfidf_top_terms
+    out = tfidf_top_terms(ray.data.from_arrow(_docs()), k=1) \
+        .to_pandas().set_index("doc_id")
+    # doc 1 = "a b c": c is rarest (df: a=4, b=4, c=2) -> top keyword c
+    assert out.loc[1, "token"] == "c"
+    n, tf = 6, 1
+    exp = round(tf * np.log10((n + 1) / (2 + 1)), 6)
+    assert out.loc[1, "tfidf_r6"] == exp
+    # doc 3 = "a a a a": only token a
+    assert out.loc[3, "token"] == "a"
+
+
+def test_tfidf_matches_duckdb_with_cap(ray_session):
+    import duckdb
+    import ray.data
+    from apollo_ray.functions.lm import tfidf_top_terms, tfidf_top_terms_sql
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i:02d}" for i in range(25)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(2, 30)))
+             for _ in range(70)] + [""]
+    t = pa.table({"doc_id": pa.array(np.arange(71, dtype=np.int64)),
+                  "text": pa.array(texts)})
+    for cap in (None, 10):
+        got = tfidf_top_terms(ray.data.from_arrow(t), k=3, vocab_cap=cap) \
+            .to_pandas().sort_values(["doc_id", "token"]) \
+            .reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("documents", t.to_pandas())
+        exp = con.execute(tfidf_top_terms_sql(k=3, vocab_cap=cap)).df() \
+            .sort_values(["doc_id", "token"]).reset_index(drop=True)
+        assert got[["doc_id", "token"]].values.tolist() == \
+            exp[["doc_id", "token"]].values.tolist(), f"cap={cap}"
+        assert np.allclose(got["tfidf_r6"], exp["tfidf_r6"], atol=0), \
+            f"cap={cap}"
