@@ -148,6 +148,11 @@ def _tfidf_sql_entry() -> str:
     return tfidf_top_terms_sql(k=5)
 
 
+def _bigram_sql_entry() -> str:
+    from apollo_ray.functions.lm import bigram_score_sql
+    return bigram_score_sql()
+
+
 def _docs(sf_dir: str):
     import ray.data
     return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -401,6 +406,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from apollo_ray.functions.lm import tfidf_top_terms
         return tfidf_top_terms(_docs(sf_dir), k=5)
 
+    def q_bigram_score(sf_dir):
+        from apollo_ray.functions.lm import bigram_score
+        return bigram_score(_docs(sf_dir))
+
     def q_stratified_sample(sf_dir):
         from apollo_ray.functions.sampling import stratified_sample
         return stratified_sample(_docs(sf_dir), _STRAT_RATES,
@@ -455,6 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_score": q_unigram_score,
         "unigram_score_cap16": q_unigram_score_cap16,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "bigram_score": q_bigram_score,
     }
 
 
@@ -786,6 +796,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_score": _unigram_score_sql_entry(),
         "unigram_score_cap16": _unigram_score_sql_entry(vocab_cap=16),
         "tfidf_top_terms": _tfidf_sql_entry(),
+        "bigram_score": _bigram_sql_entry(),
         "top_terms_lang": r"""
             WITH tok AS (SELECT lang,
                    unnest(regexp_split_to_array(trim(text), '\s+')) AS token

@@ -38,6 +38,39 @@ from apollo_ray.functions.textstats import _split_tokens
 from apollo_ray.hashing import hash_utf8, mix_to_partition
 
 
+def _avg_lp_r4_exact(lp: np.ndarray, starts: np.ndarray,
+                     counts: np.ndarray) -> np.ndarray:
+    """Integer-exact per-segment mean of 6-decimal-quantized logprobs,
+    rounded half-away-from-zero to 4 decimals.
+
+    A float mean is NOT oracle-safe here: a real sf0.01 doc's mean
+    landed exactly on a 4th-decimal half (-1.47945), where numpy's
+    pairwise ``reduceat`` and DuckDB's sequential ``sum()`` differ by
+    one ulp and flip the rounding.  Instead both sides snap each lp to
+    integer micro-units (it is a 6-dp quantum, so ``rint`` never sees
+    a half), sum exactly, and round the rational S/(n*100) in integer
+    arithmetic: ``sign(S) * ((2|S| + n*100) // (2*n*100)) / 1e4``.
+    The SQL twin is ``_AVG_LP_R4_EXACT_SQL``."""
+    lpu = np.rint(lp * 1e6).astype(np.int64)
+    s = np.add.reduceat(lpu, starts) if len(starts) else \
+        np.empty(0, dtype=np.int64)
+    m = counts * 100
+    scaled = np.sign(s) * ((2 * np.abs(s) + m) // (2 * m))
+    return scaled.astype(np.float64) / 1e4
+
+
+_AVG_LP_R4_EXACT_SQL = """
+    SELECT doc_id, count(*) AS n_tokens,
+           (CASE WHEN sum(lpu) >= 0
+                 THEN (2 * sum(lpu) + count(*) * 100)
+                      // (2 * count(*) * 100)
+                 ELSE -((2 * (-sum(lpu)) + count(*) * 100)
+                        // (2 * count(*) * 100)) END) / 10000.0
+               AS avg_lp_r4
+    FROM pos2 GROUP BY doc_id
+"""
+
+
 def token_term_freqs(docs: "ray.data.Dataset", num_partitions: int = 64
                      ) -> "ray.data.Dataset":
     """(token, n) corpus-wide term frequencies (occurrences, not the
@@ -128,9 +161,7 @@ def unigram_score(docs: "ray.data.Dataset", vocab_cap: int | None = None,
         offsets = np.zeros(len(n_tok) + 1, dtype=np.int64)
         np.cumsum(n_tok, out=offsets[1:])
         starts = offsets[:-1][keep]
-        sums = np.add.reduceat(tok_lp, starts) if keep.any() else \
-            np.empty(0, dtype=np.float64)
-        avg = np.round(sums / n_tok[keep], 4)
+        avg = _avg_lp_r4_exact(tok_lp, starts, n_tok[keep])
         ids = np.asarray(batch.column("doc_id").cast(pa.int64()))[keep]
         return pa.table({
             "doc_id": pa.array(ids, type=pa.int64()),
@@ -149,7 +180,7 @@ def unigram_score_sql(vocab_cap: int | None = None) -> str:
     if vocab_cap is None:
         lp_cte = ("lp AS (SELECT t, round(log10(n / (SELECT s FROM tot)),"
                   " 6) AS lp FROM tf)")
-        score = "sum(lp.lp)"
+        row_lp = "lp.lp"
         join = "JOIN"
     else:
         lp_cte = f"""ranked AS (
@@ -157,8 +188,8 @@ def unigram_score_sql(vocab_cap: int | None = None) -> str:
           FROM tf),
         lp AS (SELECT t, round(log10(n / (SELECT s FROM tot)), 6) AS lp
                FROM ranked WHERE r <= {vocab_cap})"""
-        score = ("sum(coalesce(lp.lp, "
-                 "round(log10(0.5 / (SELECT s FROM tot)), 6)))")
+        row_lp = ("coalesce(lp.lp, "
+                  "round(log10(0.5 / (SELECT s FROM tot)), 6))")
         join = "LEFT JOIN"
     return rf"""
     WITH tok AS (
@@ -167,12 +198,11 @@ def unigram_score_sql(vocab_cap: int | None = None) -> str:
       FROM documents WHERE length(trim(text)) > 0),
     tf AS (SELECT t, count(*) AS n FROM tok GROUP BY t),
     tot AS (SELECT CAST(sum(n) AS BIGINT) AS s FROM tf),
-    {lp_cte}
-    SELECT tok.doc_id,
-           count(*) AS n_tokens,
-           round({score} / count(*), 4) AS avg_lp_r4
-    FROM tok {join} lp ON tok.t = lp.t
-    GROUP BY tok.doc_id
+    {lp_cte},
+    pos2 AS (
+      SELECT tok.doc_id, CAST(round({row_lp} * 1000000) AS BIGINT) AS lpu
+      FROM tok {join} lp ON tok.t = lp.t)
+    {_AVG_LP_R4_EXACT_SQL}
 """
 
 
@@ -291,4 +321,218 @@ def tfidf_top_terms_sql(k: int = 5, vocab_cap: int | None = None) -> str:
              OVER (PARTITION BY doc_id ORDER BY s DESC, token) AS rk
           FROM scored)
     SELECT doc_id, token, s AS tfidf_r6 FROM r WHERE rk <= {k}
+"""
+
+
+def bigram_counts(docs: "ray.data.Dataset", num_partitions: int = 64
+                  ) -> "ray.data.Dataset":
+    """(t1, t2, n) corpus-wide adjacent-pair counts (within-document
+    bigrams; map-side pre-aggregation over batch-distinct pairs)."""
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"t1": pa.array([], type=pa.string()),
+                          "t2": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64()),
+                          "pkey": pa.array([], type=pa.int32())})
+        if batch.num_rows == 0:
+            return empty
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = _split_tokens(text)
+        flat = toks.flatten()
+        if len(flat) < 2:
+            return empty
+        n_tok = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_dict = len(enc.dictionary)
+        adj = doc_idx[1:] == doc_idx[:-1]
+        if not adj.any():
+            return empty
+        pair = codes[:-1][adj] * n_dict + codes[1:][adj]
+        uniq, n = np.unique(pair, return_counts=True)
+        d = enc.dictionary.to_pylist()
+        t1 = [d[c] for c in uniq // n_dict]
+        t2 = [d[c] for c in uniq % n_dict]
+        kh = np.fromiter(
+            (hash_utf8("%s\x00%s" % (a, b)) for a, b in zip(t1, t2)),
+            dtype=np.int64, count=len(t1))
+        return pa.table({
+            "t1": pa.array(t1, type=pa.string()),
+            "t2": pa.array(t2, type=pa.string()),
+            "n": pa.array(n.astype(np.int64), type=pa.int64()),
+            "pkey": pa.array(mix_to_partition(kh, num_partitions),
+                             type=pa.int32()),
+        })
+
+    def sum_part(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"t1": pa.array([], type=pa.string()),
+                             "t2": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        key = pc.binary_join_element_wise(
+            group.column("t1").cast(pa.string()),
+            group.column("t2").cast(pa.string()), "\x00")
+        enc = key.combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.asarray(group.column("n"), dtype=np.int64)
+        sums = np.bincount(codes, weights=n,
+                           minlength=len(enc.dictionary)).astype(np.int64)
+        parts = [s.split("\x00") for s in enc.dictionary.to_pylist()]
+        return pa.table({
+            "t1": pa.array([p[0] for p in parts], type=pa.string()),
+            "t2": pa.array([p[1] for p in parts], type=pa.string()),
+            "n": pa.array(sums, type=pa.int64())})
+
+    return docs.map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(sum_part, batch_format="pyarrow")
+
+
+def bigram_score(docs: "ray.data.Dataset", backoff: float = 0.4,
+                 vocab_cap: int | None = None,
+                 bigram_cap: int | None = None,
+                 num_partitions: int = 64) -> "ray.data.Dataset":
+    """(doc_id, n_tokens, avg_lp_r4): mean per-token log10-probability
+    under a corpus-internal bigram model with stupid backoff (Brants
+    et al. 2007) — one rung closer to the ccnet KenLM signal than
+    :func:`unigram_score`.
+
+    Per position: the first token scores ``log10(n(t)/T)``; later
+    tokens score ``log10(c(t1,t2)/n(t1))`` when the bigram is in the
+    model, else ``log10(backoff * n(t2)/T)`` (OOV unigrams take the
+    0.5-occurrence floor).  Every per-position logprob is rounded to 6
+    decimals and the per-doc mean to 4 (SQL-oracle determinism).
+    Caps keep the broadcast model O(vocab_cap + bigram_cap) via
+    distributed sort+limit; the two count passes are the map-side
+    pre-aggregated shuffles of :func:`token_term_freqs` /
+    :func:`bigram_counts`.
+    """
+    from ray.data.aggregate import Sum
+
+    tf = token_term_freqs(docs, num_partitions)
+    if vocab_cap is not None:
+        total = int(tf.aggregate(Sum("n"))["sum(n)"] or 0)
+        uni_rows = tf.sort(["n", "token"], descending=[True, False]) \
+            .limit(vocab_cap).take_all()
+    else:
+        uni_rows = tf.take_all()
+        total = sum(r["n"] for r in uni_rows)
+    if not uni_rows or total == 0:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "n_tokens": pa.array([], type=pa.int64()),
+            "avg_lp_r4": pa.array([], type=pa.float64())}))
+    bg = bigram_counts(docs, num_partitions)
+    if bigram_cap is not None:
+        bg_rows = bg.sort(["n", "t1", "t2"],
+                          descending=[True, False, False]) \
+            .limit(bigram_cap).take_all()
+    else:
+        bg_rows = bg.take_all()
+    uni = {r["token"]: int(r["n"]) for r in uni_rows}
+    big = {(r["t1"], r["t2"]): int(r["n"]) for r in bg_rows}
+    oov_lp = round(float(np.log10(0.5 / total)), 6)
+    model_ref = ray.put((uni, big, total, float(backoff), oov_lp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "n_tokens": pa.array([], type=pa.int64()),
+                          "avg_lp_r4": pa.array([], type=pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        uni_m, big_m, T, bo, oov = ray.get(model_ref)
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = _split_tokens(text)
+        flat = toks.flatten()
+        if len(flat) == 0:
+            return empty
+        n_tok = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_dict = len(enc.dictionary)
+        d = enc.dictionary.to_pylist()
+        # batch-distinct unigram logprobs and backoff values
+        uni_n = np.fromiter((uni_m.get(t, 0) for t in d),
+                            dtype=np.float64, count=n_dict)
+        with np.errstate(divide="ignore"):
+            uni_lp = np.where(uni_n > 0,
+                              np.round(np.log10(uni_n / T), 6), oov)
+            back_lp = np.where(uni_n > 0,
+                               np.round(np.log10(bo * uni_n / T), 6),
+                               round(float(np.log10(bo * 0.5 / T)), 6))
+        lp = uni_lp[codes]                     # default: doc-initial
+        cont = np.zeros(len(codes), dtype=bool)
+        cont[1:] = doc_idx[1:] == doc_idx[:-1]
+        # batch-distinct bigram lookups
+        if cont.any():
+            pair = codes[np.flatnonzero(cont) - 1] * n_dict + codes[cont]
+            up, inv = np.unique(pair, return_inverse=True)
+            up_n = np.fromiter(
+                (big_m.get((d[c // n_dict], d[c % n_dict]), 0)
+                 for c in up), dtype=np.float64, count=len(up))
+            prev_n = uni_n[(up // n_dict).astype(np.int64)]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                up_lp = np.where((up_n > 0) & (prev_n > 0),
+                                 np.round(np.log10(up_n / prev_n), 6),
+                                 np.nan)
+            pair_lp = up_lp[inv]
+            fallback = back_lp[codes[cont]]
+            lp[cont] = np.where(np.isnan(pair_lp), fallback, pair_lp)
+        offsets = np.zeros(len(n_tok) + 1, dtype=np.int64)
+        np.cumsum(n_tok, out=offsets[1:])
+        keep = n_tok > 0
+        starts = offsets[:-1][keep]
+        avg = _avg_lp_r4_exact(lp, starts, n_tok[keep])
+        ids = np.asarray(batch.column("doc_id").cast(pa.int64()))[keep]
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_tokens": pa.array(n_tok[keep], type=pa.int64()),
+            "avg_lp_r4": pa.array(avg, type=pa.float64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def bigram_score_sql(backoff: float = 0.4) -> str:
+    """DuckDB oracle for the uncapped :func:`bigram_score` (parallel
+    unnest gives (doc_id, idx, t); the previous token comes from a
+    self-join on idx-1; bigram hit / backoff / doc-initial cases match
+    the engine's rounding rules)."""
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS t,
+             unnest(range(len(regexp_split_to_array(trim(text), '\s+'))))
+                 AS idx
+      FROM documents WHERE length(trim(text)) > 0),
+    uni AS (SELECT t, count(*) AS n FROM tok GROUP BY t),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS s FROM uni),
+    big AS (SELECT a.t AS t1, b.t AS t2, count(*) AS n2
+            FROM tok a JOIN tok b
+              ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+            GROUP BY a.t, b.t),
+    pos AS (
+      SELECT c.doc_id, c.idx, c.t,
+             CASE
+               WHEN c.idx = 0
+                 THEN round(log10(u.n / (SELECT s FROM tot)), 6)
+               WHEN bg.n2 IS NOT NULL
+                 THEN round(log10(bg.n2 / up.n), 6)
+               ELSE round(log10({backoff} * u.n / (SELECT s FROM tot)), 6)
+             END AS lp
+      FROM tok c
+      JOIN uni u ON c.t = u.t
+      LEFT JOIN tok p ON p.doc_id = c.doc_id AND p.idx = c.idx - 1
+      LEFT JOIN uni up ON p.t = up.t
+      LEFT JOIN big bg ON bg.t1 = p.t AND bg.t2 = c.t),
+    pos2 AS (
+      SELECT doc_id, CAST(round(lp * 1000000) AS BIGINT) AS lpu FROM pos)
+    {_AVG_LP_R4_EXACT_SQL}
 """

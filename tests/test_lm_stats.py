@@ -157,3 +157,75 @@ def test_tfidf_matches_duckdb_with_cap(ray_session):
             exp[["doc_id", "token"]].values.tolist(), f"cap={cap}"
         assert np.allclose(got["tfidf_r6"], exp["tfidf_r6"], atol=0), \
             f"cap={cap}"
+
+
+def test_bigram_score_math(ray_session):
+    import ray.data
+    from apollo_ray.functions.lm import bigram_score
+    texts = ["a b", "a b", "a c", "b"]
+    t = pa.table({"doc_id": pa.array(np.arange(4, dtype=np.int64)),
+                  "text": pa.array(texts)})
+    out = bigram_score(ray.data.from_arrow(t)) \
+        .to_pandas().set_index("doc_id").sort_index()
+    # counts: a=3, b=3, c=1, T=7; bigrams: (a,b)=2, (a,c)=1
+    T = 7
+    lp_a = round(float(np.log10(3 / T)), 6)
+    lp_ab = round(float(np.log10(2 / 3)), 6)
+    assert out.loc[0, "avg_lp_r4"] == round((lp_a + lp_ab) / 2, 4)
+    # doc 3 "b": single token -> unigram only
+    assert out.loc[3, "avg_lp_r4"] == round(round(float(np.log10(3 / T)), 6), 4)
+    # backoff case needs an unseen-bigram continuation: "b a" never seen
+    t2 = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                   "text": pa.array(["a b", "b a"])})
+    out2 = bigram_score(ray.data.from_arrow(t2)) \
+        .to_pandas().set_index("doc_id")
+    # counts: a=2 b=2 T=4; bigrams (a,b)=1 (b,a)=1 -> both seen; use
+    # a third doc to create an unseen pair instead
+    t3 = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                   "text": pa.array(["a b c", "c a"])})
+    out3 = bigram_score(ray.data.from_arrow(t3)) \
+        .to_pandas().set_index("doc_id")
+    # doc 1 "c a": (c,a) seen once, c count 2 -> log10(1/2); fine.
+    lp_c = round(float(np.log10(2 / 5)), 6)
+    lp_ca = round(float(np.log10(1 / 2)), 6)
+    assert out3.loc[1, "avg_lp_r4"] == round((lp_c + lp_ca) / 2, 4)
+
+
+def test_bigram_backoff_and_duckdb(ray_session):
+    import duckdb
+    import ray.data
+    from apollo_ray.functions.lm import bigram_score, bigram_score_sql
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 25)))
+             for _ in range(60)] + ["", "w0"]
+    t = pa.table({"doc_id": pa.array(np.arange(62, dtype=np.int64)),
+                  "text": pa.array(texts)})
+    got = bigram_score(ray.data.from_arrow(t)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    exp = con.execute(bigram_score_sql()).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["n_tokens"].astype(int).tolist() == \
+        exp["n_tokens"].astype(int).tolist()
+    assert np.allclose(got["avg_lp_r4"], exp["avg_lp_r4"], atol=0)
+
+
+def test_avg_lp_r4_exact_half_boundary():
+    # regression: a mean landing exactly on a 4th-decimal half
+    # (-23.6712 / 16 = -1.47945) must round away from zero like
+    # DuckDB, immune to float sum order
+    import numpy as np
+    from apollo_ray.functions.lm import _avg_lp_r4_exact
+    lp = np.full(16, -23.6712 / 16)
+    lp = np.round(lp, 6)  # -1.479450 each -> sum -23.6712 exactly
+    out = _avg_lp_r4_exact(lp, np.array([0]), np.array([16]))
+    assert out[0] == -1.4795
+    # positive side
+    out2 = _avg_lp_r4_exact(-lp, np.array([0]), np.array([16]))
+    assert out2[0] == 1.4795
+    # non-boundary sanity
+    lp3 = np.array([-1.5, -2.0])
+    assert _avg_lp_r4_exact(lp3, np.array([0]), np.array([2]))[0] == -1.75
