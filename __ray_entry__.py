@@ -393,6 +393,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_top_terms(sf_dir):
         return textstats.top_terms(_docs(sf_dir), k=5)
 
+    def q_length_quantiles(sf_dir):
+        return textstats.length_quantiles(_docs(sf_dir))
+
     def q_unigram_score(sf_dir):
         from apollo_ray.functions.lm import unigram_score
         return unigram_score(_docs(sf_dir))
@@ -461,6 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_sample_a0": q_temperature_sample,
         "corpus_stats": q_corpus_stats,
         "top_terms_lang": q_top_terms,
+        "length_quantiles": q_length_quantiles,
         "unigram_score": q_unigram_score,
         "unigram_score_cap16": q_unigram_score_cap16,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -807,6 +811,18 @@ def oracle_sql() -> dict[str, str]:
                      OVER (PARTITION BY lang ORDER BY n DESC, token) AS rk
                   FROM tf)
             SELECT lang, token, n FROM r WHERE rk <= 5
+        """,
+        "length_quantiles": r"""
+            WITH t AS (SELECT lang,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                END AS n
+              FROM documents)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(quantile_disc(n, 0.25) AS BIGINT) AS p25,
+                   CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(n, 0.75) AS BIGINT) AS p75
+            FROM t GROUP BY lang
         """,
         "emb_dup_pairs": """
             SELECT a.vec_id AS u, b.vec_id AS v,

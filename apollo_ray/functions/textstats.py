@@ -644,3 +644,97 @@ def top_terms(docs: "ray.data.Dataset", k: int = 10,
     return docs.map_batches(partial_counts, batch_format="pyarrow") \
         .groupby("pkey").map_groups(candidates, batch_format="pyarrow") \
         .groupby("gkey").map_groups(final_topk, batch_format="pyarrow")
+
+
+def length_quantiles(docs: "ray.data.Dataset", group_col: str = "lang",
+                     num_partitions: int = 16) -> "ray.data.Dataset":
+    """(group, n_docs, p25, p50, p75) — exact discrete quantiles of
+    per-doc whitespace token counts within each ``group_col`` slice
+    (the length-distribution report of a curation run).
+
+    Exactness without a global sort: token counts are small integers,
+    so the map side emits one (group, n_tokens, count) row per
+    batch-distinct pair, a pkey shuffle on hash(group) co-locates each
+    group's value histogram, and the reduce reads the quantile off the
+    cumulative histogram.  Rank rule matches DuckDB ``quantile_disc``:
+    the value at 1-based rank ceil(q*n), computed in integer
+    arithmetic ((num*n + den - 1) // den for q = num/den) so no float
+    boundary exists.  Empty documents count as length 0."""
+    from apollo_ray.hashing import hash_utf8, mix_to_partition
+
+    QS = ((1, 4, "p25"), (1, 2, "p50"), (3, 4, "p75"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"grp": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64()),
+                          "cnt": pa.array([], type=pa.int64()),
+                          "pkey": pa.array([], type=pa.int32())})
+        if batch.num_rows == 0:
+            return empty
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_tok = pc.list_value_length(_split_tokens(text)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        grp = np.asarray(batch.column(group_col).to_pylist(), dtype=object)
+        order = np.lexsort((n_tok, grp))
+        g_s, n_s = grp[order], n_tok[order]
+        first = np.empty(len(g_s), dtype=bool)
+        first[0] = True
+        first[1:] = (g_s[1:] != g_s[:-1]) | (n_s[1:] != n_s[:-1])
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.append(starts, len(g_s))).astype(np.int64)
+        g_out = g_s[starts]
+        gh = np.fromiter((hash_utf8(g) for g in g_out),
+                         dtype=np.int64, count=len(g_out))
+        return pa.table({
+            "grp": pa.array(g_out.tolist(), type=pa.string()),
+            "n": pa.array(n_s[starts], type=pa.int64()),
+            "cnt": pa.array(cnt, type=pa.int64()),
+            "pkey": pa.array(mix_to_partition(gh, num_partitions),
+                             type=pa.int32()),
+        })
+
+    def reduce_part(group: pa.Table) -> pa.Table:
+        cols = {group_col: pa.array([], type=pa.string()),
+                "n_docs": pa.array([], type=pa.int64())}
+        for _, _, name in QS:
+            cols[name] = pa.array([], type=pa.int64())
+        if group.num_rows == 0:
+            return pa.table(cols)
+        grp = np.asarray(group.column("grp").to_pylist(), dtype=object)
+        n = np.asarray(group.column("n"), dtype=np.int64)
+        cnt = np.asarray(group.column("cnt"), dtype=np.int64)
+        order = np.lexsort((n, grp))
+        grp, n, cnt = grp[order], n[order], cnt[order]
+        # merge duplicate (grp, n) pairs from different batches
+        first = np.empty(len(grp), dtype=bool)
+        first[0] = True
+        first[1:] = (grp[1:] != grp[:-1]) | (n[1:] != n[:-1])
+        starts = np.flatnonzero(first)
+        cnt = np.add.reduceat(cnt, starts)
+        grp, n = grp[starts], n[starts]
+        g_first = np.empty(len(grp), dtype=bool)
+        g_first[0] = True
+        g_first[1:] = grp[1:] != grp[:-1]
+        g_starts = np.append(np.flatnonzero(g_first), len(grp))
+        out = {group_col: [], "n_docs": []}
+        for _, _, name in QS:
+            out[name] = []
+        for a, b in zip(g_starts[:-1], g_starts[1:]):
+            cum = np.cumsum(cnt[a:b])
+            total = int(cum[-1])
+            out[group_col].append(grp[a])
+            out["n_docs"].append(total)
+            for num, den, name in QS:
+                rank = (num * total + den - 1) // den
+                out[name].append(int(n[a:b][np.searchsorted(cum, rank)]))
+        return pa.table({
+            group_col: pa.array(out[group_col], type=pa.string()),
+            "n_docs": pa.array(out["n_docs"], type=pa.int64()),
+            **{name: pa.array(out[name], type=pa.int64())
+               for _, _, name in QS},
+        })
+
+    return docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(reduce_part, batch_format="pyarrow")

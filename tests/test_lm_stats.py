@@ -229,3 +229,45 @@ def test_avg_lp_r4_exact_half_boundary():
     # non-boundary sanity
     lp3 = np.array([-1.5, -2.0])
     assert _avg_lp_r4_exact(lp3, np.array([0]), np.array([2]))[0] == -1.75
+
+
+def test_length_quantiles_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+    from apollo_ray.functions.textstats import length_quantiles
+    rng = np.random.default_rng(21)
+    texts = [" ".join(["w"] * int(n)) if n else ""
+             for n in rng.integers(0, 50, size=90)]
+    langs = rng.choice(["en", "de", "fr"], size=90).tolist()
+    t = pa.table({"doc_id": pa.array(np.arange(90, dtype=np.int64)),
+                  "text": pa.array(texts), "lang": pa.array(langs)})
+    got = length_quantiles(ray.data.from_arrow(t), num_partitions=5) \
+        .to_pandas().sort_values("lang").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    exp = con.execute(r"""
+        WITH t AS (SELECT lang,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+          FROM documents)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(quantile_disc(n, 0.25) AS BIGINT) AS p25,
+               CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50,
+               CAST(quantile_disc(n, 0.75) AS BIGINT) AS p75
+        FROM t GROUP BY lang
+    """).df().sort_values("lang").reset_index(drop=True)
+    for c in ("lang", "n_docs", "p25", "p50", "p75"):
+        assert got[c].tolist() == exp[c].tolist(), c
+
+
+def test_length_quantiles_small_groups(ray_session):
+    import ray.data
+    from apollo_ray.functions.textstats import length_quantiles
+    t = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                  "text": pa.array(["a b c", "a"]),
+                  "lang": pa.array(["en", "de"])})
+    out = length_quantiles(ray.data.from_arrow(t)) \
+        .to_pandas().set_index("lang")
+    # single-doc groups: every quantile is that doc's length
+    assert out.loc["en"].tolist() == [1, 3, 3, 3]
+    assert out.loc["de"].tolist() == [1, 1, 1, 1]
