@@ -24,6 +24,11 @@ import ray.data
 
 BLOCKLIST = ("javascript", "cookie", "lorem ipsum")
 
+# line_dedup: broadcast the packed per-doc drop lists below this many
+# dropped docs (same role as curate.REP_BROADCAST_MAX); above it the
+# rebuild falls back to a left-outer hash join
+DROP_LISTS_BROADCAST_MAX = 20_000_000
+
 
 def _counts_per_list(mask: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """Sum of ``mask`` within each list segment of ``lengths``."""
@@ -211,13 +216,8 @@ def line_dedup(docs: "ray.data.Dataset", min_len: int = 1,
                 pa.array(np.zeros(batch.num_rows, dtype=np.int64),
                          type=pa.int64()))
         return docs.map_batches(passthrough, batch_format="pyarrow")
-    joined = hash_join(docs, drop_lists, on=("doc_id",),
-                       join_type="left_outer",
-                       num_partitions=num_partitions)
-
-    def rebuild(batch: pa.Table) -> pa.Table:
+    def _rebuild_batch(batch: pa.Table, blobs: list) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        blobs = batch.column("drop_idx").to_pylist()
         out_t: list[str] = []
         n_dup = np.zeros(len(texts), dtype=np.int64)
         for i, (t, b) in enumerate(zip(texts, blobs)):
@@ -236,6 +236,43 @@ def line_dedup(docs: "ray.data.Dataset", min_len: int = 1,
         out["text"] = pa.array(out_t, type=pa.string())
         out["n_dup_lines"] = pa.array(n_dup, type=pa.int64())
         return pa.table(out)
+
+    n_dropped_docs = drop_lists.count()
+    if n_dropped_docs <= DROP_LISTS_BROADCAST_MAX:
+        # broadcast the packed per-doc drop indices and rebuild with a
+        # searchsorted lookup: document text never enters ANY shuffle
+        # (the curate rep-id precedent; also sidesteps Acero's
+        # intermittent failure on schema-less empty shuffle blocks,
+        # seen at sf0.1 through the left-outer join)
+        import ray
+        ids_l, blobs_l = [], []
+        for b in drop_lists.iter_batches(batch_format="pyarrow"):
+            ids_l.append(np.asarray(b.column("doc_id"), dtype=np.int64))
+            blobs_l.extend(b.column("drop_idx").to_pylist())
+        ids = np.concatenate(ids_l)
+        order = np.argsort(ids, kind="stable")
+        blob_arr = np.asarray(blobs_l, dtype=object)[order]
+        drops_ref = ray.put((ids[order], blob_arr))
+
+        def rebuild_bcast(batch: pa.Table, drops_ref=drops_ref) -> pa.Table:
+            import ray as _ray
+            ids_s, blob_s = _ray.get(drops_ref)
+            d = np.asarray(batch.column("doc_id").cast(pa.int64()))
+            i = np.searchsorted(ids_s, d)
+            hit = (i < len(ids_s))
+            hit[hit] &= ids_s[i[hit]] == d[hit]
+            blobs = [blob_s[j] if h else None
+                     for h, j in zip(hit, np.minimum(i, len(ids_s) - 1))]
+            return _rebuild_batch(batch, blobs)
+
+        return docs.map_batches(rebuild_bcast, batch_format="pyarrow")
+
+    joined = hash_join(docs, drop_lists, on=("doc_id",),
+                       join_type="left_outer",
+                       num_partitions=num_partitions)
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        return _rebuild_batch(batch, batch.column("drop_idx").to_pylist())
 
     return joined.map_batches(rebuild, batch_format="pyarrow")
 

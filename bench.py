@@ -106,7 +106,8 @@ def bench_once() -> dict:
     qnames = () if os.environ.get("GRAFT_SKIP_QUERIES") else (
         "exact_dedup_groups", "docfreq", "ngram_jaccard_pairs",
         "events_hourly", "ann_close_pairs", "simhash_pairs",
-        "asof_purchase", "substring_dup_spans")
+        "asof_purchase", "substring_dup_spans",
+        "line_dedup", "bigram_score")
     for name in qnames:
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

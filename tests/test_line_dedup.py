@@ -82,3 +82,15 @@ def test_matches_duckdb_oracle(ray_session):
     assert got["text"].tolist() == exp["text"].tolist()
     assert got["n_dup_lines"].astype(int).tolist() == \
         exp["n_dup_lines"].astype(int).tolist()
+
+
+def test_join_fallback_path(ray_session, monkeypatch):
+    import apollo_ray.functions.clean as clean_mod
+    import ray
+    monkeypatch.setattr(clean_mod, "DROP_LISTS_BROADCAST_MAX", 0)
+    texts = ["a\nb", "a\nb", "c"]
+    out = _run(texts, ray)
+    assert out.loc[1, "text"] == ""
+    assert out.loc[1, "n_dup_lines"] == 2
+    assert out.loc[0, "text"] == "a\nb"
+    assert out.loc[2, "text"] == "c"
