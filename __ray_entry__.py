@@ -153,6 +153,16 @@ def _bigram_sql_entry() -> str:
     return bigram_score_sql()
 
 
+def _pricing_sql_entry() -> str:
+    from apollo_ray.functions.analytics import PRICING_SUMMARY_SQL
+    return PRICING_SUMMARY_SQL
+
+
+def _forecast_sql_entry() -> str:
+    from apollo_ray.functions.analytics import FORECAST_REVENUE_SQL
+    return FORECAST_REVENUE_SQL
+
+
 def _docs(sf_dir: str):
     import ray.data
     return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -166,6 +176,12 @@ def _events(sf_dir: str):
 def _embeddings(sf_dir: str):
     import ray.data
     return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _lineitem(sf_dir: str, columns: list[str]):
+    import ray.data
+    return ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                                 columns=columns)
 
 
 def entry() -> Any:
@@ -396,6 +412,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_length_quantiles(sf_dir):
         return textstats.length_quantiles(_docs(sf_dir))
 
+    def q_pricing_summary(sf_dir):
+        from apollo_ray.functions.analytics import pricing_summary
+        return pricing_summary(_lineitem(sf_dir, [
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_shipdate"]))
+
+    def q_forecast_revenue(sf_dir):
+        from apollo_ray.functions.analytics import forecast_revenue
+        return forecast_revenue(_lineitem(sf_dir, [
+            "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"]))
+
     def q_unigram_score(sf_dir):
         from apollo_ray.functions.lm import unigram_score
         return unigram_score(_docs(sf_dir))
@@ -465,6 +492,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": q_corpus_stats,
         "top_terms_lang": q_top_terms,
         "length_quantiles": q_length_quantiles,
+        "pricing_summary": q_pricing_summary,
+        "forecast_revenue": q_forecast_revenue,
         "unigram_score": q_unigram_score,
         "unigram_score_cap16": q_unigram_score_cap16,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -812,6 +841,8 @@ def oracle_sql() -> dict[str, str]:
                   FROM tf)
             SELECT lang, token, n FROM r WHERE rk <= 5
         """,
+        "pricing_summary": _pricing_sql_entry(),
+        "forecast_revenue": _forecast_sql_entry(),
         "length_quantiles": r"""
             WITH t AS (SELECT lang,
                 CASE WHEN length(trim(text)) = 0 THEN 0
