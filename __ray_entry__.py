@@ -163,6 +163,11 @@ def _forecast_sql_entry() -> str:
     return FORECAST_REVENUE_SQL
 
 
+def _top_revenue_sql_entry() -> str:
+    from apollo_ray.functions.analytics import top_revenue_orders_sql
+    return top_revenue_orders_sql()
+
+
 def _docs(sf_dir: str):
     import ray.data
     return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -423,6 +428,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return forecast_revenue(_lineitem(sf_dir, [
             "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"]))
 
+    def q_top_revenue_orders(sf_dir):
+        import ray.data
+        from apollo_ray.functions.analytics import top_revenue_orders
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate",
+                     "o_orderpriority"])
+        customer = ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_mktsegment"])
+        return top_revenue_orders(
+            _lineitem(sf_dir, ["l_orderkey", "l_extendedprice",
+                               "l_discount", "l_shipdate"]),
+            orders, customer)
+
     def q_unigram_score(sf_dir):
         from apollo_ray.functions.lm import unigram_score
         return unigram_score(_docs(sf_dir))
@@ -494,6 +514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": q_length_quantiles,
         "pricing_summary": q_pricing_summary,
         "forecast_revenue": q_forecast_revenue,
+        "top_revenue_orders": q_top_revenue_orders,
         "unigram_score": q_unigram_score,
         "unigram_score_cap16": q_unigram_score_cap16,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -843,6 +864,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": _pricing_sql_entry(),
         "forecast_revenue": _forecast_sql_entry(),
+        "top_revenue_orders": _top_revenue_sql_entry(),
         "length_quantiles": r"""
             WITH t AS (SELECT lang,
                 CASE WHEN length(trim(text)) = 0 THEN 0

@@ -189,3 +189,169 @@ FORECAST_REVENUE_SQL = """
       AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
       AND CAST(round(l_quantity) AS BIGINT) < 24
 """
+
+
+# broadcast cap for the filtered orders side of top_revenue_orders
+# (o_orderkey + date + priority; ~30 B/row -> ~1.5 GB at the cap).
+# Above it the attach step must become a hash join.
+ORDERS_BROADCAST_MAX = 50_000_000
+
+
+def top_revenue_orders(lineitem: "ray.data.Dataset",
+                       orders: "ray.data.Dataset",
+                       customer: "ray.data.Dataset",
+                       segment: str = "BUILDING",
+                       cutoff: str = "1997-06-30",
+                       k: int = 10) -> "ray.data.Dataset":
+    """TPC-H Q3 shape: the ``k`` unshipped-revenue-richest orders of a
+    market segment — ``sum(extendedprice * (1 - discount))`` (exact
+    1e-4 dollar units) over line items shipped after ``cutoff`` whose
+    order was placed before it by a ``segment`` customer.
+
+    Join strategy (the broadcast-small-sides discipline): the segment
+    customer keys (|customer| << |lineitem|) filter the orders scan,
+    and the filtered orders metadata broadcasts once via ``ray.put``
+    (capped at ORDERS_BROADCAST_MAX rows) so the big lineitem table is
+    matched with a map-side ``searchsorted`` — no all-to-all join.
+    Per-order revenue partials shuffle on hash(orderkey); a two-level
+    top-k (per-partition candidates, tiny final merge) returns <= k
+    rows ordered by (revenue DESC, orderkey ASC)."""
+    import ray
+
+    seg_keys = []
+    for b in customer.map_batches(
+            lambda t: t.filter(pc.equal(t.column("c_mktsegment"), segment))
+            .select(["c_custkey"]), batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        seg_keys.append(np.asarray(b.column("c_custkey"), dtype=np.int64))
+    seg_arr = np.sort(np.concatenate(seg_keys)) if seg_keys else \
+        np.empty(0, dtype=np.int64)
+    cut = np.datetime64(cutoff, "us")
+
+    def order_filter(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch.column("o_orderdate"),
+                       pa.scalar(cut)).to_numpy(zero_copy_only=False)
+        ck = np.asarray(batch.column("o_custkey"), dtype=np.int64)
+        i = np.searchsorted(seg_arr, ck)
+        hit = (i < len(seg_arr))
+        hit[hit] &= seg_arr[i[hit]] == ck[hit]
+        return batch.filter(pa.array(keep & hit)) \
+            .select(["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    ord_keys, ord_dates, ord_prio = [], [], []
+    filt = orders.map_batches(order_filter, batch_format="pyarrow")
+    n_orders = 0
+    for b in filt.iter_batches(batch_format="pyarrow"):
+        n_orders += b.num_rows
+        if n_orders > ORDERS_BROADCAST_MAX:
+            raise NotImplementedError(
+                "filtered orders side exceeds ORDERS_BROADCAST_MAX; "
+                "switch to the hash-join attach path")
+        ord_keys.append(np.asarray(b.column("o_orderkey"), dtype=np.int64))
+        ord_dates.append(b.column("o_orderdate").to_numpy(
+            zero_copy_only=False))
+        ord_prio.extend(b.column("o_orderpriority").to_pylist())
+    empty_out = pa.table({
+        "l_orderkey": pa.array([], type=pa.int64()),
+        "revenue_e4": pa.array([], type=pa.int64()),
+        "o_orderdate": pa.array([], type=pa.timestamp("us")),
+        "o_orderpriority": pa.array([], type=pa.string())})
+    if not ord_keys or not sum(len(a) for a in ord_keys):
+        return ray.data.from_arrow(empty_out)
+    okeys = np.concatenate(ord_keys)
+    order_ix = np.argsort(okeys, kind="stable")
+    okeys = okeys[order_ix]
+    odates = np.concatenate(ord_dates)[order_ix]
+    oprio = np.asarray(ord_prio, dtype=object)[order_ix]
+    ref = ray.put((okeys, odates, oprio))
+
+    def li_partial(batch: pa.Table, ref=ref) -> pa.Table:
+        import ray as _ray
+        ok, od, op = _ray.get(ref)
+        empty = pa.table({"okey": pa.array([], type=pa.int64()),
+                          "rev": pa.array([], type=pa.int64()),
+                          "pkey": pa.array([], type=pa.int32())})
+        keep = pc.greater(batch.column("l_shipdate"),
+                          pa.scalar(cut)).to_numpy(zero_copy_only=False)
+        lk = np.asarray(batch.column("l_orderkey"), dtype=np.int64)
+        i = np.searchsorted(ok, lk)
+        hit = (i < len(ok))
+        hit[hit] &= ok[i[hit]] == lk[hit]
+        keep &= hit
+        if not keep.any():
+            return empty
+        lk = lk[keep]
+        price_c = _money_ints(batch, "l_extendedprice", 100)[keep]
+        disc_c = _money_ints(batch, "l_discount", 100)[keep]
+        rev = price_c * (100 - disc_c)
+        uk, inv = np.unique(lk, return_inverse=True)
+        sums = np.bincount(inv, weights=rev,
+                           minlength=len(uk)).astype(np.int64)
+        return pa.table({
+            "okey": pa.array(uk, type=pa.int64()),
+            "rev": pa.array(sums, type=pa.int64()),
+            "pkey": pa.array(mix_to_partition(uk, 16), type=pa.int32()),
+        })
+
+    def part_topk(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"okey": pa.array([], type=pa.int64()),
+                             "rev": pa.array([], type=pa.int64()),
+                             "gkey": pa.array([], type=pa.int32())})
+        okey = np.asarray(group.column("okey"), dtype=np.int64)
+        rev = np.asarray(group.column("rev"), dtype=np.int64)
+        uk, inv = np.unique(okey, return_inverse=True)
+        sums = np.bincount(inv, weights=rev,
+                           minlength=len(uk)).astype(np.int64)
+        # per-partition top-k candidates: orderkeys are complete within
+        # their pkey partition, so the union over partitions is a
+        # superset of the global top-k
+        order = np.lexsort((uk, -sums))[:k]
+        return pa.table({
+            "okey": pa.array(uk[order], type=pa.int64()),
+            "rev": pa.array(sums[order], type=pa.int64()),
+            "gkey": pa.array(np.zeros(len(order), dtype=np.int32),
+                             type=pa.int32()),
+        })
+
+    def final_topk(group: pa.Table, ref=ref) -> pa.Table:
+        import ray as _ray
+        if group.num_rows == 0:
+            return empty_out
+        ok, od, op = _ray.get(ref)
+        okey = np.asarray(group.column("okey"), dtype=np.int64)
+        rev = np.asarray(group.column("rev"), dtype=np.int64)
+        order = np.lexsort((okey, -rev))[:k]
+        okey, rev = okey[order], rev[order]
+        j = np.searchsorted(ok, okey)
+        return pa.table({
+            "l_orderkey": pa.array(okey, type=pa.int64()),
+            "revenue_e4": pa.array(rev, type=pa.int64()),
+            "o_orderdate": pa.array(od[j], type=pa.timestamp("us")),
+            "o_orderpriority": pa.array(op[j].tolist(), type=pa.string()),
+        })
+
+    return lineitem.map_batches(li_partial, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(part_topk, batch_format="pyarrow") \
+        .groupby("gkey").map_groups(final_topk, batch_format="pyarrow")
+
+
+def top_revenue_orders_sql(segment: str = "BUILDING",
+                           cutoff: str = "1997-06-30", k: int = 10) -> str:
+    """DuckDB oracle for :func:`top_revenue_orders`."""
+    return f"""
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+               AS BIGINT) AS revenue_e4,
+           o.o_orderdate, o.o_orderpriority
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = '{segment}'
+      AND o.o_orderdate < TIMESTAMP '{cutoff}'
+      AND l.l_shipdate > TIMESTAMP '{cutoff}'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue_e4 DESC, l.l_orderkey
+    LIMIT {k}
+"""

@@ -55,3 +55,46 @@ def test_forecast_revenue_matches_duckdb(ray_session):
     assert int(got["revenue_e4"][0]) == (0 if e is None or
                                          np.isnan(e) else int(e))
     assert int(got["revenue_e4"][0]) > 0  # fixture spans 1997
+
+
+def test_top_revenue_orders_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+    from apollo_ray.functions.analytics import (top_revenue_orders,
+                                                top_revenue_orders_sql)
+    rng = np.random.default_rng(17)
+    li = _lineitem(400, seed=17)
+    n_ord = 60
+    okeys = rng.integers(1, n_ord + 1, size=400)
+    li = li.set_column(0, "l_returnflag", li.column("l_returnflag"))
+    li = li.append_column("l_orderkey",
+                          pa.array(okeys.astype(np.int64), type=pa.int64()))
+    base = np.datetime64("1995-06-01", "us")
+    orders = pa.table({
+        "o_orderkey": pa.array(np.arange(1, n_ord + 1, dtype=np.int64)),
+        "o_custkey": pa.array(rng.integers(1, 20, size=n_ord)
+                              .astype(np.int64)),
+        "o_orderdate": pa.array(base + rng.integers(0, 900, size=n_ord)
+                                * np.timedelta64(86400_000_000, "us")),
+        "o_orderpriority": pa.array(rng.choice(["1-URGENT", "3-MEDIUM"],
+                                               size=n_ord)),
+    })
+    customer = pa.table({
+        "c_custkey": pa.array(np.arange(1, 20, dtype=np.int64)),
+        "c_mktsegment": pa.array(rng.choice(["BUILDING", "MACHINERY"],
+                                            size=19)),
+    })
+    got = top_revenue_orders(ray.data.from_arrow(li),
+                             ray.data.from_arrow(orders),
+                             ray.data.from_arrow(customer),
+                             cutoff="1996-06-30", k=5).to_pandas()
+    con = duckdb.connect()
+    con.register("lineitem", li.to_pandas())
+    con.register("orders", orders.to_pandas())
+    con.register("customer", customer.to_pandas())
+    exp = con.execute(top_revenue_orders_sql(cutoff="1996-06-30", k=5)).df()
+    assert got["l_orderkey"].tolist() == exp["l_orderkey"].tolist()
+    assert got["revenue_e4"].astype(int).tolist() == \
+        exp["revenue_e4"].astype(int).tolist()
+    assert got["o_orderpriority"].tolist() == \
+        exp["o_orderpriority"].tolist()
