@@ -153,6 +153,16 @@ def _bigram_sql_entry() -> str:
     return bigram_score_sql()
 
 
+def _ppl_buckets_sql_entry() -> str:
+    from apollo_ray.functions.ranking import ppl_buckets_sql
+    return ppl_buckets_sql(n=3)
+
+
+def _token_ntile_sql_entry() -> str:
+    from apollo_ray.functions.ranking import token_ntile_buckets_sql
+    return token_ntile_buckets_sql(n=10)
+
+
 def _pricing_sql_entry() -> str:
     from apollo_ray.functions.analytics import PRICING_SUMMARY_SQL
     return PRICING_SUMMARY_SQL
@@ -460,6 +470,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from apollo_ray.functions.lm import bigram_score
         return bigram_score(_docs(sf_dir))
 
+    def q_ppl_buckets(sf_dir):
+        from apollo_ray.functions.ranking import ppl_buckets
+        return ppl_buckets(_docs(sf_dir), n=3)
+
+    def q_token_ntile(sf_dir):
+        from apollo_ray.functions.ranking import token_ntile_buckets
+        return token_ntile_buckets(_docs(sf_dir), n=10)
+
     def q_stratified_sample(sf_dir):
         from apollo_ray.functions.sampling import stratified_sample
         return stratified_sample(_docs(sf_dir), _STRAT_RATES,
@@ -515,6 +533,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "forecast_revenue": q_forecast_revenue,
         "top_revenue_orders": q_top_revenue_orders,
+        "ppl_buckets": q_ppl_buckets,
+        "token_ntile_buckets": q_token_ntile,
         "unigram_score": q_unigram_score,
         "unigram_score_cap16": q_unigram_score_cap16,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -847,6 +867,8 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_tokens
             FROM documents GROUP BY source, lang
         """,
+        "ppl_buckets": _ppl_buckets_sql_entry(),
+        "token_ntile_buckets": _token_ntile_sql_entry(),
         "unigram_score": _unigram_score_sql_entry(),
         "unigram_score_cap16": _unigram_score_sql_entry(vocab_cap=16),
         "tfidf_top_terms": _tfidf_sql_entry(),
