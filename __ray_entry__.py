@@ -178,6 +178,11 @@ def _top_revenue_sql_entry() -> str:
     return top_revenue_orders_sql()
 
 
+def _regional_revenue_sql_entry() -> str:
+    from apollo_ray.functions.analytics import regional_revenue_sql
+    return regional_revenue_sql()
+
+
 def _docs(sf_dir: str):
     import ray.data
     return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -453,6 +458,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                "l_discount", "l_shipdate"]),
             orders, customer)
 
+    def q_regional_revenue(sf_dir):
+        import ray.data
+        from apollo_ray.functions.analytics import regional_revenue
+        rd = lambda t, cols: ray.data.read_parquet(  # noqa: E731
+            os.path.join(sf_dir, t + ".parquet"), columns=cols)
+        return regional_revenue(
+            _lineitem(sf_dir, ["l_orderkey", "l_suppkey",
+                               "l_extendedprice", "l_discount"]),
+            rd("orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+            rd("customer", ["c_custkey", "c_nationkey"]),
+            rd("supplier", ["s_suppkey", "s_nationkey"]),
+            rd("nation", ["n_nationkey", "n_name", "n_regionkey"]),
+            rd("region", ["r_regionkey", "r_name"]))
+
     def q_unigram_score(sf_dir):
         from apollo_ray.functions.lm import unigram_score
         return unigram_score(_docs(sf_dir))
@@ -533,6 +552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "forecast_revenue": q_forecast_revenue,
         "top_revenue_orders": q_top_revenue_orders,
+        "regional_revenue": q_regional_revenue,
         "ppl_buckets": q_ppl_buckets,
         "token_ntile_buckets": q_token_ntile,
         "unigram_score": q_unigram_score,
@@ -887,6 +907,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": _pricing_sql_entry(),
         "forecast_revenue": _forecast_sql_entry(),
         "top_revenue_orders": _top_revenue_sql_entry(),
+        "regional_revenue": _regional_revenue_sql_entry(),
         "length_quantiles": r"""
             WITH t AS (SELECT lang,
                 CASE WHEN length(trim(text)) = 0 THEN 0

@@ -202,7 +202,10 @@ def top_revenue_orders(lineitem: "ray.data.Dataset",
                        customer: "ray.data.Dataset",
                        segment: str = "BUILDING",
                        cutoff: str = "1997-06-30",
-                       k: int = 10) -> "ray.data.Dataset":
+                       k: int = 10,
+                       method: str = "auto",
+                       broadcast_max: int | None = None
+                       ) -> "ray.data.Dataset":
     """TPC-H Q3 shape: the ``k`` unshipped-revenue-richest orders of a
     market segment — ``sum(extendedprice * (1 - discount))`` (exact
     1e-4 dollar units) over line items shipped after ``cutoff`` whose
@@ -211,13 +214,23 @@ def top_revenue_orders(lineitem: "ray.data.Dataset",
     Join strategy (the broadcast-small-sides discipline): the segment
     customer keys (|customer| << |lineitem|) filter the orders scan,
     and the filtered orders metadata broadcasts once via ``ray.put``
-    (capped at ORDERS_BROADCAST_MAX rows) so the big lineitem table is
-    matched with a map-side ``searchsorted`` — no all-to-all join.
-    Per-order revenue partials shuffle on hash(orderkey); a two-level
-    top-k (per-partition candidates, tiny final merge) returns <= k
-    rows ordered by (revenue DESC, orderkey ASC)."""
+    (capped at ``broadcast_max``, default ORDERS_BROADCAST_MAX rows)
+    so the big lineitem table is matched with a map-side
+    ``searchsorted`` — no all-to-all join.  Per-order revenue partials
+    shuffle on hash(orderkey); a two-level top-k (per-partition
+    candidates, tiny final merge) returns <= k rows ordered by
+    (revenue DESC, orderkey ASC).
+
+    ``method``: ``"broadcast"`` (raise above the cap), ``"hashjoin"``
+    (pkey-partition the filtered orders metadata AND the lineitem
+    per-order partials on hash(orderkey) and join them inside the
+    same per-partition top-k stage — one extra shuffle of the orders
+    metadata, no driver materialization at all), or ``"auto"``
+    (broadcast while the filtered side fits, else hashjoin)."""
     import ray
 
+    if broadcast_max is None:
+        broadcast_max = ORDERS_BROADCAST_MAX
     seg_keys = []
     for b in customer.map_batches(
             lambda t: t.filter(pc.equal(t.column("c_mktsegment"), segment))
@@ -232,30 +245,35 @@ def top_revenue_orders(lineitem: "ray.data.Dataset",
         keep = pc.less(batch.column("o_orderdate"),
                        pa.scalar(cut)).to_numpy(zero_copy_only=False)
         ck = np.asarray(batch.column("o_custkey"), dtype=np.int64)
-        i = np.searchsorted(seg_arr, ck)
-        hit = (i < len(seg_arr))
-        hit[hit] &= seg_arr[i[hit]] == ck[hit]
+        hit, _ = _lookup_hit(seg_arr, ck)
         return batch.filter(pa.array(keep & hit)) \
             .select(["o_orderkey", "o_orderdate", "o_orderpriority"])
 
-    ord_keys, ord_dates, ord_prio = [], [], []
-    filt = orders.map_batches(order_filter, batch_format="pyarrow")
-    n_orders = 0
-    for b in filt.iter_batches(batch_format="pyarrow"):
-        n_orders += b.num_rows
-        if n_orders > ORDERS_BROADCAST_MAX:
-            raise NotImplementedError(
-                "filtered orders side exceeds ORDERS_BROADCAST_MAX; "
-                "switch to the hash-join attach path")
-        ord_keys.append(np.asarray(b.column("o_orderkey"), dtype=np.int64))
-        ord_dates.append(b.column("o_orderdate").to_numpy(
-            zero_copy_only=False))
-        ord_prio.extend(b.column("o_orderpriority").to_pylist())
     empty_out = pa.table({
         "l_orderkey": pa.array([], type=pa.int64()),
         "revenue_e4": pa.array([], type=pa.int64()),
         "o_orderdate": pa.array([], type=pa.timestamp("us")),
         "o_orderpriority": pa.array([], type=pa.string())})
+    if method == "hashjoin":
+        return _top_revenue_hashjoin(lineitem, orders, order_filter,
+                                     cut, k, empty_out)
+    ord_keys, ord_dates, ord_prio = [], [], []
+    filt = orders.map_batches(order_filter, batch_format="pyarrow")
+    n_orders = 0
+    for b in filt.iter_batches(batch_format="pyarrow"):
+        n_orders += b.num_rows
+        if n_orders > broadcast_max:
+            if method == "auto":
+                return _top_revenue_hashjoin(lineitem, orders,
+                                             order_filter, cut, k,
+                                             empty_out)
+            raise NotImplementedError(
+                "filtered orders side exceeds broadcast_max; "
+                "use method='hashjoin'")
+        ord_keys.append(np.asarray(b.column("o_orderkey"), dtype=np.int64))
+        ord_dates.append(b.column("o_orderdate").to_numpy(
+            zero_copy_only=False))
+        ord_prio.extend(b.column("o_orderpriority").to_pylist())
     if not ord_keys or not sum(len(a) for a in ord_keys):
         return ray.data.from_arrow(empty_out)
     okeys = np.concatenate(ord_keys)
@@ -334,6 +352,307 @@ def top_revenue_orders(lineitem: "ray.data.Dataset",
     return lineitem.map_batches(li_partial, batch_format="pyarrow") \
         .groupby("pkey").map_groups(part_topk, batch_format="pyarrow") \
         .groupby("gkey").map_groups(final_topk, batch_format="pyarrow")
+
+
+def _lookup_hit(sorted_keys: np.ndarray, probe: np.ndarray
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """(hit_mask, insert_pos) of ``probe`` against sorted keys."""
+    i = np.searchsorted(sorted_keys, probe)
+    hit = i < len(sorted_keys)
+    hit[hit] &= sorted_keys[i[hit]] == probe[hit]
+    return hit, i
+
+
+def _top_revenue_hashjoin(lineitem, orders, order_filter, cut, k,
+                          empty_out, num_partitions: int = 64):
+    """Hash-join attach path for :func:`top_revenue_orders`: filtered
+    orders metadata and lineitem per-order revenue partials both pkey
+    on hash(orderkey) and meet in the per-partition join + top-k stage.
+    Nothing materializes on the driver; each partition holds
+    |filtered orders| / num_partitions metadata rows plus the order's
+    partials — raise ``num_partitions`` to bound per-task memory at
+    scale."""
+    import ray  # noqa: F401  (parity with the broadcast path imports)
+    from apollo_ray.hashing import mix_to_partition
+
+    def _side(okey, rev, odate, oprio, side):
+        n = len(okey)
+        return pa.table({
+            "okey": pa.array(okey, type=pa.int64()),
+            "rev": pa.array(rev, type=pa.int64()),
+            "odate": odate if isinstance(odate, (pa.Array, pa.ChunkedArray))
+            else pa.nulls(n, type=pa.timestamp("us")),
+            "oprio": oprio if isinstance(oprio, (pa.Array, pa.ChunkedArray))
+            else pa.nulls(n, type=pa.string()),
+            "side": pa.array(np.full(n, side, dtype=np.int8),
+                             type=pa.int8()),
+            "pkey": pa.array(mix_to_partition(
+                np.asarray(okey, dtype=np.int64), num_partitions),
+                type=pa.int32()),
+        })
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        t = order_filter(batch)
+        okey = np.asarray(t.column("o_orderkey"), dtype=np.int64)
+        return _side(okey, np.zeros(len(okey), dtype=np.int64),
+                     t.column("o_orderdate").combine_chunks()
+                     if isinstance(t.column("o_orderdate"), pa.ChunkedArray)
+                     else t.column("o_orderdate"),
+                     t.column("o_orderpriority").combine_chunks()
+                     if isinstance(t.column("o_orderpriority"),
+                                   pa.ChunkedArray)
+                     else t.column("o_orderpriority"), 0)
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(batch.column("l_shipdate"),
+                          pa.scalar(cut)).to_numpy(zero_copy_only=False)
+        if not keep.any():
+            return _side(np.empty(0, dtype=np.int64),
+                         np.empty(0, dtype=np.int64), None, None, 1)
+        lk = np.asarray(batch.column("l_orderkey"), dtype=np.int64)[keep]
+        price_c = _money_ints(batch, "l_extendedprice", 100)[keep]
+        disc_c = _money_ints(batch, "l_discount", 100)[keep]
+        uk, inv = np.unique(lk, return_inverse=True)
+        sums = np.bincount(inv, weights=price_c * (100 - disc_c),
+                           minlength=len(uk)).astype(np.int64)
+        return _side(uk, sums, None, None, 1)
+
+    def join_topk(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "okey": pa.array([], type=pa.int64()),
+            "rev": pa.array([], type=pa.int64()),
+            "odate": pa.array([], type=pa.timestamp("us")),
+            "oprio": pa.array([], type=pa.string()),
+            "gkey": pa.array([], type=pa.int32())})
+        if group.num_rows == 0:
+            return empty
+        side = np.asarray(group.column("side"), dtype=np.int8)
+        okey = np.asarray(group.column("okey"), dtype=np.int64)
+        om = side == 0
+        ok_o = okey[om]
+        if not len(ok_o) or om.all():
+            return empty
+        six = np.argsort(ok_o, kind="stable")
+        ok_o = ok_o[six]
+        od_o = group.column("odate").to_numpy(
+            zero_copy_only=False)[om][six]
+        op_o = np.asarray(group.column("oprio").to_pylist(),
+                          dtype=object)[om][six]
+        rev = np.asarray(group.column("rev"), dtype=np.int64)[~om]
+        uk, inv = np.unique(okey[~om], return_inverse=True)
+        sums = np.bincount(inv, weights=rev,
+                           minlength=len(uk)).astype(np.int64)
+        hit, i = _lookup_hit(ok_o, uk)
+        uk, sums, i = uk[hit], sums[hit], i[hit]
+        order = np.lexsort((uk, -sums))[:k]
+        return pa.table({
+            "okey": pa.array(uk[order], type=pa.int64()),
+            "rev": pa.array(sums[order], type=pa.int64()),
+            "odate": pa.array(od_o[i[order]], type=pa.timestamp("us")),
+            "oprio": pa.array(op_o[i[order]].tolist(), type=pa.string()),
+            "gkey": pa.array(np.zeros(len(order), dtype=np.int32),
+                             type=pa.int32())})
+
+    def final(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty_out
+        okey = np.asarray(group.column("okey"), dtype=np.int64)
+        rev = np.asarray(group.column("rev"), dtype=np.int64)
+        order = np.lexsort((okey, -rev))[:k]
+        return pa.table({
+            "l_orderkey": pa.array(okey[order], type=pa.int64()),
+            "revenue_e4": pa.array(rev[order], type=pa.int64()),
+            "o_orderdate": pa.array(group.column("odate").to_numpy(
+                zero_copy_only=False)[order], type=pa.timestamp("us")),
+            "o_orderpriority": pa.array(
+                np.asarray(group.column("oprio").to_pylist(),
+                           dtype=object)[order].tolist(),
+                type=pa.string())})
+
+    both = orders.map_batches(orders_side, batch_format="pyarrow").union(
+        lineitem.map_batches(li_side, batch_format="pyarrow"))
+    return both.groupby("pkey").map_groups(join_topk,
+                                           batch_format="pyarrow") \
+        .groupby("gkey").map_groups(final, batch_format="pyarrow")
+
+
+def regional_revenue(lineitem: "ray.data.Dataset",
+                     orders: "ray.data.Dataset",
+                     customer: "ray.data.Dataset",
+                     supplier: "ray.data.Dataset",
+                     nation: "ray.data.Dataset",
+                     region: "ray.data.Dataset",
+                     region_name: str = "ASIA",
+                     year: int = 1997) -> "ray.data.Dataset":
+    """TPC-H Q5 shape: per-nation revenue (exact 1e-4 dollar units) of
+    ``year`` orders where the customer and the line item's supplier sit
+    in the same nation of ``region_name``; ordered revenue DESC.
+
+    Join strategy — a broadcast dimension CHAIN, never a shuffle join:
+    region⋈nation (tiny) resolve on the driver to the in-region nation
+    set; customer and supplier project to sorted (key → nationkey)
+    arrays filtered to those nations; orders filter by date + in-region
+    customer and project to sorted (orderkey → cust_nationkey).  Each
+    side broadcasts once via ``ray.put`` (customer/orders sides capped
+    at ORDERS_BROADCAST_MAX rows — above it the attach must become a
+    hash join, cf. :func:`top_revenue_orders` ``method="hashjoin"``).
+    The single lineitem scan then resolves both nations map-side with
+    ``searchsorted``, keeps cust_nation == supp_nation, and bincounts
+    revenue per nationkey — the shuffle moves O(nations × batches)
+    partial rows only."""
+    import ray
+
+    # region ⋈ nation: tiny dimension tables, resolved driver-side
+    rkeys = []
+    for b in region.iter_batches(batch_format="pyarrow"):
+        m = pc.equal(b.column("r_name"), region_name).to_numpy(
+            zero_copy_only=False)
+        rkeys.append(np.asarray(b.column("r_regionkey"),
+                                dtype=np.int64)[m])
+    rset = np.sort(np.concatenate(rkeys)) if rkeys else \
+        np.empty(0, dtype=np.int64)
+    nat_keys, nat_names = [], []
+    for b in nation.iter_batches(batch_format="pyarrow"):
+        nrk = np.asarray(b.column("n_regionkey"), dtype=np.int64)
+        hit, _ = _lookup_hit(rset, nrk)
+        nat_keys.append(np.asarray(b.column("n_nationkey"),
+                                   dtype=np.int64)[hit])
+        nat_names.extend(np.asarray(b.column("n_name").to_pylist(),
+                                    dtype=object)[hit].tolist())
+    nats = np.concatenate(nat_keys) if nat_keys else \
+        np.empty(0, dtype=np.int64)
+    order_ix = np.argsort(nats, kind="stable")
+    nats = nats[order_ix]
+    names = np.asarray(nat_names, dtype=object)[order_ix]
+    empty_out = pa.table({"n_name": pa.array([], type=pa.string()),
+                          "revenue_e4": pa.array([], type=pa.int64())})
+    if len(nats) == 0:
+        return ray.data.from_arrow(empty_out)
+
+    def _keyed_side(ds, key_col, nat_col, what):
+        """Sorted (key, nationkey) arrays for rows in the region."""
+        ks, ns, n_rows = [], [], 0
+        proj = ds.map_batches(
+            lambda t, kc=key_col, nc=nat_col: t.select([kc, nc]),
+            batch_format="pyarrow")
+        for b in proj.iter_batches(batch_format="pyarrow"):
+            kv = np.asarray(b.column(key_col), dtype=np.int64)
+            nv = np.asarray(b.column(nat_col), dtype=np.int64)
+            hit, _ = _lookup_hit(nats, nv)
+            n_rows += int(hit.sum())
+            if n_rows > ORDERS_BROADCAST_MAX:
+                raise NotImplementedError(
+                    "%s side exceeds ORDERS_BROADCAST_MAX; switch the "
+                    "attach to a hash join" % what)
+            ks.append(kv[hit])
+            ns.append(nv[hit])
+        k = np.concatenate(ks) if ks else np.empty(0, dtype=np.int64)
+        n = np.concatenate(ns) if ns else np.empty(0, dtype=np.int64)
+        ix = np.argsort(k, kind="stable")
+        return k[ix], n[ix]
+
+    cust_k, cust_n = _keyed_side(customer, "c_custkey", "c_nationkey",
+                                 "customer")
+    supp_k, supp_n = _keyed_side(supplier, "s_suppkey", "s_nationkey",
+                                 "supplier")
+    lo = np.datetime64("%d-01-01" % year, "us")
+    hi = np.datetime64("%d-01-01" % (year + 1), "us")
+
+    # orders filtered by date + in-region customer -> (orderkey, nat)
+    ok_l, on_l, n_orders = [], [], 0
+    for b in orders.iter_batches(batch_format="pyarrow"):
+        od = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+        keep = (od >= lo) & (od < hi)
+        ck = np.asarray(b.column("o_custkey"), dtype=np.int64)
+        hit, i = _lookup_hit(cust_k, ck)
+        keep &= hit
+        n_orders += int(keep.sum())
+        if n_orders > ORDERS_BROADCAST_MAX:
+            raise NotImplementedError(
+                "filtered orders side exceeds ORDERS_BROADCAST_MAX; "
+                "switch the attach to a hash join")
+        ok_l.append(np.asarray(b.column("o_orderkey"),
+                               dtype=np.int64)[keep])
+        on_l.append(cust_n[i[keep]])
+    okeys = np.concatenate(ok_l) if ok_l else np.empty(0, dtype=np.int64)
+    onats = np.concatenate(on_l) if on_l else np.empty(0, dtype=np.int64)
+    ix = np.argsort(okeys, kind="stable")
+    okeys, onats = okeys[ix], onats[ix]
+    if len(okeys) == 0:
+        return ray.data.from_arrow(empty_out)
+    nat_hi = int(nats.max()) + 1
+    ref = ray.put((okeys, onats, supp_k, supp_n))
+
+    def li_partial(batch: pa.Table, ref=ref) -> pa.Table:
+        import ray as _ray
+        ok, on, sk, sn = _ray.get(ref)
+        empty = pa.table({"nat": pa.array([], type=pa.int64()),
+                          "rev": pa.array([], type=pa.int64()),
+                          "pkey": pa.array([], type=pa.int32())})
+        if batch.num_rows == 0:
+            return empty
+        lk = np.asarray(batch.column("l_orderkey"), dtype=np.int64)
+        hit_o, io = _lookup_hit(ok, lk)
+        sup = np.asarray(batch.column("l_suppkey"), dtype=np.int64)
+        hit_s, isup = _lookup_hit(sk, sup)
+        keep = hit_o & hit_s
+        keep[keep] &= on[io[keep]] == sn[isup[keep]]
+        if not keep.any():
+            return empty
+        nat = on[io[keep]]
+        price_c = _money_ints(batch, "l_extendedprice", 100)[keep]
+        disc_c = _money_ints(batch, "l_discount", 100)[keep]
+        sums = np.bincount(nat, weights=price_c * (100 - disc_c),
+                           minlength=nat_hi).astype(np.int64)
+        nz = np.flatnonzero(sums)
+        return pa.table({
+            "nat": pa.array(nz.astype(np.int64), type=pa.int64()),
+            "rev": pa.array(sums[nz], type=pa.int64()),
+            "pkey": pa.array(np.zeros(len(nz), dtype=np.int32),
+                             type=pa.int32()),
+        })
+
+    def final(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty_out
+        nat = np.asarray(group.column("nat"), dtype=np.int64)
+        rev = np.asarray(group.column("rev"), dtype=np.int64)
+        sums = np.bincount(nat, weights=rev,
+                           minlength=nat_hi).astype(np.int64)
+        nz = np.flatnonzero(sums)
+        j = np.searchsorted(nats, nz)
+        nm = names[j]
+        order = np.lexsort((nm, -sums[nz]))
+        return pa.table({
+            "n_name": pa.array(nm[order].tolist(), type=pa.string()),
+            "revenue_e4": pa.array(sums[nz][order], type=pa.int64()),
+        })
+
+    return lineitem.map_batches(li_partial, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(final, batch_format="pyarrow")
+
+
+def regional_revenue_sql(region_name: str = "ASIA",
+                         year: int = 1997) -> str:
+    """DuckDB oracle for :func:`regional_revenue`."""
+    return f"""
+    SELECT n.n_name,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+               AS BIGINT) AS revenue_e4
+    FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+    WHERE c.c_custkey = o.o_custkey
+      AND l.l_orderkey = o.o_orderkey
+      AND l.l_suppkey = s.s_suppkey
+      AND c.c_nationkey = s.s_nationkey
+      AND s.s_nationkey = n.n_nationkey
+      AND n.n_regionkey = r.r_regionkey
+      AND r.r_name = '{region_name}'
+      AND o.o_orderdate >= TIMESTAMP '{year}-01-01'
+      AND o.o_orderdate < TIMESTAMP '{year + 1}-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue_e4 DESC, n.n_name
+"""
 
 
 def top_revenue_orders_sql(segment: str = "BUILDING",

@@ -98,3 +98,101 @@ def test_top_revenue_orders_matches_duckdb(ray_session):
         exp["revenue_e4"].astype(int).tolist()
     assert got["o_orderpriority"].tolist() == \
         exp["o_orderpriority"].tolist()
+
+    # hash-join attach path (above-broadcast-cap regime): same answer
+    from apollo_ray.functions.analytics import top_revenue_orders as tro
+    hj = tro(ray.data.from_arrow(li), ray.data.from_arrow(orders),
+             ray.data.from_arrow(customer), cutoff="1996-06-30", k=5,
+             method="hashjoin").to_pandas()
+    assert hj["l_orderkey"].tolist() == exp["l_orderkey"].tolist()
+    assert hj["revenue_e4"].astype(int).tolist() == \
+        exp["revenue_e4"].astype(int).tolist()
+    assert hj["o_orderdate"].tolist() == got["o_orderdate"].tolist()
+    assert hj["o_orderpriority"].tolist() == \
+        exp["o_orderpriority"].tolist()
+
+    # auto mode falls back to hashjoin when the filtered side > cap
+    auto = tro(ray.data.from_arrow(li), ray.data.from_arrow(orders),
+               ray.data.from_arrow(customer), cutoff="1996-06-30", k=5,
+               method="auto", broadcast_max=2).to_pandas()
+    assert auto["l_orderkey"].tolist() == exp["l_orderkey"].tolist()
+
+
+def _tpch_star(seed=23, n_li=500, n_ord=80, n_cust=25, n_supp=12):
+    """Small TPC-H star fixture incl. nation/region, matching the
+    driver's table schemas (int32 dimension keys)."""
+    rng = np.random.default_rng(seed)
+    li = _lineitem(n_li, seed=seed)
+    li = li.append_column("l_orderkey", pa.array(
+        rng.integers(1, n_ord + 1, size=n_li).astype(np.int64)))
+    li = li.append_column("l_suppkey", pa.array(
+        rng.integers(1, n_supp + 1, size=n_li).astype(np.int64)))
+    base = np.datetime64("1995-06-01", "us")
+    orders = pa.table({
+        "o_orderkey": pa.array(np.arange(1, n_ord + 1, dtype=np.int64)),
+        "o_custkey": pa.array(rng.integers(1, n_cust + 1, size=n_ord)
+                              .astype(np.int64)),
+        "o_orderdate": pa.array(base + rng.integers(0, 1200, size=n_ord)
+                                * np.timedelta64(86400_000_000, "us")),
+        "o_orderpriority": pa.array(rng.choice(["1-URGENT", "3-MEDIUM"],
+                                               size=n_ord)),
+    })
+    customer = pa.table({
+        "c_custkey": pa.array(np.arange(1, n_cust + 1, dtype=np.int64)),
+        "c_nationkey": pa.array(rng.integers(0, 6, size=n_cust)
+                                .astype(np.int32)),
+        "c_mktsegment": pa.array(rng.choice(["BUILDING", "MACHINERY"],
+                                            size=n_cust)),
+    })
+    supplier = pa.table({
+        "s_suppkey": pa.array(np.arange(1, n_supp + 1, dtype=np.int64)),
+        "s_nationkey": pa.array(rng.integers(0, 6, size=n_supp)
+                                .astype(np.int32)),
+    })
+    nation = pa.table({
+        "n_nationkey": pa.array(np.arange(6, dtype=np.int32)),
+        "n_name": pa.array(["NATION_%d" % i for i in range(6)]),
+        "n_regionkey": pa.array(np.array([0, 0, 1, 1, 2, 2],
+                                         dtype=np.int32)),
+    })
+    region = pa.table({
+        "r_regionkey": pa.array(np.arange(3, dtype=np.int32)),
+        "r_name": pa.array(["ASIA", "EUROPE", "AFRICA"]),
+    })
+    return li, orders, customer, supplier, nation, region
+
+
+def test_regional_revenue_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+    from apollo_ray.functions.analytics import (regional_revenue,
+                                                regional_revenue_sql)
+    li, orders, customer, supplier, nation, region = _tpch_star()
+    got = regional_revenue(
+        ray.data.from_arrow(li), ray.data.from_arrow(orders),
+        ray.data.from_arrow(customer), ray.data.from_arrow(supplier),
+        ray.data.from_arrow(nation), ray.data.from_arrow(region),
+        region_name="ASIA", year=1996).to_pandas()
+    con = duckdb.connect()
+    for name, t in [("lineitem", li), ("orders", orders),
+                    ("customer", customer), ("supplier", supplier),
+                    ("nation", nation), ("region", region)]:
+        con.register(name, t.to_pandas())
+    exp = con.execute(regional_revenue_sql("ASIA", 1996)).df()
+    assert len(got) > 0  # fixture must exercise the join
+    assert got["n_name"].tolist() == exp["n_name"].tolist()
+    assert got["revenue_e4"].astype(int).tolist() == \
+        exp["revenue_e4"].astype(int).tolist()
+
+
+def test_regional_revenue_empty_region(ray_session):
+    import ray.data
+    from apollo_ray.functions.analytics import regional_revenue
+    li, orders, customer, supplier, nation, region = _tpch_star(seed=5)
+    ds = regional_revenue(
+        ray.data.from_arrow(li), ray.data.from_arrow(orders),
+        ray.data.from_arrow(customer), ray.data.from_arrow(supplier),
+        ray.data.from_arrow(nation), ray.data.from_arrow(region),
+        region_name="NOWHERE", year=1996)
+    assert ds.count() == 0
+    assert ds.schema().names == ["n_name", "revenue_e4"]
