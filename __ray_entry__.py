@@ -183,6 +183,11 @@ def _regional_revenue_sql_entry() -> str:
     return regional_revenue_sql()
 
 
+def _promo_revenue_sql_entry() -> str:
+    from apollo_ray.functions.analytics import promo_revenue_sql
+    return promo_revenue_sql()
+
+
 def _docs(sf_dir: str):
     import ray.data
     return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -472,6 +477,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rd("nation", ["n_nationkey", "n_name", "n_regionkey"]),
             rd("region", ["r_regionkey", "r_name"]))
 
+    def q_promo_revenue(sf_dir):
+        import ray.data
+        from apollo_ray.functions.analytics import promo_revenue
+        part = ray.data.read_parquet(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_type"])
+        return promo_revenue(
+            _lineitem(sf_dir, ["l_partkey", "l_extendedprice",
+                               "l_discount", "l_shipdate"]), part)
+
     def q_unigram_score(sf_dir):
         from apollo_ray.functions.lm import unigram_score
         return unigram_score(_docs(sf_dir))
@@ -553,6 +568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forecast_revenue": q_forecast_revenue,
         "top_revenue_orders": q_top_revenue_orders,
         "regional_revenue": q_regional_revenue,
+        "promo_revenue": q_promo_revenue,
         "ppl_buckets": q_ppl_buckets,
         "token_ntile_buckets": q_token_ntile,
         "unigram_score": q_unigram_score,
@@ -908,6 +924,7 @@ def oracle_sql() -> dict[str, str]:
         "forecast_revenue": _forecast_sql_entry(),
         "top_revenue_orders": _top_revenue_sql_entry(),
         "regional_revenue": _regional_revenue_sql_entry(),
+        "promo_revenue": _promo_revenue_sql_entry(),
         "length_quantiles": r"""
             WITH t AS (SELECT lang,
                 CASE WHEN length(trim(text)) = 0 THEN 0

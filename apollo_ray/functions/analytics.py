@@ -674,3 +674,103 @@ def top_revenue_orders_sql(segment: str = "BUILDING",
     ORDER BY revenue_e4 DESC, l.l_orderkey
     LIMIT {k}
 """
+
+
+def promo_revenue(lineitem: "ray.data.Dataset",
+                  part: "ray.data.Dataset",
+                  month: str = "1997-09",
+                  promo_type: str = "PROMO") -> "ray.data.Dataset":
+    """TPC-H Q14 shape: promotion revenue share for one ship month —
+    ``sum(rev where p_type = promo_type)`` vs total, both as exact
+    1e-4 dollar units, plus the share in exact integer parts-per-
+    million (``(2*10^6*promo + total) // (2*total)`` — round-half-up
+    on the exact rational, no float division on either side).
+
+    Join strategy: the promo part-key set (one int64 per promo part)
+    broadcasts once via ``ray.put`` (capped at ORDERS_BROADCAST_MAX
+    keys; above it the attach must become a hash join on partkey, cf.
+    :func:`top_revenue_orders` ``method="hashjoin"``), and the
+    lineitem scan resolves promo membership map-side with
+    ``searchsorted``.  Each batch emits ONE partial row (promo_e4,
+    total_e4); the shuffle moves O(batches) rows."""
+    import ray
+
+    pk = []
+    n_keys = 0
+    for b in part.map_batches(
+            lambda t: t.filter(pc.equal(t.column("p_type"), promo_type))
+            .select(["p_partkey"]), batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        n_keys += b.num_rows
+        if n_keys > ORDERS_BROADCAST_MAX:
+            raise NotImplementedError(
+                "promo part-key side exceeds ORDERS_BROADCAST_MAX; "
+                "switch the attach to a hash join on l_partkey")
+        pk.append(np.asarray(b.column("p_partkey"), dtype=np.int64))
+    promo_keys = np.sort(np.concatenate(pk)) if pk else \
+        np.empty(0, dtype=np.int64)
+    ref = ray.put(promo_keys)
+    y, m = (int(x) for x in month.split("-"))
+    lo = np.datetime64("%04d-%02d-01" % (y, m), "us")
+    hi = np.datetime64("%04d-%02d-01" % ((y + 1, 1) if m == 12 else
+                                         (y, m + 1)), "us")
+
+    def partial(batch: pa.Table, ref=ref) -> pa.Table:
+        import ray as _ray
+        keys = _ray.get(ref)
+        od = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        keep = (od >= lo) & (od < hi)
+        if not keep.any():
+            # one zero partial so the no-match corpus still yields the
+            # oracle's single coalesce-0 row
+            return pa.table({"promo_e4": pa.array([0], type=pa.int64()),
+                             "total_e4": pa.array([0], type=pa.int64()),
+                             "pkey": pa.array([0], type=pa.int32())})
+        price_c = _money_ints(batch, "l_extendedprice", 100)[keep]
+        disc_c = _money_ints(batch, "l_discount", 100)[keep]
+        rev = price_c * (100 - disc_c)
+        lp = np.asarray(batch.column("l_partkey"), dtype=np.int64)[keep]
+        hit, _ = _lookup_hit(keys, lp)
+        return pa.table({
+            "promo_e4": pa.array([int(rev[hit].sum())], type=pa.int64()),
+            "total_e4": pa.array([int(rev.sum())], type=pa.int64()),
+            "pkey": pa.array([0], type=pa.int32())})
+
+    def final(group: pa.Table) -> pa.Table:
+        promo = sum(group.column("promo_e4").to_pylist())  # Python ints:
+        total = sum(group.column("total_e4").to_pylist())  # no overflow
+        share = (2 * 10**6 * promo + total) // (2 * total) if total else 0
+        return pa.table({
+            "promo_revenue_e4": pa.array([promo], type=pa.int64()),
+            "total_revenue_e4": pa.array([total], type=pa.int64()),
+            "promo_share_ppm": pa.array([share], type=pa.int64())})
+
+    return lineitem.map_batches(partial, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(final, batch_format="pyarrow")
+
+
+def promo_revenue_sql(month: str = "1997-09",
+                      promo_type: str = "PROMO") -> str:
+    """DuckDB oracle for :func:`promo_revenue` (HUGEINT intermediates
+    so the exact ppm rational never overflows)."""
+    y, m = (int(x) for x in month.split("-"))
+    y2, m2 = (y + 1, 1) if m == 12 else (y, m + 1)
+    return f"""
+    WITH rev AS (
+      SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS e4,
+             (p.p_type = '{promo_type}') AS is_promo
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '{y:04d}-{m:02d}-01'
+        AND l.l_shipdate <  TIMESTAMP '{y2:04d}-{m2:02d}-01')
+    SELECT CAST(coalesce(sum(e4) FILTER (is_promo), 0) AS BIGINT)
+               AS promo_revenue_e4,
+           CAST(coalesce(sum(e4), 0) AS BIGINT) AS total_revenue_e4,
+           CAST(CASE WHEN coalesce(sum(e4), 0) = 0 THEN 0
+                ELSE (2000000 * CAST(coalesce(sum(e4) FILTER (is_promo),
+                                              0) AS HUGEINT)
+                      + CAST(sum(e4) AS HUGEINT))
+                     // (2 * CAST(sum(e4) AS HUGEINT)) END AS BIGINT)
+               AS promo_share_ppm
+    FROM rev
+"""

@@ -107,7 +107,8 @@ def bench_once() -> dict:
         "exact_dedup_groups", "docfreq", "ngram_jaccard_pairs",
         "events_hourly", "ann_close_pairs", "simhash_pairs",
         "asof_purchase", "substring_dup_spans",
-        "line_dedup", "bigram_score")
+        "line_dedup", "bigram_score", "regional_revenue",
+        "ppl_buckets")
     for name in qnames:
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

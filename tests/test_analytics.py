@@ -196,3 +196,39 @@ def test_regional_revenue_empty_region(ray_session):
         region_name="NOWHERE", year=1996)
     assert ds.count() == 0
     assert ds.schema().names == ["n_name", "revenue_e4"]
+
+
+def test_promo_revenue_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+    from apollo_ray.functions.analytics import (promo_revenue,
+                                                promo_revenue_sql)
+    rng = np.random.default_rng(41)
+    n_li, n_part = 600, 40
+    li = _lineitem(n_li, seed=41)
+    li = li.append_column("l_partkey", pa.array(
+        rng.integers(0, n_part, size=n_li).astype(np.int64)))
+    part = pa.table({
+        "p_partkey": pa.array(np.arange(n_part, dtype=np.int64)),
+        "p_type": pa.array(rng.choice(["PROMO", "ECONOMY", "STANDARD"],
+                                      size=n_part)),
+    })
+    # fixture ships 1995-01-01 + [0, 2000) days; pick a month inside
+    got = promo_revenue(ray.data.from_arrow(li), ray.data.from_arrow(part),
+                        month="1996-07").to_pandas()
+    con = duckdb.connect()
+    con.register("lineitem", li.to_pandas())
+    con.register("part", part.to_pandas())
+    exp = con.execute(promo_revenue_sql(month="1996-07")).df()
+    assert int(got["total_revenue_e4"][0]) > 0
+    for c in ("promo_revenue_e4", "total_revenue_e4", "promo_share_ppm"):
+        assert int(got[c][0]) == int(exp[c][0]), c
+
+    # no-match month: engine emits the oracle's single all-zero row
+    got0 = promo_revenue(ray.data.from_arrow(li),
+                         ray.data.from_arrow(part),
+                         month="2010-01").to_pandas()
+    exp0 = con.execute(promo_revenue_sql(month="2010-01")).df()
+    assert len(got0) == len(exp0) == 1
+    for c in ("promo_revenue_e4", "total_revenue_e4", "promo_share_ppm"):
+        assert int(got0[c][0]) == int(exp0[c][0]) == 0, c
