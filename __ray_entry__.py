@@ -420,6 +420,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from apollo_ray.functions.decontam import hash_sample
         return hash_sample(_docs(sf_dir), rate_permille=200)
 
+    def q_bloom_dedup(sf_dir):
+        from apollo_ray.functions.bloom import bloom_dedup
+        return bloom_dedup(_docs(sf_dir), k=4, log2_m=20)
+
     def q_pii_stats(sf_dir):
         from apollo_ray.functions.pii import pii_stats
         return pii_stats(_docs(sf_dir))
@@ -556,6 +560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_window": q_purchase_window,
         "decontam_overlap": q_decontam,
         "hash_sample_200": q_hash_sample,
+        "bloom_dedup": q_bloom_dedup,
         "pii_stats": q_pii_stats,
         "redact_pii": q_redact_pii,
         "semdedup": q_semdedup,
@@ -887,6 +892,23 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample_200": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
             WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < 200
+        """,
+        "bloom_dedup": """
+            WITH pos AS (
+              SELECT DISTINCT doc_id,
+                CAST((CAST(md5_number_lower(text) AS HUGEINT)
+                    + j * CAST(md5_number_upper(text) AS HUGEINT))
+                     % 1048576 AS BIGINT) AS pos
+              FROM documents, range(4) t(j)),
+            fs AS (SELECT pos, min(doc_id) AS first_doc
+                   FROM pos GROUP BY pos)
+            SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+                   CAST(sum(CASE WHEN f.first_doc < p.doc_id
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_set,
+                   count(*) = sum(CASE WHEN f.first_doc < p.doc_id
+                                  THEN 1 ELSE 0 END) AS flagged
+            FROM pos p JOIN fs f USING (pos)
+            GROUP BY p.doc_id
         """,
         "pii_stats": _pii_stats_sql(),
         "redact_pii": _redact_pii_sql(),
