@@ -115,6 +115,11 @@ def _minhash_signatures_sql_entry() -> str:
     return minhash_signatures_sql()
 
 
+def _dsir_sql_entry() -> str:
+    from apollo_ray.functions.dsir import dsir_logweights_sql
+    return dsir_logweights_sql(n_buckets=16384, target_mod=97)
+
+
 def _semdedup_sql_entry() -> str:
     from apollo_ray.functions.semdedup import semdedup_sql
     return semdedup_sql(k=8, iters=2, dim=64, threshold=0.3)
@@ -424,6 +429,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from apollo_ray.functions.bloom import bloom_dedup
         return bloom_dedup(_docs(sf_dir), k=4, log2_m=20)
 
+    def q_dsir(sf_dir):
+        from apollo_ray.functions.dsir import dsir_logweights
+        return dsir_logweights(_docs(sf_dir), n_buckets=16384,
+                               target_mod=97)
+
     def q_pii_stats(sf_dir):
         from apollo_ray.functions.pii import pii_stats
         return pii_stats(_docs(sf_dir))
@@ -561,6 +571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_overlap": q_decontam,
         "hash_sample_200": q_hash_sample,
         "bloom_dedup": q_bloom_dedup,
+        "dsir_logweights": q_dsir,
         "pii_stats": q_pii_stats,
         "redact_pii": q_redact_pii,
         "semdedup": q_semdedup,
@@ -910,6 +921,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pos p JOIN fs f USING (pos)
             GROUP BY p.doc_id
         """,
+        "dsir_logweights": _dsir_sql_entry(),
         "pii_stats": _pii_stats_sql(),
         "redact_pii": _redact_pii_sql(),
         "semdedup": _semdedup_sql_entry(),
