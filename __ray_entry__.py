@@ -115,6 +115,16 @@ def _minhash_signatures_sql_entry() -> str:
     return minhash_signatures_sql()
 
 
+def _kmv_sql_entry() -> str:
+    from apollo_ray.functions.sketch import distinct_count_kmv_sql
+    return distinct_count_kmv_sql(k=256)
+
+
+def _hll_sql_entry() -> str:
+    from apollo_ray.functions.sketch import distinct_count_hll_sql
+    return distinct_count_hll_sql(log2_m=8)
+
+
 def _dsir_sql_entry() -> str:
     from apollo_ray.functions.dsir import dsir_logweights_sql
     return dsir_logweights_sql(n_buckets=16384, target_mod=97)
@@ -434,6 +444,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dsir_logweights(_docs(sf_dir), n_buckets=16384,
                                target_mod=97)
 
+    def q_kmv_distinct(sf_dir):
+        from apollo_ray.functions.sketch import distinct_count_kmv
+        return distinct_count_kmv(_docs(sf_dir), key="text", k=256)
+
+    def q_hll_distinct(sf_dir):
+        from apollo_ray.functions.sketch import distinct_count_hll
+        return distinct_count_hll(_docs(sf_dir), key="text", log2_m=8)
+
     def q_pii_stats(sf_dir):
         from apollo_ray.functions.pii import pii_stats
         return pii_stats(_docs(sf_dir))
@@ -572,6 +590,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample_200": q_hash_sample,
         "bloom_dedup": q_bloom_dedup,
         "dsir_logweights": q_dsir,
+        "kmv_distinct_text": q_kmv_distinct,
+        "hll_distinct_text": q_hll_distinct,
         "pii_stats": q_pii_stats,
         "redact_pii": q_redact_pii,
         "semdedup": q_semdedup,
@@ -922,6 +942,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p.doc_id
         """,
         "dsir_logweights": _dsir_sql_entry(),
+        "kmv_distinct_text": _kmv_sql_entry(),
+        "hll_distinct_text": _hll_sql_entry(),
         "pii_stats": _pii_stats_sql(),
         "redact_pii": _redact_pii_sql(),
         "semdedup": _semdedup_sql_entry(),

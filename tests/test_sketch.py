@@ -1,0 +1,72 @@
+"""KMV / HLL distinct-count sketches: accuracy, the exact-below-k
+path, batch-split invariance, and DuckDB oracle parity."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from apollo_ray.functions.sketch import (
+    _rank64, distinct_count_hll, distinct_count_hll_sql,
+    distinct_count_kmv, distinct_count_kmv_sql)
+
+
+def _ds(texts, parallelism=4):
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    return ray.data.from_arrow(t).repartition(parallelism)
+
+
+def test_rank64_exact():
+    u = np.array([0, 1, 2, 3, 2 ** 63, 2 ** 64 - 1, 2 ** 32],
+                 dtype=np.uint64)
+    # rank = 1 + leading zeros
+    assert _rank64(u).tolist() == [65, 64, 63, 63, 1, 1, 32]
+
+
+def test_kmv_exact_below_k(ray_session):
+    texts = ["t%d" % i for i in range(100)] + ["t5", "t6"]  # 100 distinct
+    out = distinct_count_kmv(_ds(texts), k=256).to_pandas()
+    assert out["n_seen"][0] == 100
+    assert out["est"][0] == 100
+
+
+def test_kmv_and_hll_accuracy(ray_session):
+    n = 20000
+    texts = ["doc body %d" % i for i in range(n)] * 2  # every doc twice
+    kmv = distinct_count_kmv(_ds(texts, 8), k=256).to_pandas()
+    err = abs(kmv["est"][0] - n) / n
+    assert err < 5 / np.sqrt(254)  # ~5 sigma
+    hll = distinct_count_hll(_ds(texts, 8), log2_m=8).to_pandas()
+    err = abs(hll["est_raw"][0] - n) / n
+    assert err < 5 * 1.04 / np.sqrt(256)
+
+
+def test_sketches_batch_invariant(ray_session):
+    texts = ["x%d y" % (i % 700) for i in range(3000)]
+    a = distinct_count_kmv(_ds(texts, 2), k=64).to_pandas()
+    b = distinct_count_kmv(_ds(texts, 16), k=64).to_pandas()
+    assert a.equals(b)
+    c = distinct_count_hll(_ds(texts, 2), log2_m=6).to_pandas()
+    d = distinct_count_hll(_ds(texts, 16), log2_m=6).to_pandas()
+    assert c.equals(d)
+
+
+def test_sketches_match_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    rng = np.random.default_rng(3)
+    texts = ["w%d %d" % (rng.integers(400), rng.integers(3))
+             for _ in range(900)]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts)})
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    got = distinct_count_kmv(ray.data.from_arrow(tbl), k=128).to_pandas()
+    want = con.execute(distinct_count_kmv_sql(k=128)).df()
+    for col in ("k", "n_seen", "kth_view", "est"):
+        assert got[col][0] == want[col][0], col
+    got = distinct_count_hll(ray.data.from_arrow(tbl), log2_m=6).to_pandas()
+    want = con.execute(distinct_count_hll_sql(log2_m=6)).df()
+    for col in ("m", "n_seen", "est_raw"):
+        assert got[col][0] == want[col][0], col
