@@ -125,6 +125,11 @@ def _hll_sql_entry() -> str:
     return distinct_count_hll_sql(log2_m=8)
 
 
+def _cms_sql_entry() -> str:
+    from apollo_ray.functions.sketch import cms_token_counts_sql
+    return cms_token_counts_sql(depth=4, log2_w=12, n_probe=20)
+
+
 def _dsir_sql_entry() -> str:
     from apollo_ray.functions.dsir import dsir_logweights_sql
     return dsir_logweights_sql(n_buckets=16384, target_mod=97)
@@ -452,6 +457,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from apollo_ray.functions.sketch import distinct_count_hll
         return distinct_count_hll(_docs(sf_dir), key="text", log2_m=8)
 
+    def q_cms_counts(sf_dir):
+        from apollo_ray.functions.sketch import cms_token_counts
+        return cms_token_counts(_docs(sf_dir), depth=4, log2_w=12,
+                                n_probe=20)
+
     def q_pii_stats(sf_dir):
         from apollo_ray.functions.pii import pii_stats
         return pii_stats(_docs(sf_dir))
@@ -592,6 +602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_logweights": q_dsir,
         "kmv_distinct_text": q_kmv_distinct,
         "hll_distinct_text": q_hll_distinct,
+        "cms_token_counts": q_cms_counts,
         "pii_stats": q_pii_stats,
         "redact_pii": q_redact_pii,
         "semdedup": q_semdedup,
@@ -944,6 +955,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_logweights": _dsir_sql_entry(),
         "kmv_distinct_text": _kmv_sql_entry(),
         "hll_distinct_text": _hll_sql_entry(),
+        "cms_token_counts": _cms_sql_entry(),
         "pii_stats": _pii_stats_sql(),
         "redact_pii": _redact_pii_sql(),
         "semdedup": _semdedup_sql_entry(),

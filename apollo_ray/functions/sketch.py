@@ -211,6 +211,160 @@ def distinct_count_hll(ds: "ray.data.Dataset", key: str = "text",
     })
 
 
+def cms_token_counts(docs: "ray.data.Dataset", depth: int = 4,
+                     log2_w: int = 12, n_probe: int = 20,
+                     num_partitions: int = 64) -> pa.Table:
+    """Count-Min Sketch term-frequency estimation (Cormode &
+    Muthukrishnan 2005): build a depth × w counter table over all
+    token occurrences, then report, for a deterministic probe set
+    (the ``n_probe`` distinct tokens with smallest md5), the CMS
+    estimate next to the exact count — (token, est, exact).  CMS
+    guarantees est >= exact, with overcount <= 2N/w at probability
+    1 - 2^-depth; counters merge by ADDITION, so at 100 TB each node
+    folds its local d × w table and one tree-reduce yields the
+    corpus sketch — no token-keyed shuffle.
+
+    Row hashes are ``md5(j || ':' || token) % w`` (DuckDB
+    ``md5_number_lower`` semantics), everything is integer counts, so
+    the whole output is SQL-oracle-exact.  The exact side reuses the
+    :func:`lm.token_term_freqs` shuffle; the probe set is a
+    distributed sort+limit over the (small) distinct-token table.
+
+    The sketch build emits at most depth × batch-distinct-token
+    partial rows per batch, pkey-merged to <= depth * w total rows
+    and folded on the driver (d*w is a design constant — 4 x 4096
+    counters = 128 KB here)."""
+    from apollo_ray.functions.lm import token_term_freqs
+
+    w = 1 << log2_w
+    tf = token_term_freqs(docs, num_partitions)
+
+    def add_h(batch: pa.Table) -> pa.Table:
+        """Probe sort key: md5 XOR 2^63 viewed as int64 — a monotone
+        map of uint64 order into int64 order, so ``sort`` ranks by the
+        raw md5 like the SQL twin's ``ORDER BY md5_number_lower``."""
+        toks = batch.column("token").to_pylist()
+        h = np.fromiter((_md5_str_u64(t) for t in toks),
+                        dtype=np.uint64, count=len(toks))
+        h = (h ^ np.uint64(1 << 63)).view(np.int64)
+        return batch.append_column("h", pa.array(h, type=pa.int64()))
+
+    # probe rows carry their exact counts for free
+    probe_rows = tf.map_batches(add_h, batch_format="pyarrow") \
+        .sort("h").limit(n_probe).take_all()
+
+    empty = pa.table({"j": pa.array([], type=pa.int64()),
+                      "b": pa.array([], type=pa.int64()),
+                      "c": pa.array([], type=pa.int64()),
+                      "pkey": pa.array([], type=pa.int32())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        """Per batch: d partial counter rows per batch-distinct token
+        (weights = that token's occurrence count in the batch)."""
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        from apollo_ray.functions.textstats import _split_tokens
+        flat = _split_tokens(text).flatten()
+        if len(flat) == 0:
+            return empty
+        vc = flat.value_counts()
+        toks = vc.field("values").to_pylist()
+        cnt = np.asarray(vc.field("counts"), dtype=np.int64)
+        js, bs, cs = [], [], []
+        for j in range(depth):
+            pre = "%d:" % j
+            hb = np.fromiter((_md5_str_u64(pre + t) for t in toks),
+                             dtype=np.uint64, count=len(toks))
+            b = (hb % np.uint64(w)).astype(np.int64)
+            acc = np.zeros(w, dtype=np.int64)
+            np.add.at(acc, b, cnt)
+            nz = np.flatnonzero(acc)
+            js.append(np.full(len(nz), j, dtype=np.int64))
+            bs.append(nz)
+            cs.append(acc[nz])
+        j_a, b_a, c_a = (np.concatenate(x) for x in (js, bs, cs))
+        key = j_a * w + b_a
+        return pa.table({
+            "j": pa.array(j_a, type=pa.int64()),
+            "b": pa.array(b_a, type=pa.int64()),
+            "c": pa.array(c_a, type=pa.int64()),
+            "pkey": pa.array(mix_to_partition(key, num_partitions),
+                             type=pa.int32()),
+        })
+
+    def sum_part(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty.drop_columns(["pkey"])
+        j = np.asarray(group.column("j"), dtype=np.int64)
+        b = np.asarray(group.column("b"), dtype=np.int64)
+        c = np.asarray(group.column("c"), dtype=np.int64)
+        key = j * w + b
+        uk, inv = np.unique(key, return_inverse=True)
+        tot = np.bincount(inv, weights=c).astype(np.int64)
+        return pa.table({"j": pa.array(uk // w, type=pa.int64()),
+                         "b": pa.array(uk % w, type=pa.int64()),
+                         "c": pa.array(tot, type=pa.int64())})
+
+    cms_rows = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(sum_part, batch_format="pyarrow") \
+        .take_all()
+    cms = np.zeros((depth, w), dtype=np.int64)
+    for r in cms_rows:
+        cms[r["j"], r["b"]] = r["c"]
+
+    out_tok, out_est, out_exact = [], [], []
+    for r in sorted(probe_rows, key=lambda r: r["h"]):
+        t = r["token"]
+        est = min(int(cms[j, _md5_str_u64("%d:%s" % (j, t)) % w])
+                  for j in range(depth))
+        out_tok.append(t)
+        out_est.append(est)
+        out_exact.append(int(r["n"]))
+    return pa.table({
+        "token": pa.array(out_tok, type=pa.string()),
+        "est": pa.array(out_est, type=pa.int64()),
+        "exact": pa.array(out_exact, type=pa.int64()),
+    })
+
+
+def _md5_str_u64(s: str) -> int:
+    from apollo_ray.kernels.text import _md5_u64
+    return _md5_u64(s)
+
+
+def cms_token_counts_sql(depth: int = 4, log2_w: int = 12,
+                         n_probe: int = 20) -> str:
+    """DuckDB oracle for :func:`cms_token_counts`: identical row
+    hashes, counter sums, probe selection (smallest md5 of the
+    distinct tokens), and min-over-rows estimate."""
+    w = 1 << log2_w
+    return rf"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    cms AS (
+      SELECT s.j AS j,
+             CAST(md5_number_lower(CAST(s.j AS VARCHAR) || ':' || t)
+                  % {w} AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS c
+      FROM tok, range({depth}) s(j) GROUP BY j, b),
+    probe AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS exact
+      FROM tok GROUP BY t
+      ORDER BY md5_number_lower(t), t LIMIT {n_probe}),
+    pe AS (
+      SELECT p.t AS token, p.exact, s.j AS j,
+             CAST(md5_number_lower(CAST(s.j AS VARCHAR) || ':' || p.t)
+                  % {w} AS BIGINT) AS b
+      FROM probe p, range({depth}) s(j))
+    SELECT pe.token, CAST(min(cms.c) AS BIGINT) AS est,
+           pe.exact AS exact
+    FROM pe JOIN cms ON cms.j = pe.j AND cms.b = pe.b
+    GROUP BY pe.token, pe.exact
+"""
+
+
 def distinct_count_hll_sql(log2_m: int = 8, table: str = "documents",
                            key: str = "text") -> str:
     """DuckDB oracle for :func:`distinct_count_hll`: identical

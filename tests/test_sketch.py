@@ -70,3 +70,30 @@ def test_sketches_match_duckdb(ray_session):
     want = con.execute(distinct_count_hll_sql(log2_m=6)).df()
     for col in ("m", "n_seen", "est_raw"):
         assert got[col][0] == want[col][0], col
+
+
+def test_cms_matches_duckdb_and_bounds(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from apollo_ray.functions.sketch import (cms_token_counts,
+                                             cms_token_counts_sql)
+    rng = np.random.default_rng(5)
+    # zipf-ish: token i appears ~ 1/(i+1) — heavy hitters + tail
+    texts = []
+    for _ in range(400):
+        n = rng.integers(3, 12)
+        toks = ["tk%d" % int(rng.zipf(1.3)) for _ in range(n)]
+        texts.append(" ".join(toks))
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts)})
+    got = cms_token_counts(ray.data.from_arrow(tbl).repartition(4),
+                           depth=4, log2_w=8, n_probe=15).to_pandas() \
+        .sort_values("token").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = con.execute(cms_token_counts_sql(depth=4, log2_w=8, n_probe=15)
+                       + " ORDER BY token").df()
+    assert (got["token"].values == want["token"].values).all()
+    assert (got["est"].values == want["est"].values).all()
+    assert (got["exact"].values == want["exact"].values).all()
+    # CMS invariant: never undercounts
+    assert (got["est"] >= got["exact"]).all()
