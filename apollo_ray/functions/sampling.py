@@ -138,3 +138,85 @@ def temperature_sample_sql(base_permille: int = 1000,
         WHERE md5_number_lower(CAST(t.%(k)s AS VARCHAR)) %% 1000 < r.rate
     """ % {"g": group_col, "t": table, "b": int(base_permille),
            "k": key, "cols": columns})
+
+
+def leakage_safe_splits(docs: "ray.data.Dataset",
+                        cuts_permille: tuple[int, int] = (800, 900),
+                        num_partitions: int = 64) -> "ray.data.Dataset":
+    """(doc_id, rep_id, split) — duplicate-cluster-aware
+    train/val/test assignment: every exact duplicate of a text shares
+    ``rep_id = min(doc_id)`` over its content group, and the split is
+    decided by ``md5(rep_id) % 1000`` against the cumulative
+    ``cuts_permille`` thresholds.  Because the hash is of the GROUP
+    representative, duplicated content can never straddle splits —
+    the eval-set leakage that row-level random splitting causes on
+    undeduplicated corpora (the held-out-contamination failure mode
+    measured by Lee et al. 2021).
+
+    Scale shape: one pkey shuffle of (text_hash, doc_id) pairs — the
+    exact-dedup metadata pattern, text never moves — then the split
+    tag is computed inside the same reduce.  For NEAR-dup-safe splits
+    feed ``run_dedup``'s cluster assignment in as (doc_id, cc_id) and
+    hash cc_id instead; this operator covers the exact tier where the
+    whole decision is SQL-oracle-able."""
+    lo, hi = int(cuts_permille[0]), int(cuts_permille[1])
+    if not 0 <= lo <= hi <= 1000:
+        raise ValueError("cuts_permille must satisfy 0 <= lo <= hi <= 1000")
+    from apollo_ray.functions.dedup_extras import add_text_hash
+    from apollo_ray.hashing import mix_to_partition
+
+    hashed = add_text_hash(docs.select_columns(["doc_id", "text"]))
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        th = np.asarray(batch.column("text_hash"), dtype=np.int64)
+        return batch.select(["doc_id", "text_hash"]).append_column(
+            "pkey", pa.array(mix_to_partition(th, num_partitions),
+                             type=pa.int32()))
+
+    def reduce_part(group: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "rep_id": pa.array([], type=pa.int64()),
+                          "split": pa.array([], type=pa.string())})
+        if group.num_rows == 0:
+            return empty
+        th = np.asarray(group.column("text_hash"), dtype=np.int64)
+        d = np.asarray(group.column("doc_id"), dtype=np.int64)
+        order = np.lexsort((d, th))
+        th_s, d_s = th[order], d[order]
+        first = np.empty(len(th_s), dtype=bool)
+        first[0] = True
+        first[1:] = th_s[1:] != th_s[:-1]
+        seg = np.cumsum(first) - 1
+        rep = d_s[np.flatnonzero(first)][seg]
+        u_rep, inv = np.unique(rep, return_inverse=True)
+        bucket = np.fromiter((_md5_u64(str(int(r))) % 1000 for r in u_rep),
+                             dtype=np.int64, count=len(u_rep))[inv]
+        split = np.where(bucket < lo, "train",
+                         np.where(bucket < hi, "val", "test"))
+        return pa.table({
+            "doc_id": pa.array(d_s, type=pa.int64()),
+            "rep_id": pa.array(rep, type=pa.int64()),
+            "split": pa.array(split.tolist(), type=pa.string()),
+        })
+
+    return hashed.map_batches(add_pkey, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(reduce_part, batch_format="pyarrow")
+
+
+def leakage_safe_splits_sql(cuts_permille: tuple[int, int] = (800, 900)
+                            ) -> str:
+    """DuckDB oracle for :func:`leakage_safe_splits` (group by text,
+    min doc_id representative, same md5 threshold rule)."""
+    lo, hi = int(cuts_permille[0]), int(cuts_permille[1])
+    return f"""
+    WITH g AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep_id
+      FROM documents)
+    SELECT doc_id, rep_id,
+           CASE WHEN md5_number_lower(CAST(rep_id AS VARCHAR))
+                     % 1000 < {lo} THEN 'train'
+                WHEN md5_number_lower(CAST(rep_id AS VARCHAR))
+                     % 1000 < {hi} THEN 'val'
+                ELSE 'test' END AS split
+    FROM g
+"""

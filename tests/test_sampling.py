@@ -86,3 +86,31 @@ def test_sql_parity(ray_session):
     total = tab.to_pandas().groupby("lang")["doc_id"].count()
     assert kept["en"] / total["en"] < 0.4
     assert kept["zh"] / total["zh"] > 0.8
+
+
+def test_leakage_safe_splits(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    import pytest
+    from apollo_ray.functions.sampling import (leakage_safe_splits,
+                                               leakage_safe_splits_sql)
+    duckdb = pytest.importorskip("duckdb")
+    texts = ["body %d" % (i % 40) for i in range(200)]  # 5 dups each
+    tbl = pa.table({"doc_id": pa.array(range(200), type=pa.int64()),
+                    "text": pa.array(texts)})
+    got = leakage_safe_splits(ray.data.from_arrow(tbl).repartition(4)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # no leakage: every duplicate group lands in exactly one split
+    for _, grp in got.groupby("rep_id"):
+        assert grp["split"].nunique() == 1
+    # all three splits appear and train dominates
+    counts = got["split"].value_counts()
+    assert set(counts.index) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] + counts["test"]
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = con.execute(leakage_safe_splits_sql()
+                       + " ORDER BY doc_id").df()
+    assert (got["rep_id"].values == want["rep_id"].values).all()
+    assert (got["split"].values == want["split"].values).all()
