@@ -125,6 +125,11 @@ def _hll_sql_entry() -> str:
     return distinct_count_hll_sql(log2_m=8)
 
 
+def _sliding_sql_entry() -> str:
+    from apollo_ray.functions.asof import sliding_window_stats_sql
+    return sliding_window_stats_sql()
+
+
 def _leakage_sql_entry() -> str:
     from apollo_ray.functions.sampling import leakage_safe_splits_sql
     return leakage_safe_splits_sql()
@@ -467,6 +472,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return cms_token_counts(_docs(sf_dir), depth=4, log2_w=12,
                                 n_probe=20)
 
+    def q_sliding_window(sf_dir):
+        from apollo_ray.functions.asof import sliding_window_stats
+        return sliding_window_stats(_events(sf_dir))
+
     def q_leakage_splits(sf_dir):
         from apollo_ray.functions.sampling import leakage_safe_splits
         return leakage_safe_splits(_docs(sf_dir))
@@ -613,6 +622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_text": q_hll_distinct,
         "cms_token_counts": q_cms_counts,
         "leakage_safe_splits": q_leakage_splits,
+        "sliding_window_stats": q_sliding_window,
         "pii_stats": q_pii_stats,
         "redact_pii": q_redact_pii,
         "semdedup": q_semdedup,
@@ -967,6 +977,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_text": _hll_sql_entry(),
         "cms_token_counts": _cms_sql_entry(),
         "leakage_safe_splits": _leakage_sql_entry(),
+        "sliding_window_stats": _sliding_sql_entry(),
         "pii_stats": _pii_stats_sql(),
         "redact_pii": _redact_pii_sql(),
         "semdedup": _semdedup_sql_entry(),

@@ -230,3 +230,125 @@ def range_window_stats(events: "ray.data.Dataset",
 
     return events.map_batches(prep, batch_format="pyarrow") \
         .groupby("pkey").map_groups(sweep, batch_format="pyarrow")
+
+
+def sliding_window_stats(events: "ray.data.Dataset",
+                         window_us: int = 3_600_000_000,
+                         slide_us: int = 900_000_000,
+                         num_partitions: int = 64) -> "ray.data.Dataset":
+    """(event_type, win_us, n, sum_cents) — SLIDING-window aggregate
+    (hop < width, so each event lands in window_us/slide_us
+    overlapping windows; the tumbling case is
+    :func:`textstats.events_hourly`).  Window starts are aligned to
+    slide boundaries; ``window_us`` must be a multiple of
+    ``slide_us``.
+
+    Streaming shape: the per-event window fan-out (k = width/hop
+    copies) is absorbed MAP-SIDE — each batch pre-aggregates to one
+    partial row per (event_type, window) before the shuffle, so the
+    exchange moves O(types x windows x batches) rows, not k x |events|.
+    Values snap to exact integer cents (``rint(value*100)`` — the
+    analytics money-unit rule), so sums are int64-exact and the
+    DuckDB oracle matches bit-for-bit."""
+    if window_us % slide_us:
+        raise ValueError("window_us must be a multiple of slide_us")
+    k = window_us // slide_us
+    from apollo_ray.hashing import mix_to_partition, pair_mix
+
+    empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                      "win_us": pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64()),
+                      "sum_cents": pa.array([], type=pa.int64()),
+                      "pkey": pa.array([], type=pa.int32())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        ts = np.asarray(batch.column("ts").cast(pa.int64()))
+        cents = np.rint(
+            np.asarray(batch.column("value"), dtype=np.float64) * 100
+        ).astype(np.int64)
+        et = batch.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_dict = len(enc.dictionary)
+        base = (ts // slide_us) * slide_us
+        # fan out to k windows, then collapse to per-(type, win) partials
+        win = (base[None, :] - (np.arange(k, dtype=np.int64)[:, None]
+                                * slide_us)).ravel()
+        code_k = np.tile(codes, k)
+        cents_k = np.tile(cents, k)
+        # composite key: window slot * n_dict + type code (windows are
+        # slide-aligned so win // slide_us is a compact slot id)
+        key = (win // slide_us) * n_dict + code_k
+        uk, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.bincount(inv, weights=cents_k).astype(np.int64)
+        u_win = (uk // n_dict) * slide_us
+        u_code = uk % n_dict
+        # pkey must hash the type STRING (batch-local dictionary codes
+        # differ between batches and would split a group across pkeys)
+        from apollo_ray.hashing import hash_utf8
+        dict_hash = np.fromiter(
+            (hash_utf8(t) for t in enc.dictionary.to_pylist()),
+            dtype=np.int64, count=n_dict)
+        pk = mix_to_partition(
+            pair_mix(u_win, dict_hash[u_code]).astype(np.int64) >> 1,
+            num_partitions)
+        return pa.table({
+            "event_type": enc.dictionary.take(pa.array(u_code)),
+            "win_us": pa.array(u_win, type=pa.int64()),
+            "n": pa.array(n, type=pa.int64()),
+            "sum_cents": pa.array(s, type=pa.int64()),
+            "pkey": pa.array(pk, type=pa.int32()),
+        })
+
+    def reduce_part(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty.drop_columns(["pkey"])
+        et = group.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        win = np.asarray(group.column("win_us"), dtype=np.int64)
+        n = np.asarray(group.column("n"), dtype=np.int64)
+        s = np.asarray(group.column("sum_cents"), dtype=np.int64)
+        key = (win // slide_us) * len(enc.dictionary) + codes
+        uk, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "event_type": enc.dictionary.take(
+                pa.array(uk % len(enc.dictionary))),
+            "win_us": pa.array((uk // len(enc.dictionary)) * slide_us,
+                               type=pa.int64()),
+            "n": pa.array(np.bincount(inv, weights=n).astype(np.int64),
+                          type=pa.int64()),
+            "sum_cents": pa.array(np.bincount(inv, weights=s)
+                                  .astype(np.int64), type=pa.int64()),
+        })
+
+    return events.map_batches(partial, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(reduce_part, batch_format="pyarrow")
+
+
+def sliding_window_stats_sql(window_us: int = 3_600_000_000,
+                             slide_us: int = 900_000_000) -> str:
+    """DuckDB oracle for :func:`sliding_window_stats` (same
+    slide-aligned fan-out via range(k), same integer cents)."""
+    k = window_us // slide_us
+    return f"""
+    WITH e AS (
+      SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    w AS (
+      SELECT event_type,
+             (us // {slide_us}) * {slide_us} - j * {slide_us} AS win_us,
+             cents
+      FROM e, range({k}) t(j))
+    SELECT event_type, win_us, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM w GROUP BY event_type, win_us
+"""

@@ -122,3 +122,35 @@ def test_ppl_buckets_tiers(ray_session):
     # head really has the best mean log-prob
     assert out.loc[out.bucket == 1, "avg_lp_r4"].min() >= \
         out.loc[out.bucket == 3, "avg_lp_r4"].max()
+
+
+def test_sliding_window_matches_duckdb(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+    from apollo_ray.functions.asof import (sliding_window_stats,
+                                           sliding_window_stats_sql)
+    duckdb = pytest.importorskip("duckdb")
+    rng = np.random.default_rng(9)
+    n = 500
+    base = 1_700_000_000_000_000  # us epoch
+    ts = base + np.sort(rng.integers(0, 6 * 3_600_000_000, n))
+    tbl = pa.table({
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "event_type": pa.array([["click", "view", "buy"][i % 3]
+                                for i in range(n)]),
+        "value": pa.array(np.round(rng.uniform(0, 50, n), 2)),
+    })
+    got = sliding_window_stats(ray.data.from_arrow(tbl).repartition(4)) \
+        .to_pandas().sort_values(["event_type", "win_us"]) \
+        .reset_index(drop=True)
+    # every event contributes to exactly 4 windows
+    assert got["n"].sum() == 4 * n
+    con = duckdb.connect()
+    con.register("events", tbl)
+    want = con.execute(sliding_window_stats_sql()
+                       + " ORDER BY event_type, win_us").df()
+    assert (got["win_us"].values == want["win_us"].values).all()
+    assert (got["n"].values == want["n"].values).all()
+    assert (got["sum_cents"].values == want["sum_cents"].values).all()
