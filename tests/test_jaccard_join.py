@@ -1,0 +1,98 @@
+"""Cross-table near-duplicate join (jaccard_join): brute-force parity,
+ragged-cross-product vectorization, posting-cap semantics."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _shset(txt, k=3):
+    toks = txt.split()
+    if len(toks) < k:
+        return set()
+    return {tuple(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _brute(left_rows, right_rows, thr_ppm, k=3):
+    out = []
+    for ld, lt in left_rows:
+        ls = _shset(lt, k)
+        if not ls:
+            continue
+        for rd, rt in right_rows:
+            rs = _shset(rt, k)
+            if not rs:
+                continue
+            c = len(ls & rs)
+            denom = len(ls) + len(rs) - c
+            if c and c * 1_000_000 >= thr_ppm * denom:
+                out.append((ld, rd, c,
+                            (2_000_000 * c + denom) // (2 * denom)))
+    return sorted(out)
+
+
+def _join_df(left_rows, right_rows, **kw):
+    import ray.data as rd
+    from apollo_ray.functions.dedup_extras import jaccard_join
+
+    def tbl(rows):
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+        })
+
+    out = jaccard_join(rd.from_arrow(tbl(left_rows)),
+                       rd.from_arrow(tbl(right_rows)), **kw).to_pandas()
+    if len(out) == 0:  # empty Ray datasets lose their schema via to_pandas
+        return []
+    return sorted(map(tuple, out[["l_id", "r_id", "shared",
+                                  "jacc_ppm"]].itertuples(index=False)))
+
+
+def test_jaccard_join_brute_force_parity(ray_session):
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+
+    def doc():
+        return " ".join(rng.choice(vocab, size=rng.integers(2, 14)))
+
+    left = [(2 * i, doc()) for i in range(25)]
+    right = [(2 * i + 1, doc()) for i in range(25)]
+    # plant a near-dup pair and an exact cross-table dup
+    right[0] = (1, left[0][1] + " zeta")
+    right[1] = (3, left[1][1])
+    got = _join_df(left, right, k=3, threshold=0.3)
+    exp = _brute(left, right, thr_ppm=300_000)
+    assert got == exp
+    assert len(exp) > 0
+
+
+def test_jaccard_join_multi_posting_segments(ray_session):
+    # many docs sharing one shingle on both sides exercises the ragged
+    # cross-product path (cl > 1 and cr > 1 in one segment)
+    base = "x y z"
+    left = [(i * 2, base + f" l{i}") for i in range(6)]
+    right = [(i * 2 + 1, base + f" r{i}") for i in range(6)]
+    got = _join_df(left, right, k=3, threshold=0.2)
+    exp = _brute(left, right, thr_ppm=200_000)
+    assert got == exp
+    assert len(exp) == 36  # every cross pair shares 'x y z' at J=1/3
+
+
+def test_jaccard_join_posting_cap(ray_session):
+    base = "x y z"
+    left = [(i * 2, base) for i in range(5)]
+    right = [(i * 2 + 1, base) for i in range(5)]
+    # cap below the posting size on either side -> no pairs at all
+    assert _join_df(left, right, k=3, threshold=0.5, max_posting=3) == []
+    # above the cap the full 25 exact-dup cross pairs appear
+    got = _join_df(left, right, k=3, threshold=0.5, max_posting=10)
+    assert len(got) == 25
+    assert all(p[3] == 1_000_000 for p in got)
+
+
+def test_jaccard_join_short_docs_excluded(ray_session):
+    left = [(0, "a b"), (2, "p q r s")]
+    right = [(1, "p q r s"), (3, "a b")]
+    got = _join_df(left, right, k=3, threshold=0.5)
+    assert got == [(2, 1, 2, 1_000_000)]
