@@ -586,6 +586,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from apollo_ray.functions.pii import redact_pii
         return redact_pii(_docs(sf_dir))
 
+    def q_token_freq_hist(sf_dir):
+        return textstats.token_freq_hist(_docs(sf_dir))
+
+    def q_source_dup_stats(sf_dir):
+        return textstats.source_dup_stats(_docs(sf_dir))
+
     def q_jaccard_join(sf_dir):
         # incremental-dedup shape: join the "new shard" (odd doc_ids)
         # against the "existing corpus" (even doc_ids)
@@ -606,6 +612,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup_groups": q_exact_dedup,
         "jaccard_join": q_jaccard_join,
+        "token_freq_hist": q_token_freq_hist,
+        "source_dup_stats": q_source_dup_stats,
         "lang_stats": q_lang_stats,
         "token_counts": q_token_counts,
         "quality_stats": q_quality,
@@ -689,6 +697,21 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sz su ON su.doc_id = l_id
                        JOIN sz sv ON sv.doc_id = r_id
             WHERE c * 1000000 >= 400000 * (su.n + sv.n - c)
+        """,
+        "token_freq_hist": r"""
+            WITH tok AS (
+              SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+              FROM documents WHERE length(trim(text)) > 0),
+            cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t)
+            SELECT length(bin(c)) - 1 AS bucket, count(*) AS n_tokens
+            FROM cnt GROUP BY 1
+        """,
+        "source_dup_stats": """
+            SELECT source, count(*) AS n_docs,
+                   count(DISTINCT text) AS n_distinct,
+                   (2000000 * (count(*) - count(DISTINCT text)) + count(*))
+                       // (2 * count(*)) AS dup_ppm
+            FROM documents GROUP BY source
         """,
         "lang_stats": """
             SELECT lang, count(*) AS n_docs,

@@ -738,3 +738,141 @@ def length_quantiles(docs: "ray.data.Dataset", group_col: str = "lang",
 
     return docs.map_batches(partial, batch_format="pyarrow") \
         .groupby("pkey").map_groups(reduce_part, batch_format="pyarrow")
+
+
+def token_freq_hist(docs: "ray.data.Dataset", num_partitions: int = 64
+                    ) -> "ray.data.Dataset":
+    """(bucket, n_tokens) — Zipf/frequency histogram of the corpus
+    vocabulary: how many DISTINCT tokens have a total occurrence count
+    c with floor(log2(c)) == bucket.  The one-page vocabulary-shape
+    report of a curation run (heavy-tail check before tokenizer
+    training).
+
+    Map-side partial counts (one row per batch-distinct token), one
+    pkey shuffle on hash(token) — each token's TOTAL is complete in
+    exactly one partition — then per-partition bucketing; only
+    <= 64-row (bucket, count) partials reach the final fold.  The
+    log2 bucket is integer-exact on both sides: numpy ``frexp``
+    exponent here, ``length(bin(c)) - 1`` in the DuckDB oracle.
+    """
+    from apollo_ray.hashing import hash_utf8, mix_to_partition
+
+    _EMPTY = pa.table({"token": pa.array([], type=pa.string()),
+                       "n": pa.array([], type=pa.int64()),
+                       "pkey": pa.array([], type=pa.int32())})
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        flat = _split_tokens(text).flatten()
+        if len(flat) == 0:
+            return _EMPTY
+        vc = flat.value_counts()
+        tok = vc.field("values")
+        cnt = vc.field("counts").cast(pa.int64())
+        h = np.fromiter((hash_utf8(t) for t in tok.to_pylist()),
+                        dtype=np.int64, count=len(tok))
+        return pa.table({
+            "token": tok, "n": cnt,
+            "pkey": pa.array(mix_to_partition(h, num_partitions),
+                             type=pa.int32())})
+
+    def bucket_part(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"bucket": pa.array([], type=pa.int64()),
+                             "n_tokens": pa.array([], type=pa.int64())})
+        enc = group.column("token").combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.asarray(group.column("n"), dtype=np.int64)
+        # per-token totals: counts < 2^53, exact in the f64 accumulator
+        tot = np.bincount(codes, weights=n.astype(np.float64),
+                          minlength=len(enc.dictionary)).astype(np.int64)
+        bucket = (np.frexp(tot.astype(np.float64))[1] - 1).astype(np.int64)
+        bc = np.bincount(bucket)
+        nz = np.flatnonzero(bc)
+        return pa.table({"bucket": pa.array(nz, type=pa.int64()),
+                         "n_tokens": pa.array(bc[nz], type=pa.int64())})
+
+    def fold(group: pa.Table) -> pa.Table:
+        b = np.asarray(group.column("bucket"), dtype=np.int64)
+        n = np.asarray(group.column("n_tokens"), dtype=np.int64)
+        return pa.table({"bucket": pa.array(b[:1], type=pa.int64()),
+                         "n_tokens": pa.array([int(n.sum())],
+                                              type=pa.int64())})
+
+    parts = docs.map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(bucket_part, batch_format="pyarrow")
+    # <= 64 partitions x ~40 buckets of partials: bounded-cardinality fold
+    return parts.groupby("bucket").map_groups(fold, batch_format="pyarrow")
+
+
+def source_dup_stats(docs: "ray.data.Dataset", num_partitions: int = 64
+                     ) -> "ray.data.Dataset":
+    """(source, n_docs, n_distinct, dup_ppm) — exact-duplication rate
+    per corpus source/crawl, the first report a webtext ops team pulls
+    after ingesting a new snapshot.
+
+    Only (source, text_hash) rows shuffle — texts never move.  The
+    pkey is hash(source, text_hash), so every copy of a given
+    (source, text) lands in one partition and both the per-source row
+    count and the distinct count are complete partials there; the
+    final fold sees <= sources x partitions rows.  dup_ppm is
+    round-half-up of 10^6 x (n_docs - n_distinct) / n_docs in exact
+    int64 (bit-exact vs the SQL oracle).
+    """
+    from apollo_ray.hashing import (hash_utf8, mix_to_partition, pair_mix)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        th = np.fromiter((hash_utf8(t) for t in
+                          batch.column("text").to_pylist()),
+                         dtype=np.int64, count=batch.num_rows)
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = src.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = np.fromiter((hash_utf8(s) for s in
+                          enc.dictionary.to_pylist()),
+                         dtype=np.int64, count=len(enc.dictionary))
+        pairkey = pair_mix(sh[codes], th).astype(np.int64) >> 1
+        return pa.table({
+            "source": src,
+            "pairkey": pa.array(pairkey, type=pa.int64()),
+            "pkey": pa.array(mix_to_partition(pairkey, num_partitions),
+                             type=pa.int32())})
+
+    def reduce_part(group: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], type=pa.string()),
+                          "n_docs": pa.array([], type=pa.int64()),
+                          "n_distinct": pa.array([], type=pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        enc = group.column("source").combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = np.asarray(group.column("pairkey"), dtype=np.int64)
+        n_src = len(enc.dictionary)
+        n_docs = np.bincount(codes, minlength=n_src)
+        _, first = np.unique(pk, return_index=True)
+        n_dist = np.bincount(codes[first], minlength=n_src)
+        return pa.table({"source": enc.dictionary,
+                         "n_docs": pa.array(n_docs, type=pa.int64()),
+                         "n_distinct": pa.array(n_dist, type=pa.int64())})
+
+    def fold(group: pa.Table) -> pa.Table:
+        nd = int(np.asarray(group.column("n_docs"),
+                            dtype=np.int64).sum())
+        nu = int(np.asarray(group.column("n_distinct"),
+                            dtype=np.int64).sum())
+        ppm = (2_000_000 * (nd - nu) + nd) // (2 * nd)
+        return pa.table({"source": group.column("source").slice(0, 1),
+                         "n_docs": pa.array([nd], type=pa.int64()),
+                         "n_distinct": pa.array([nu], type=pa.int64()),
+                         "dup_ppm": pa.array([ppm], type=pa.int64())})
+
+    parts = docs.map_batches(tag, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(reduce_part, batch_format="pyarrow")
+    # bounded cardinality: one group per source
+    return parts.groupby("source").map_groups(fold, batch_format="pyarrow")
