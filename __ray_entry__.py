@@ -609,9 +609,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         right = docs.map_batches(_side(1), batch_format="pyarrow")
         return dedup_extras.jaccard_join(left, right, k=3, threshold=0.4)
 
+    def q_containment_join(sf_dir):
+        # decontamination shape: how much of each "benchmark" doc (odd
+        # ids) is contained in any "training" doc (even ids)
+        import pyarrow.compute as pc
+
+        def _side(parity: int):
+            def f(batch):
+                m = pc.equal(pc.bit_wise_and(batch.column("doc_id"), 1),
+                             parity)
+                return batch.filter(m)
+            return f
+
+        docs = _docs(sf_dir)
+        left = docs.map_batches(_side(0), batch_format="pyarrow")
+        right = docs.map_batches(_side(1), batch_format="pyarrow")
+        return dedup_extras.jaccard_join(left, right, k=3, threshold=0.6,
+                                         metric="containment")
+
     return {
         "exact_dedup_groups": q_exact_dedup,
         "jaccard_join": q_jaccard_join,
+        "containment_join": q_containment_join,
         "token_freq_hist": q_token_freq_hist,
         "source_dup_stats": q_source_dup_stats,
         "lang_stats": q_lang_stats,
@@ -697,6 +716,25 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sz su ON su.doc_id = l_id
                        JOIN sz sv ON sv.doc_id = r_id
             WHERE c * 1000000 >= 400000 * (su.n + sv.n - c)
+        """,
+        "containment_join": r"""
+            WITH tok AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents WHERE length(trim(text)) > 0),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
+              FROM tok,
+                   LATERAL (SELECT unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i)),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS l_id, b.doc_id AS r_id, count(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s
+              WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT l_id, r_id, c AS shared,
+                   (2000000 * c + sv.n) // (2 * sv.n) AS cont_ppm
+            FROM inter JOIN sz sv ON sv.doc_id = r_id
+            WHERE c * 1000000 >= 600000 * sv.n
         """,
         "token_freq_hist": r"""
             WITH tok AS (

@@ -488,7 +488,8 @@ def simhash_pairs(docs: "ray.data.Dataset", k: int = 3, bands: int = 4,
 def jaccard_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                  k: int = 3, threshold: float = 0.5, seed: int = 42,
                  num_partitions: int | None = None,
-                 max_posting: int = 10_000) -> "ray.data.Dataset":
+                 max_posting: int = 10_000,
+                 metric: str = "jaccard") -> "ray.data.Dataset":
     """Cross-table near-duplicate join: (l_id, r_id, shared, jacc_ppm)
     for every left/right doc pair with k-shingle set Jaccard >=
     ``threshold`` — the "dedup a new crawl shard against an existing
@@ -496,6 +497,12 @@ def jaccard_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     ``ngram_jaccard_pairs``; the reference's closest surface is the
     probe-time bucket lookup, ``apollo/query.py:25-43``, which joins
     one probe at a time — this joins whole tables).
+
+    ``metric="containment"`` switches the score and filter to
+    |A∩B| / |B| — how much of the RIGHT doc appears in the left — the
+    decontamination shape ("is this benchmark item contained in a
+    training document", Brown et al. 2020 App. C / Lee et al. 2021);
+    output column becomes ``cont_ppm``.  Same shuffles, same caps.
 
     Shape: explode per-doc-distinct shingle hashes on both sides with
     a side tag, union, hash-partition by shingle, emit left x right
@@ -515,9 +522,12 @@ def jaccard_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     per-task memory: each task sees ~1/num_partitions of the posting
     lists and no segment contributes more than max_posting^2 pairs.
     """
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric {metric!r}")
     if num_partitions is None:
         num_partitions = 32
     thr_ppm = int(round(threshold * 1_000_000))
+    score_col = "jacc_ppm" if metric == "jaccard" else "cont_ppm"
 
     def tag(side: int):
         def f(batch: pa.Table) -> pa.Table:
@@ -597,7 +607,7 @@ def jaccard_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         empty = pa.table({"l_id": pa.array([], type=pa.int64()),
                           "r_id": pa.array([], type=pa.int64()),
                           "shared": pa.array([], type=pa.int64()),
-                          "jacc_ppm": pa.array([], type=pa.int64())})
+                          score_col: pa.array([], type=pa.int64())})
         if len(u) == 0:
             return empty
         key = (pair_mix(u, v).astype(np.int64) >> 1)
@@ -610,7 +620,7 @@ def jaccard_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         c = np.diff(np.append(starts, len(k_s))).astype(np.int64)
         sel = order[starts]
         fu, fv, fnu, fnv = u[sel], v[sel], nu[sel], nv[sel]
-        denom = fnu + fnv - c
+        denom = fnu + fnv - c if metric == "jaccard" else fnv
         keep = c * 1_000_000 >= thr_ppm * denom
         # round-half-up ppm in exact int64 (denom <= 2*max shingles/doc,
         # c <= denom, so 2*10^6*c never overflows)
@@ -618,7 +628,7 @@ def jaccard_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         return pa.table({"l_id": pa.array(fu[keep], type=pa.int64()),
                          "r_id": pa.array(fv[keep], type=pa.int64()),
                          "shared": pa.array(c[keep], type=pa.int64()),
-                         "jacc_ppm": pa.array(ppm, type=pa.int64())})
+                         score_col: pa.array(ppm, type=pa.int64())})
 
     return pairs.map_batches(add_pair_pkey, batch_format="pyarrow") \
         .groupby("pkey").map_groups(count_and_filter, batch_format="pyarrow")

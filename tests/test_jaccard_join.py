@@ -45,8 +45,9 @@ def _join_df(left_rows, right_rows, **kw):
                        rd.from_arrow(tbl(right_rows)), **kw).to_pandas()
     if len(out) == 0:  # empty Ray datasets lose their schema via to_pandas
         return []
+    score = "cont_ppm" if kw.get("metric") == "containment" else "jacc_ppm"
     return sorted(map(tuple, out[["l_id", "r_id", "shared",
-                                  "jacc_ppm"]].itertuples(index=False)))
+                                  score]].itertuples(index=False)))
 
 
 def test_jaccard_join_brute_force_parity(ray_session):
@@ -96,3 +97,46 @@ def test_jaccard_join_short_docs_excluded(ray_session):
     right = [(1, "p q r s"), (3, "a b")]
     got = _join_df(left, right, k=3, threshold=0.5)
     assert got == [(2, 1, 2, 1_000_000)]
+
+
+def test_containment_join(ray_session):
+    import ray.data as rd
+    from apollo_ray.functions.dedup_extras import jaccard_join
+    # right doc 1 fully contained in left doc 0; doc 3 only partially
+    left = [(0, "a b c d e f g h"), (2, "z z z")]
+    right = [(1, "c d e f g"), (3, "a b c q r s t u")]
+    tbl = lambda rows: pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows])})
+    out = jaccard_join(rd.from_arrow(tbl(left)), rd.from_arrow(tbl(right)),
+                       k=3, threshold=0.5, metric="containment").to_pandas()
+    got = sorted(map(tuple, out[["l_id", "r_id", "shared",
+                                 "cont_ppm"]].itertuples(index=False)))
+    # right doc 1: 3 shingles, all in left doc 0 -> cont 1.0
+    # right doc 3: 6 shingles, 1 shared ('a b c') -> cont 1/6 < 0.5
+    assert got == [(0, 1, 3, 1_000_000)]
+
+
+def test_containment_vs_brute(ray_session):
+    rng = np.random.default_rng(11)
+    vocab = ["u", "v", "w", "x", "y"]
+
+    def doc():
+        return " ".join(rng.choice(vocab, size=rng.integers(3, 12)))
+
+    left = [(2 * i, doc()) for i in range(20)]
+    right = [(2 * i + 1, doc()) for i in range(20)]
+    got = _join_df(left, right, k=3, threshold=0.4, metric="containment")
+    exp = []
+    for ld, lt in left:
+        ls = _shset(lt)
+        for rd_, rt in right:
+            rs = _shset(rt)
+            if not ls or not rs:
+                continue
+            c = len(ls & rs)
+            if c and c * 1_000_000 >= 400_000 * len(rs):
+                exp.append((ld, rd_, c,
+                            (2_000_000 * c + len(rs)) // (2 * len(rs))))
+    assert got == sorted(exp)
+    assert len(exp) > 0
