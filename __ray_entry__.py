@@ -586,6 +586,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from apollo_ray.functions.pii import redact_pii
         return redact_pii(_docs(sf_dir))
 
+    def q_funnel_counts(sf_dir):
+        from apollo_ray.functions.asof import funnel_counts
+        return funnel_counts(_events(sf_dir))
+
     def q_token_freq_hist(sf_dir):
         return textstats.token_freq_hist(_docs(sf_dir))
 
@@ -631,6 +635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_groups": q_exact_dedup,
         "jaccard_join": q_jaccard_join,
         "containment_join": q_containment_join,
+        "funnel_counts": q_funnel_counts,
         "token_freq_hist": q_token_freq_hist,
         "source_dup_stats": q_source_dup_stats,
         "lang_stats": q_lang_stats,
@@ -716,6 +721,25 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sz su ON su.doc_id = l_id
                        JOIN sz sv ON sv.doc_id = r_id
             WHERE c * 1000000 >= 400000 * (su.n + sv.n - c)
+        """,
+        "funnel_counts": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'signup' GROUP BY user_id),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+              WHERE e.event_type = 'view' GROUP BY e.user_id),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+            SELECT 1 AS step_idx, 'signup' AS step,
+                   CAST(count(*) AS BIGINT) AS n_users FROM s1
+            UNION ALL
+            SELECT 2, 'view', CAST(count(*) AS BIGINT) FROM s2
+            UNION ALL
+            SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
         """,
         "containment_join": r"""
             WITH tok AS (

@@ -352,3 +352,84 @@ def sliding_window_stats_sql(window_us: int = 3_600_000_000,
            CAST(sum(cents) AS BIGINT) AS sum_cents
     FROM w GROUP BY event_type, win_us
 """
+
+
+def funnel_counts(events: "ray.data.Dataset",
+                  steps: tuple[str, ...] = ("signup", "view", "purchase"),
+                  num_partitions: int = 32) -> "ray.data.Dataset":
+    """(step_idx, step, n_users) — classic ordered-funnel analysis:
+    how many users completed step 1, then step 2 STRICTLY AFTER their
+    first step 1, then step 3 strictly after that, etc. (earliest-
+    qualifying-event semantics at every step, strict ``>`` on ts).
+
+    One hash shuffle on user_id (pkey pattern) co-locates each user's
+    events; inside a partition each funnel step is one vectorized pass
+    (boolean mask + first-qualifying-row-per-user via ``np.unique`` on
+    the (ts-sorted) user column — no per-user loop).  Per-partition
+    per-step user counts are complete partials (users never straddle
+    partitions); the fold sees <= steps x partitions rows.
+    """
+    import pyarrow as pa
+
+    from apollo_ray.hashing import mix_to_partition
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch.column("user_id"), dtype=np.int64)
+        t = batch.select(["user_id", "ts", "event_type"])
+        return t.append_column(
+            "pkey", pa.array(mix_to_partition(u, num_partitions),
+                             type=pa.int32()))
+
+    def count_part(group: pa.Table) -> pa.Table:
+        empty = pa.table({"step_idx": pa.array([], type=pa.int64()),
+                          "n_users": pa.array([], type=pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        u = np.asarray(group.column("user_id"), dtype=np.int64)
+        ts = np.asarray(group.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        et = group.column("event_type").combine_chunks()
+        order = np.lexsort((ts, u))
+        u_s, ts_s = u[order], ts[order]
+        et_codes = et.dictionary_encode()
+        codes_s = et_codes.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)[order]
+        step_code = {s: i for i, s in
+                     enumerate(et_codes.dictionary.to_pylist())}
+        # compact per-partition user ids
+        uniq_u, u_code = np.unique(u_s, return_inverse=True)
+        n_u = len(uniq_u)
+        # prev_t[user] = ts of the user's earliest qualifying event of
+        # the previous step; -inf means "step 0 trivially reached"
+        prev_t = np.full(n_u, np.iinfo(np.int64).min, dtype=np.int64)
+        alive = np.ones(n_u, dtype=bool)
+        out_idx, out_n = [], []
+        for i, s in enumerate(steps):
+            c = step_code.get(s, -1)
+            qual = (codes_s == c) & alive[u_code] & (ts_s > prev_t[u_code])
+            idx = np.flatnonzero(qual)
+            # rows are ts-sorted within user: first qualifying row per
+            # user is the earliest
+            first_u, first_pos = np.unique(u_code[idx], return_index=True)
+            alive = np.zeros(n_u, dtype=bool)
+            alive[first_u] = True
+            prev_t[first_u] = ts_s[idx[first_pos]]
+            out_idx.append(i + 1)
+            out_n.append(len(first_u))
+        return pa.table({"step_idx": pa.array(out_idx, type=pa.int64()),
+                         "n_users": pa.array(out_n, type=pa.int64())})
+
+    def fold(group: pa.Table) -> pa.Table:
+        si = int(group.column("step_idx")[0].as_py())
+        n = int(np.asarray(group.column("n_users"),
+                           dtype=np.int64).sum())
+        return pa.table({"step_idx": pa.array([si], type=pa.int64()),
+                         "step": pa.array([steps[si - 1]],
+                                          type=pa.string()),
+                         "n_users": pa.array([n], type=pa.int64())})
+
+    parts = events.map_batches(add_pkey, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(count_part, batch_format="pyarrow")
+    # bounded cardinality: one group per funnel step
+    return parts.groupby("step_idx").map_groups(fold,
+                                                batch_format="pyarrow")

@@ -108,7 +108,8 @@ def bench_once() -> dict:
         "events_hourly", "ann_close_pairs", "simhash_pairs",
         "asof_purchase", "substring_dup_spans",
         "line_dedup", "bigram_score", "regional_revenue",
-        "ppl_buckets", "bloom_dedup", "dsir_logweights")
+        "ppl_buckets", "bloom_dedup", "dsir_logweights",
+        "jaccard_join", "token_freq_hist")
     for name in qnames:
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

@@ -52,3 +52,43 @@ def test_source_dup_stats(corpus):
     assert df.loc["srcY", "n_docs"] == 3
     assert df.loc["srcY", "n_distinct"] == 2     # one exact dup
     assert df.loc["srcY", "dup_ppm"] == 333333   # round-half-up(1/3 ppm)
+
+
+def test_funnel_counts(ray_session):
+    import ray.data as rd
+    from apollo_ray.functions.asof import funnel_counts
+
+    def ev(eid, ts_us, uid, typ):
+        return {"event_id": eid, "ts": ts_us, "user_id": uid,
+                "event_type": typ}
+
+    rows = [
+        # user 1: full funnel in order
+        ev(0, 100, 1, "signup"), ev(1, 200, 1, "view"),
+        ev(2, 300, 1, "purchase"),
+        # user 2: view BEFORE signup doesn't count; no view after
+        ev(3, 100, 2, "view"), ev(4, 200, 2, "signup"),
+        ev(5, 300, 2, "purchase"),
+        # user 3: signup+view, purchase before view -> stops at view
+        ev(6, 100, 3, "signup"), ev(7, 300, 3, "view"),
+        ev(8, 200, 3, "purchase"),
+        # user 4: never signs up
+        ev(9, 100, 4, "view"), ev(10, 200, 4, "purchase"),
+        # user 5: same-ts view as signup is NOT strictly after
+        ev(11, 100, 5, "signup"), ev(12, 100, 5, "view"),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows],
+                             type=pa.int64()),
+        "ts": pa.array([r["ts"] for r in rows],
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([r["user_id"] for r in rows],
+                            type=pa.int64()),
+        "event_type": pa.array([r["event_type"] for r in rows]),
+    })
+    df = funnel_counts(rd.from_arrow(t)).to_pandas() \
+        .set_index("step_idx").sort_index()
+    assert df.loc[1, "n_users"] == 4     # users 1, 2, 3, 5 signed up
+    assert df.loc[2, "n_users"] == 2     # users 1, 3 viewed after signup
+    assert df.loc[3, "n_users"] == 1     # only user 1 completed
+    assert list(df["step"]) == ["signup", "view", "purchase"]
