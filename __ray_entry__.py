@@ -586,6 +586,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from apollo_ray.functions.pii import redact_pii
         return redact_pii(_docs(sf_dir))
 
+    def q_value_quantiles(sf_dir):
+        return textstats.value_quantiles(_events(sf_dir))
+
     def q_funnel_counts(sf_dir):
         from apollo_ray.functions.asof import funnel_counts
         return funnel_counts(_events(sf_dir))
@@ -636,6 +639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_join": q_jaccard_join,
         "containment_join": q_containment_join,
         "funnel_counts": q_funnel_counts,
+        "value_quantiles": q_value_quantiles,
         "token_freq_hist": q_token_freq_hist,
         "source_dup_stats": q_source_dup_stats,
         "lang_stats": q_lang_stats,
@@ -721,6 +725,17 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sz su ON su.doc_id = l_id
                        JOIN sz sv ON sv.doc_id = r_id
             WHERE c * 1000000 >= 400000 * (su.n + sv.n - c)
+        """,
+        "value_quantiles": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   quantile_disc(CAST(round(value * 100) AS BIGINT), 0.25)
+                       AS p25_c,
+                   quantile_disc(CAST(round(value * 100) AS BIGINT), 0.50)
+                       AS p50_c,
+                   quantile_disc(CAST(round(value * 100) AS BIGINT), 0.75)
+                       AS p75_c
+            FROM events GROUP BY event_type
         """,
         "funnel_counts": """
             WITH s1 AS (

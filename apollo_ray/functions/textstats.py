@@ -876,3 +876,94 @@ def source_dup_stats(docs: "ray.data.Dataset", num_partitions: int = 64
         .groupby("pkey").map_groups(reduce_part, batch_format="pyarrow")
     # bounded cardinality: one group per source
     return parts.groupby("source").map_groups(fold, batch_format="pyarrow")
+
+
+def value_quantiles(events: "ray.data.Dataset",
+                    group_col: str = "event_type",
+                    num_partitions: int = 16) -> "ray.data.Dataset":
+    """(event_type, n_events, p25_c, p50_c, p75_c) — exact discrete
+    quantiles of the ``value`` column per group, in integer cents —
+    ``length_quantiles`` generalized to a money/double column.
+
+    The double is snapped to cents with ``np.rint`` (2-decimal inputs
+    are never at a rounding half, the Q1 integer-cents argument), so
+    the histogram domain is small integers and the same
+    (group, cents, count) histogram shuffle + cumulative-rank read
+    gives exact quantiles with no global sort.  Rank rule matches
+    DuckDB ``quantile_disc``: 1-based rank ceil(q*n) in integer
+    arithmetic.
+    """
+    from apollo_ray.hashing import hash_utf8, mix_to_partition
+
+    QS = ((1, 4, "p25_c"), (1, 2, "p50_c"), (3, 4, "p75_c"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"grp": pa.array([], type=pa.string()),
+                          "v": pa.array([], type=pa.int64()),
+                          "cnt": pa.array([], type=pa.int64()),
+                          "pkey": pa.array([], type=pa.int32())})
+        if batch.num_rows == 0:
+            return empty
+        cents = np.rint(np.asarray(batch.column("value"),
+                                   dtype=np.float64) * 100).astype(np.int64)
+        grp = np.asarray(batch.column(group_col).to_pylist(), dtype=object)
+        order = np.lexsort((cents, grp))
+        g_s, v_s = grp[order], cents[order]
+        first = np.empty(len(g_s), dtype=bool)
+        first[0] = True
+        first[1:] = (g_s[1:] != g_s[:-1]) | (v_s[1:] != v_s[:-1])
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.append(starts, len(g_s))).astype(np.int64)
+        g_out = g_s[starts]
+        gh = np.fromiter((hash_utf8(g) for g in g_out),
+                         dtype=np.int64, count=len(g_out))
+        return pa.table({
+            "grp": pa.array(g_out.tolist(), type=pa.string()),
+            "v": pa.array(v_s[starts], type=pa.int64()),
+            "cnt": pa.array(cnt, type=pa.int64()),
+            "pkey": pa.array(mix_to_partition(gh, num_partitions),
+                             type=pa.int32()),
+        })
+
+    def reduce_part(group: pa.Table) -> pa.Table:
+        cols = {group_col: pa.array([], type=pa.string()),
+                "n_events": pa.array([], type=pa.int64())}
+        for _, _, name in QS:
+            cols[name] = pa.array([], type=pa.int64())
+        if group.num_rows == 0:
+            return pa.table(cols)
+        grp = np.asarray(group.column("grp").to_pylist(), dtype=object)
+        v = np.asarray(group.column("v"), dtype=np.int64)
+        cnt = np.asarray(group.column("cnt"), dtype=np.int64)
+        order = np.lexsort((v, grp))
+        grp, v, cnt = grp[order], v[order], cnt[order]
+        first = np.empty(len(grp), dtype=bool)
+        first[0] = True
+        first[1:] = (grp[1:] != grp[:-1]) | (v[1:] != v[:-1])
+        starts = np.flatnonzero(first)
+        cnt = np.add.reduceat(cnt, starts)
+        grp, v = grp[starts], v[starts]
+        g_first = np.empty(len(grp), dtype=bool)
+        g_first[0] = True
+        g_first[1:] = grp[1:] != grp[:-1]
+        g_starts = np.append(np.flatnonzero(g_first), len(grp))
+        out = {group_col: [], "n_events": []}
+        for _, _, name in QS:
+            out[name] = []
+        for a, b in zip(g_starts[:-1], g_starts[1:]):
+            cum = np.cumsum(cnt[a:b])
+            total = int(cum[-1])
+            out[group_col].append(grp[a])
+            out["n_events"].append(total)
+            for num, den, name in QS:
+                rank = (num * total + den - 1) // den
+                out[name].append(int(v[a:b][np.searchsorted(cum, rank)]))
+        return pa.table({
+            group_col: pa.array(out[group_col], type=pa.string()),
+            "n_events": pa.array(out["n_events"], type=pa.int64()),
+            **{name: pa.array(out[name], type=pa.int64())
+               for _, _, name in QS},
+        })
+
+    return events.map_batches(partial, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(reduce_part, batch_format="pyarrow")

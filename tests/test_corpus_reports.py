@@ -92,3 +92,21 @@ def test_funnel_counts(ray_session):
     assert df.loc[2, "n_users"] == 2     # users 1, 3 viewed after signup
     assert df.loc[3, "n_users"] == 1     # only user 1 completed
     assert list(df["step"]) == ["signup", "view", "purchase"]
+
+
+def test_value_quantiles(ray_session):
+    import ray.data as rd
+    from apollo_ray.functions.textstats import value_quantiles
+    vals = [1.00, 2.00, 3.00, 4.00]          # typeA: ranks 1..4
+    t = pa.table({
+        "event_type": pa.array(["A"] * 4 + ["B"]),
+        "value": pa.array(vals + [9.99], type=pa.float64()),
+    })
+    df = value_quantiles(rd.from_arrow(t)).to_pandas() \
+        .set_index("event_type")
+    # quantile_disc rank = ceil(q*n): n=4 -> p25 rank 1, p50 rank 2,
+    # p75 rank 3
+    assert df.loc["A", ["n_events", "p25_c", "p50_c", "p75_c"]] \
+        .tolist() == [4, 100, 200, 300]
+    assert df.loc["B", ["n_events", "p25_c", "p50_c", "p75_c"]] \
+        .tolist() == [1, 999, 999, 999]
