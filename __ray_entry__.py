@@ -586,6 +586,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from apollo_ray.functions.pii import redact_pii
         return redact_pii(_docs(sf_dir))
 
+    def q_char_pair_counts(sf_dir):
+        from apollo_ray.functions.lm import char_pair_counts
+        return char_pair_counts(_docs(sf_dir))
+
     def q_value_quantiles(sf_dir):
         return textstats.value_quantiles(_events(sf_dir))
 
@@ -640,6 +644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_join": q_containment_join,
         "funnel_counts": q_funnel_counts,
         "value_quantiles": q_value_quantiles,
+        "char_pair_counts": q_char_pair_counts,
         "token_freq_hist": q_token_freq_hist,
         "source_dup_stats": q_source_dup_stats,
         "lang_stats": q_lang_stats,
@@ -725,6 +730,17 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sz su ON su.doc_id = l_id
                        JOIN sz sv ON sv.doc_id = r_id
             WHERE c * 1000000 >= 400000 * (su.n + sv.n - c)
+        """,
+        "char_pair_counts": r"""
+            WITH tok AS (
+              SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+              FROM documents WHERE length(trim(text)) > 0),
+            pr AS (
+              SELECT substr(w, i, 2) AS pair
+              FROM tok,
+                   LATERAL (SELECT unnest(range(1, length(w))) AS i))
+            SELECT pair, CAST(count(*) AS BIGINT) AS n
+            FROM pr GROUP BY pair
         """,
         "value_quantiles": """
             SELECT event_type,

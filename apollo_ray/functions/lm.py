@@ -536,3 +536,75 @@ def bigram_score_sql(backoff: float = 0.4) -> str:
       SELECT doc_id, CAST(round(lp * 1000000) AS BIGINT) AS lpu FROM pos)
     {_AVG_LP_R4_EXACT_SQL}
 """
+
+
+def char_pair_counts(docs: "ray.data.Dataset", min_count: int = 1,
+                     num_partitions: int = 64) -> "ray.data.Dataset":
+    """(pair, n) — adjacent-character-pair frequencies inside
+    whitespace tokens across the corpus: the merge-candidate table of
+    the FIRST BPE training iteration (Sennrich et al. 2016), weighted
+    by occurrence (every token instance counts).
+
+    Vectorized without touching Python strings: for each offset i up
+    to the longest token, one ``utf8_slice_codeunits(i, i+2)`` Arrow
+    kernel pass over the whole flattened token array extracts that
+    offset's pair for every token at once (O(max_token_len) kernel
+    passes per batch, each full-width); per-batch ``value_counts``
+    partials then shuffle on hash(pair) so the reduce sums each
+    pair's total inside exactly one partition — occurrences never
+    move, only per-batch-distinct (pair, n) rows.
+    """
+    from apollo_ray.functions.textstats import _split_tokens
+    from apollo_ray.hashing import hash_utf8, mix_to_partition
+
+    _EMPTY = pa.table({"pair": pa.array([], type=pa.string()),
+                       "n": pa.array([], type=pa.int64()),
+                       "pkey": pa.array([], type=pa.int32())})
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        flat = _split_tokens(text).flatten()
+        if len(flat) == 0:
+            return _EMPTY
+        lens = pc.utf8_length(flat)
+        max_len = pc.max(lens).as_py() or 0
+        chunks = []
+        for i in range(max_len - 1):
+            m = pc.greater_equal(lens, i + 2)
+            chunks.append(pc.utf8_slice_codeunits(flat.filter(m), i, i + 2))
+        if not chunks:
+            return _EMPTY
+        pairs = pa.concat_arrays([c.combine_chunks() if
+                                  isinstance(c, pa.ChunkedArray) else c
+                                  for c in chunks])
+        vc = pairs.value_counts()
+        p = vc.field("values")
+        n = vc.field("counts").cast(pa.int64())
+        h = np.fromiter((hash_utf8(s) for s in p.to_pylist()),
+                        dtype=np.int64, count=len(p))
+        return pa.table({
+            "pair": p, "n": n,
+            "pkey": pa.array(mix_to_partition(h, num_partitions),
+                             type=pa.int32())})
+
+    def sum_part(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"pair": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        enc = group.column("pair").combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.asarray(group.column("n"), dtype=np.int64)
+        tot = np.bincount(codes, weights=n.astype(np.float64),
+                          minlength=len(enc.dictionary)).astype(np.int64)
+        keep = tot >= min_count
+        idx = np.flatnonzero(keep)
+        return pa.table({
+            "pair": enc.dictionary.take(pa.array(idx)),
+            "n": pa.array(tot[idx], type=pa.int64())})
+
+    return docs.map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(sum_part, batch_format="pyarrow")

@@ -271,3 +271,30 @@ def test_length_quantiles_small_groups(ray_session):
     # single-doc groups: every quantile is that doc's length
     assert out.loc["en"].tolist() == [1, 3, 3, 3]
     assert out.loc["de"].tolist() == [1, 1, 1, 1]
+
+
+def test_char_pair_counts(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from apollo_ray.functions.lm import char_pair_counts
+    t = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["aab aab x", "héé"]),
+    })
+    df = char_pair_counts(rd.from_arrow(t)).to_pandas() \
+        .set_index("pair")["n"].sort_index()
+    # 'aab' x2 -> aa x2, ab x2; 'x' too short; 'héé' -> hé, éé
+    assert df.to_dict() == {"aa": 2, "ab": 2, "hé": 1, "éé": 1}
+
+
+def test_char_pair_counts_min_count(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from apollo_ray.functions.lm import char_pair_counts
+    t = pa.table({
+        "doc_id": pa.array([0], type=pa.int64()),
+        "text": pa.array(["aab aab cd"]),
+    })
+    out = char_pair_counts(rd.from_arrow(t), min_count=2).to_pandas()
+    assert sorted(map(tuple, out.itertuples(index=False))) == \
+        [("aa", 2), ("ab", 2)]
