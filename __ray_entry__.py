@@ -110,6 +110,16 @@ def _redact_pii_sql() -> str:
     return sql
 
 
+def _bpe_train_sql_entry() -> str:
+    from apollo_ray.functions.bpe import bpe_train_sql
+    return bpe_train_sql(num_merges=6)
+
+
+def _bpe_encode_sql_entry() -> str:
+    from apollo_ray.functions.bpe import bpe_encode_sql
+    return bpe_encode_sql(num_merges=6)
+
+
 def _minhash_signatures_sql_entry() -> str:
     from apollo_ray.functions.dedup_extras import minhash_signatures_sql
     return minhash_signatures_sql()
@@ -590,6 +600,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from apollo_ray.functions.lm import char_pair_counts
         return char_pair_counts(_docs(sf_dir))
 
+    def q_bpe_merges(sf_dir):
+        from apollo_ray.functions.bpe import bpe_train
+        return bpe_train(_docs(sf_dir), num_merges=6)
+
+    def q_bpe_token_counts(sf_dir):
+        from apollo_ray.functions.bpe import bpe_encode_counts
+        return bpe_encode_counts(_docs(sf_dir), num_merges=6)
+
     def q_value_quantiles(sf_dir):
         return textstats.value_quantiles(_events(sf_dir))
 
@@ -645,6 +663,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": q_funnel_counts,
         "value_quantiles": q_value_quantiles,
         "char_pair_counts": q_char_pair_counts,
+        "bpe_merges": q_bpe_merges,
+        "bpe_learned_token_counts": q_bpe_token_counts,
         "token_freq_hist": q_token_freq_hist,
         "source_dup_stats": q_source_dup_stats,
         "lang_stats": q_lang_stats,
@@ -731,6 +751,8 @@ def oracle_sql() -> dict[str, str]:
                        JOIN sz sv ON sv.doc_id = r_id
             WHERE c * 1000000 >= 400000 * (su.n + sv.n - c)
         """,
+        "bpe_merges": _bpe_train_sql_entry(),
+        "bpe_learned_token_counts": _bpe_encode_sql_entry(),
         "char_pair_counts": r"""
             WITH tok AS (
               SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
