@@ -600,6 +600,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from apollo_ray.functions.lm import char_pair_counts
         return char_pair_counts(_docs(sf_dir))
 
+    def q_pack_sequences(sf_dir):
+        from apollo_ray.pipelines.export import pack_sequences
+        return pack_sequences(_docs(sf_dir), seq_len=128, n_shards=8)
+
     def q_bpe_merges(sf_dir):
         from apollo_ray.functions.bpe import bpe_train
         return bpe_train(_docs(sf_dir), num_merges=6)
@@ -664,6 +668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": q_value_quantiles,
         "char_pair_counts": q_char_pair_counts,
         "bpe_merges": q_bpe_merges,
+        "pack_sequences": q_pack_sequences,
         "bpe_learned_token_counts": q_bpe_token_counts,
         "token_freq_hist": q_token_freq_hist,
         "source_dup_stats": q_source_dup_stats,
@@ -750,6 +755,29 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sz su ON su.doc_id = l_id
                        JOIN sz sv ON sv.doc_id = r_id
             WHERE c * 1000000 >= 400000 * (su.n + sv.n - c)
+        """,
+        "pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 8
+                          AS INTEGER) AS shard,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t)
+            SELECT doc_id, shard, n_tokens,
+                   CASE WHEN n_tokens = 0 THEN -1
+                        ELSE CAST((cum - n_tokens) // 128 AS BIGINT)
+                   END AS first_seq,
+                   CASE WHEN n_tokens = 0 THEN -1
+                        ELSE CAST((cum - 1) // 128 AS BIGINT)
+                   END AS last_seq
+            FROM c
         """,
         "bpe_merges": _bpe_train_sql_entry(),
         "bpe_learned_token_counts": _bpe_encode_sql_entry(),

@@ -106,3 +106,86 @@ def read_shard(out_dir: str, shard: int) -> "ray.data.Dataset":
     if "shard" in ds.schema().names:
         ds = ds.drop_columns(["shard"])
     return ds
+
+
+def pack_sequences(docs: "ray.data.Dataset", seq_len: int = 128,
+                   n_shards: int = 16) -> "ray.data.Dataset":
+    """(doc_id, shard, n_tokens, first_seq, last_seq) — the
+    sequence-packing manifest of a training export: within each hash
+    shard, documents concatenate in doc_id order into one continuous
+    token stream cut into fixed ``seq_len`` sequences (documents may
+    straddle a cut — the standard packed-pretraining layout); the
+    manifest records which sequences each document occupies, so a
+    loader can materialize any sequence range independently.
+
+    Empty documents occupy no sequence (first_seq = last_seq = -1).
+    One shuffle on the shard id (shards = partitions, each shard's
+    docs co-located by construction); within a partition the running
+    token offset is one sort + ``np.cumsum`` — integer-exact, matching
+    the SQL window ``sum() OVER (PARTITION BY shard ORDER BY doc_id)``.
+    At web scale a shard is sized to a worker (n_shards grows with the
+    corpus; the per-shard state is one cumsum, never the corpus).
+
+    Shard rule: ``md5(doc_id) % n_shards`` (the ``hash_sample`` /
+    decontam row-hash bridge — exactly ``md5_number_lower`` in the
+    SQL oracle; ``export_shards`` keeps the faster splitmix64 rule,
+    which has no overflow-free SQL form).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from apollo_ray.functions.textstats import _split_tokens
+    from apollo_ray.kernels.text import _md5_u64
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_tok = pc.list_value_length(_split_tokens(text)).cast(pa.int64())
+        sh = np.fromiter((_md5_u64(str(i)) % n_shards for i in ids),
+                         dtype=np.int64, count=len(ids)).astype(np.int32)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_tokens": n_tok,
+            "shard": pa.array(sh, type=pa.int32()),
+        })
+
+    def pack_part(group: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "shard": pa.array([], type=pa.int32()),
+                          "n_tokens": pa.array([], type=pa.int64()),
+                          "first_seq": pa.array([], type=pa.int64()),
+                          "last_seq": pa.array([], type=pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        ids = np.asarray(group.column("doc_id"), dtype=np.int64)
+        n = np.asarray(group.column("n_tokens"), dtype=np.int64)
+        sh = np.asarray(group.column("shard"), dtype=np.int32)
+        order = np.lexsort((ids, sh))
+        ids, n, sh = ids[order], n[order], sh[order]
+        # running offset restarts at each shard boundary (a partition
+        # may hold several shards)
+        cum = np.cumsum(n)
+        first_of_shard = np.empty(len(sh), dtype=bool)
+        first_of_shard[0] = True
+        first_of_shard[1:] = sh[1:] != sh[:-1]
+        base = np.zeros(len(sh), dtype=np.int64)
+        starts = np.flatnonzero(first_of_shard)
+        offs = np.concatenate(([0], cum[starts[1:] - 1])) \
+            if len(starts) > 1 else np.zeros(1, dtype=np.int64)
+        base = np.repeat(offs, np.diff(np.append(starts, len(sh))))
+        end = cum - base
+        start = end - n
+        first_seq = np.where(n > 0, start // seq_len, -1)
+        last_seq = np.where(n > 0, (end - 1) // seq_len, -1)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "shard": pa.array(sh, type=pa.int32()),
+            "n_tokens": pa.array(n, type=pa.int64()),
+            "first_seq": pa.array(first_seq, type=pa.int64()),
+            "last_seq": pa.array(last_seq, type=pa.int64()),
+        })
+
+    return docs.map_batches(tag, batch_format="pyarrow") \
+        .groupby("shard").map_groups(pack_part, batch_format="pyarrow")

@@ -76,3 +76,41 @@ def test_reshard_previous_export(ray_session, tmp_path):
         ray.data.read_parquet(os.path.join(out1, "shard=0")),
         out2, n_shards=3)
     assert man["rows"] == sum(man["per_shard"].values()) > 0
+
+
+def test_pack_sequences(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from apollo_ray.pipelines.export import pack_sequences
+    # one shard so the packing math is deterministic to eyeball
+    texts = ["a " * 100, "b " * 50, "", "c " * 10]
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array([s.strip() for s in texts]),
+    })
+    df = pack_sequences(rd.from_arrow(t), seq_len=64, n_shards=1) \
+        .to_pandas().set_index("doc_id").sort_index()
+    # stream: doc0 tokens [0,100) -> seqs 0..1; doc1 [100,150) -> 1..2;
+    # doc2 empty -> -1; doc3 [150,160) -> 2..2
+    assert df.loc[0, ["first_seq", "last_seq"]].tolist() == [0, 1]
+    assert df.loc[1, ["first_seq", "last_seq"]].tolist() == [1, 2]
+    assert df.loc[2, ["first_seq", "last_seq"]].tolist() == [-1, -1]
+    assert df.loc[3, ["first_seq", "last_seq"]].tolist() == [2, 2]
+    assert (df["shard"] == 0).all()
+
+
+def test_pack_sequences_shard_isolation(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from apollo_ray.pipelines.export import pack_sequences
+    t = pa.table({
+        "doc_id": pa.array(range(40), type=pa.int64()),
+        "text": pa.array(["w " * 10] * 40),
+    })
+    df = pack_sequences(rd.from_arrow(t), seq_len=16, n_shards=4) \
+        .to_pandas()
+    # each shard's stream starts at sequence 0 independently
+    assert (df.groupby("shard")["first_seq"].min() == 0).all()
+    # within a shard, sequences are monotone in doc_id
+    for _, g in df.sort_values("doc_id").groupby("shard"):
+        assert g["first_seq"].is_monotonic_increasing
