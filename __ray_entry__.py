@@ -615,6 +615,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_value_quantiles(sf_dir):
         return textstats.value_quantiles(_events(sf_dir))
 
+    def q_retention_cohorts(sf_dir):
+        from apollo_ray.functions.asof import retention_cohorts
+        return retention_cohorts(_events(sf_dir))
+
     def q_funnel_counts(sf_dir):
         from apollo_ray.functions.asof import funnel_counts
         return funnel_counts(_events(sf_dir))
@@ -665,6 +669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_join": q_jaccard_join,
         "containment_join": q_containment_join,
         "funnel_counts": q_funnel_counts,
+        "retention_cohorts": q_retention_cohorts,
         "value_quantiles": q_value_quantiles,
         "char_pair_counts": q_char_pair_counts,
         "bpe_merges": q_bpe_merges,
@@ -802,6 +807,18 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(CAST(round(value * 100) AS BIGINT), 0.75)
                        AS p75_c
             FROM events GROUP BY event_type
+        """,
+        "retention_cohorts": """
+            WITH act AS (
+              SELECT DISTINCT user_id,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+              FROM events),
+            coh AS (SELECT user_id, min(day) AS cohort_day
+                    FROM act GROUP BY user_id)
+            SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM act a JOIN coh c ON a.user_id = c.user_id
+            GROUP BY 1, 2
         """,
         "funnel_counts": """
             WITH s1 AS (

@@ -433,3 +433,91 @@ def funnel_counts(events: "ray.data.Dataset",
     # bounded cardinality: one group per funnel step
     return parts.groupby("step_idx").map_groups(fold,
                                                 batch_format="pyarrow")
+
+
+def retention_cohorts(events: "ray.data.Dataset",
+                      num_partitions: int = 32) -> "ray.data.Dataset":
+    """(cohort_day, day_offset, n_users) — classic retention matrix:
+    users grouped by the UTC day of their first event (cohort), and
+    for each later day offset, how many of them were active (any
+    event) that day.  Offset 0 is the cohort day itself, so
+    n_users(cohort, 0) is the cohort size.
+
+    One user-hash shuffle; per partition the first-event day per user
+    and the distinct (user, day) activity pairs come from one lexsort
+    (no per-user loop), and per-(cohort, offset) counts are complete
+    partials because users never straddle partitions; the fold sees
+    <= cohorts x offsets x partitions rows.
+    """
+    import pyarrow as pa
+
+    from apollo_ray.hashing import mix_to_partition
+
+    US_PER_DAY = 86_400_000_000
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch.column("user_id"), dtype=np.int64)
+        ts = np.asarray(batch.column("ts").cast(pa.int64()),
+                        dtype=np.int64)
+        return pa.table({
+            "user_id": pa.array(u, type=pa.int64()),
+            "day": pa.array(ts // US_PER_DAY, type=pa.int64()),
+            "pkey": pa.array(mix_to_partition(u, num_partitions),
+                             type=pa.int32())})
+
+    def count_part(group: pa.Table) -> pa.Table:
+        empty = pa.table({"cohort_day": pa.array([], type=pa.int64()),
+                          "day_offset": pa.array([], type=pa.int64()),
+                          "n_users": pa.array([], type=pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        u = np.asarray(group.column("user_id"), dtype=np.int64)
+        d = np.asarray(group.column("day"), dtype=np.int64)
+        order = np.lexsort((d, u))
+        u_s, d_s = u[order], d[order]
+        # distinct (user, day) activity pairs
+        first = np.empty(len(u_s), dtype=bool)
+        first[0] = True
+        first[1:] = (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1])
+        u_a, d_a = u_s[first], d_s[first]
+        # cohort day = each user's first (minimal) day; rows are
+        # sorted, so the first row of each user segment carries it
+        u_first = np.empty(len(u_a), dtype=bool)
+        u_first[0] = True
+        u_first[1:] = u_a[1:] != u_a[:-1]
+        seg = np.cumsum(u_first) - 1
+        cohort = d_a[np.flatnonzero(u_first)][seg]
+        offset = d_a - cohort
+        key = cohort * 1_000_000 + offset   # offsets < 1e6 days
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "cohort_day": pa.array(uniq // 1_000_000, type=pa.int64()),
+            "day_offset": pa.array(uniq % 1_000_000, type=pa.int64()),
+            "n_users": pa.array(cnt, type=pa.int64())})
+
+    def fold(group: pa.Table) -> pa.Table:
+        c = np.asarray(group.column("cohort_day"), dtype=np.int64)
+        o = np.asarray(group.column("day_offset"), dtype=np.int64)
+        n = np.asarray(group.column("n_users"), dtype=np.int64)
+        key = c * 1_000_000 + o
+        uniq, inv = np.unique(key, return_inverse=True)
+        tot = np.bincount(inv, weights=n.astype(np.float64)) \
+            .astype(np.int64)
+        return pa.table({
+            "cohort_day": pa.array(uniq // 1_000_000, type=pa.int64()),
+            "day_offset": pa.array(uniq % 1_000_000, type=pa.int64()),
+            "n_users": pa.array(tot, type=pa.int64())})
+
+    parts = events.map_batches(add_pkey, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(count_part, batch_format="pyarrow")
+
+    def add_fold_pkey(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch.column("cohort_day"), dtype=np.int64)
+        return batch.append_column(
+            "pkey2", pa.array(mix_to_partition(c, 8), type=pa.int32()))
+
+    return parts.map_batches(add_fold_pkey, batch_format="pyarrow") \
+        .groupby("pkey2").map_groups(
+            lambda g: fold(g.select(["cohort_day", "day_offset",
+                                     "n_users"])),
+            batch_format="pyarrow")

@@ -110,3 +110,25 @@ def test_value_quantiles(ray_session):
         .tolist() == [4, 100, 200, 300]
     assert df.loc["B", ["n_events", "p25_c", "p50_c", "p75_c"]] \
         .tolist() == [1, 999, 999, 999]
+
+
+def test_retention_cohorts(ray_session):
+    import ray.data as rd
+    from apollo_ray.functions.asof import retention_cohorts
+    DAY = 86_400_000_000
+    rows = [
+        (1, 0),            # user 1: first day 0
+        (1, 0),            # same day again -> still one active day
+        (1, 2 * DAY),      # active on day 2
+        (2, DAY),          # user 2: cohort day 1
+        (2, DAY + 1),      # same day
+        (3, 0),            # user 3: cohort day 0, never returns
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+    })
+    df = retention_cohorts(rd.from_arrow(t)).to_pandas()
+    got = {(r.cohort_day, r.day_offset): r.n_users
+           for r in df.itertuples(index=False)}
+    assert got == {(0, 0): 2, (0, 2): 1, (1, 0): 1}
