@@ -608,7 +608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from apollo_ray.functions.bpe import bpe_train
         return bpe_train(_docs(sf_dir), num_merges=6)
 
-    def q_bpe_token_counts(sf_dir):
+    def q_bpe_learned_counts(sf_dir):
         from apollo_ray.functions.bpe import bpe_encode_counts
         return bpe_encode_counts(_docs(sf_dir), num_merges=6)
 
@@ -674,7 +674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_pair_counts": q_char_pair_counts,
         "bpe_merges": q_bpe_merges,
         "pack_sequences": q_pack_sequences,
-        "bpe_learned_token_counts": q_bpe_token_counts,
+        "bpe_learned_token_counts": q_bpe_learned_counts,
         "token_freq_hist": q_token_freq_hist,
         "source_dup_stats": q_source_dup_stats,
         "lang_stats": q_lang_stats,
