@@ -615,6 +615,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_value_quantiles(sf_dir):
         return textstats.value_quantiles(_events(sf_dir))
 
+    def q_props_key_stats(sf_dir):
+        return textstats.props_key_stats(_events(sf_dir))
+
     def q_retention_cohorts(sf_dir):
         from apollo_ray.functions.asof import retention_cohorts
         return retention_cohorts(_events(sf_dir))
@@ -670,6 +673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_join": q_containment_join,
         "funnel_counts": q_funnel_counts,
         "retention_cohorts": q_retention_cohorts,
+        "props_key_stats": q_props_key_stats,
         "value_quantiles": q_value_quantiles,
         "char_pair_counts": q_char_pair_counts,
         "bpe_merges": q_bpe_merges,
@@ -807,6 +811,18 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(CAST(round(value * 100) AS BIGINT), 0.75)
                        AS p75_c
             FROM events GROUP BY event_type
+        """,
+        "props_key_stats": r"""
+            WITH e AS (
+              SELECT event_type,
+                     CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1)
+                          AS BIGINT) AS v
+              FROM events
+              WHERE regexp_extract(props, '"k":\s*(-?\d+)', 1) <> '')
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_with_key,
+                   CAST(sum(v) AS BIGINT) AS sum_v,
+                   min(v) AS min_v, max(v) AS max_v
+            FROM e GROUP BY event_type
         """,
         "retention_cohorts": """
             WITH act AS (

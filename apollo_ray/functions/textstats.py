@@ -967,3 +967,94 @@ def value_quantiles(events: "ray.data.Dataset",
 
     return events.map_batches(partial, batch_format="pyarrow") \
         .groupby("pkey").map_groups(reduce_part, batch_format="pyarrow")
+
+
+def props_key_stats(events: "ray.data.Dataset", key: str = "k",
+                    num_partitions: int = 8) -> "ray.data.Dataset":
+    """(event_type, n_with_key, sum_v, min_v, max_v) — aggregate an
+    integer field out of the semi-structured ``props`` JSON-string
+    column, per event type: the "extract one field from a JSON blob
+    without a JSON shuffle" pattern.  Events whose props lack the key
+    are excluded (no null/'' coercion surface vs the SQL oracle).
+
+    Map side: one RE2 ``extract_regex`` kernel pass per batch (no
+    per-row JSON parse) and per-(type) integer partials — count, sum,
+    min, max are all mergeable, so only O(types) rows per batch reach
+    the single tiny fold shuffle.
+    """
+    import re as _re
+
+    from apollo_ray.hashing import hash_utf8, mix_to_partition
+
+    pat = '"%s":\\s*(?P<v>-?\\d+)' % _re.escape(key)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                          "n_with_key": pa.array([], type=pa.int64()),
+                          "sum_v": pa.array([], type=pa.int64()),
+                          "min_v": pa.array([], type=pa.int64()),
+                          "max_v": pa.array([], type=pa.int64()),
+                          "pkey": pa.array([], type=pa.int32())})
+        if batch.num_rows == 0:
+            return empty
+        props = batch.column("props")
+        if isinstance(props, pa.ChunkedArray):
+            props = props.combine_chunks()
+        ext = pc.extract_regex(props, pat)
+        vs = ext.field("v") if ext.type != pa.null() else None
+        ok = pc.is_valid(ext).to_numpy(zero_copy_only=False) \
+            if vs is not None else np.zeros(batch.num_rows, dtype=bool)
+        if not ok.any():
+            return empty
+        v = np.zeros(batch.num_rows, dtype=np.int64)
+        # the struct is null on non-matching rows but its CHILD field
+        # holds "" there — filter by the struct validity, not the child
+        v[ok] = np.asarray(vs.filter(pa.array(ok)).cast(pa.int64()))
+        et = np.asarray(batch.column("event_type").to_pylist(),
+                        dtype=object)[ok]
+        vv = v[ok]
+        uniq, inv = np.unique(et, return_inverse=True)
+        n = np.bincount(inv)
+        s = np.bincount(inv, weights=vv.astype(np.float64)).astype(np.int64)
+        mn = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mn, inv, vv)
+        mx = np.full(len(uniq), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, inv, vv)
+        gh = np.fromiter((hash_utf8(g) for g in uniq),
+                         dtype=np.int64, count=len(uniq))
+        return pa.table({
+            "event_type": pa.array(uniq.tolist(), type=pa.string()),
+            "n_with_key": pa.array(n, type=pa.int64()),
+            "sum_v": pa.array(s, type=pa.int64()),
+            "min_v": pa.array(mn, type=pa.int64()),
+            "max_v": pa.array(mx, type=pa.int64()),
+            "pkey": pa.array(mix_to_partition(gh, num_partitions),
+                             type=pa.int32())})
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return group.select(["event_type", "n_with_key", "sum_v",
+                                 "min_v", "max_v"])
+        et = np.asarray(group.column("event_type").to_pylist(),
+                        dtype=object)
+        uniq, inv = np.unique(et, return_inverse=True)
+        def agg(col, fn, init):
+            x = np.asarray(group.column(col), dtype=np.int64)
+            out = np.full(len(uniq), init, dtype=np.int64)
+            fn.at(out, inv, x)
+            return out
+        n = np.bincount(inv, weights=np.asarray(
+            group.column("n_with_key"), dtype=np.float64)).astype(np.int64)
+        s = np.bincount(inv, weights=np.asarray(
+            group.column("sum_v"), dtype=np.float64)).astype(np.int64)
+        mn = agg("min_v", np.minimum, np.iinfo(np.int64).max)
+        mx = agg("max_v", np.maximum, np.iinfo(np.int64).min)
+        return pa.table({
+            "event_type": pa.array(uniq.tolist(), type=pa.string()),
+            "n_with_key": pa.array(n, type=pa.int64()),
+            "sum_v": pa.array(s, type=pa.int64()),
+            "min_v": pa.array(mn, type=pa.int64()),
+            "max_v": pa.array(mx, type=pa.int64())})
+
+    return events.map_batches(partials, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(fold, batch_format="pyarrow")

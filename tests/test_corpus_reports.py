@@ -132,3 +132,18 @@ def test_retention_cohorts(ray_session):
     got = {(r.cohort_day, r.day_offset): r.n_users
            for r in df.itertuples(index=False)}
     assert got == {(0, 0): 2, (0, 2): 1, (1, 0): 1}
+
+
+def test_props_key_stats(ray_session):
+    import ray.data as rd
+    from apollo_ray.functions.textstats import props_key_stats
+    t = pa.table({
+        "event_type": pa.array(["a", "a", "a", "b"]),
+        "props": pa.array(['{"k": 5}', '{"k": -3}', '{}', '{"k": 10}']),
+    })
+    df = props_key_stats(rd.from_arrow(t)).to_pandas() \
+        .set_index("event_type")
+    assert df.loc["a", ["n_with_key", "sum_v", "min_v", "max_v"]] \
+        .tolist() == [2, 2, -3, 5]
+    assert df.loc["b", ["n_with_key", "sum_v", "min_v", "max_v"]] \
+        .tolist() == [1, 10, 10, 10]
