@@ -261,3 +261,125 @@ def query_similar_by_id(doc_id: int, signatures_ds: "ray.data.Dataset",
     p_idx = np.asarray(bag_rows[0]["indices"], dtype=np.uint32)
     p_w = np.asarray(bag_rows[0]["weights"], dtype=np.float32)
     return _verify_candidates(cands, bags_ds, p_idx, p_w, cfg)
+
+
+def query_similar_batch(probes_ds: "ray.data.Dataset",
+                        bands_ds: "ray.data.Dataset", cfg: DedupConfig,
+                        df=None, ndocs: int = 0,
+                        num_partitions: int = 64,
+                        max_bucket: int = 10_000) -> "ray.data.Dataset":
+    """(probe_id, doc_id) — candidate pairs for a whole TABLE of probe
+    texts joined against an indexed corpus's bands checkpoint: the
+    production shape of the reference's one-at-a-time query loop
+    (``apollo/query.py:25-43`` issues per-band Cassandra SELECTs per
+    probe; here any number of probes joins in one shuffle).
+
+    Probe signatures come from the same fused batch hasher as the
+    index (bit-identical bucket keys); probe and index band rows union
+    with a side tag, shuffle once on hash(bucket), and each bucket
+    segment emits its probe x doc cross product (vectorized ragged
+    cross, the ``jaccard_join`` machinery); a second pair-hash pass
+    dedupes pairs that co-occur in several buckets.  ``max_bucket``
+    caps either side of a mega-bucket (boilerplate bands).
+
+    ``df``/``ndocs``: required when ``cfg.needs_docfreq`` — the probe
+    bags must be weighted with the INDEX-TIME docfreq model (load it
+    from the checkpoint), otherwise bucket keys would diverge.
+    """
+    import ray as _ray
+
+    from apollo_ray.hashing import mix_to_partition, pair_mix
+    from apollo_ray.stages.fused import fused_hash_batch
+    from apollo_ray.stages.wmh_stage import params_object_ref
+
+    if cfg.needs_docfreq and df is None:
+        raise ValueError("cfg needs a docfreq model: pass the "
+                         "index-time df/ndocs (checkpoint 'state')")
+    params_ref = params_object_ref(cfg)
+    df_ref = _ray.put(df) if df is not None else None
+
+    def probe_bands(batch: pa.Table) -> pa.Table:
+        renamed = pa.table({
+            "doc_id": batch.column("probe_id").cast(pa.int64()),
+            "text": batch.column("text")})
+        out = fused_hash_batch(renamed, cfg, params_ref, df_ref, ndocs)
+        return pa.table({
+            "bucket": out.column("bucket"),
+            "id": out.column("doc_id"),
+            "side": pa.array(np.ones(out.num_rows, dtype=np.int8))})
+
+    def index_bands(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket": batch.column("bucket").cast(pa.int64()),
+            "id": batch.column("doc_id").cast(pa.int64()),
+            "side": pa.array(np.zeros(batch.num_rows, dtype=np.int8))})
+
+    rows = bands_ds.map_batches(index_bands, batch_format="pyarrow") \
+        .union(probes_ds.map_batches(probe_bands, batch_format="pyarrow"))
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        b = np.asarray(batch.column("bucket"), dtype=np.int64)
+        return batch.append_column(
+            "pkey", pa.array(mix_to_partition(b, num_partitions),
+                             type=pa.int32()))
+
+    _EMPTY = pa.table({"probe_id": pa.array([], type=pa.int64()),
+                       "doc_id": pa.array([], type=pa.int64())})
+
+    def emit_cross(group: pa.Table) -> pa.Table:
+        b = np.asarray(group.column("bucket"), dtype=np.int64)
+        if len(b) == 0:
+            return _EMPTY
+        ids = np.asarray(group.column("id"), dtype=np.int64)
+        side = np.asarray(group.column("side"), dtype=np.int8)
+        order = np.lexsort((ids, side, b))
+        b_s, id_s, t_s = b[order], ids[order], side[order]
+        new_seg = np.empty(len(b_s), dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = b_s[1:] != b_s[:-1]
+        seg_of = np.cumsum(new_seg) - 1
+        nseg = seg_of[-1] + 1
+        starts = np.flatnonzero(new_seg)
+        ends = np.append(starts[1:], len(b_s))
+        cd = np.bincount(seg_of[t_s == 0], minlength=nseg)  # index docs
+        cp = (ends - starts) - cd                           # probes
+        capped = (cd > max_bucket) | (cp > max_bucket)
+        cd = np.where(capped, 0, cd)
+        cp = np.where(capped, 0, cp)
+        npairs = cd * cp
+        total = int(npairs.sum())
+        if total == 0:
+            return _EMPTY
+        out_start = np.concatenate(([0], np.cumsum(npairs)[:-1]))
+        live = np.flatnonzero(npairs)
+        seg_row = np.repeat(live, npairs[live])
+        pos = np.arange(total, dtype=np.int64) - out_start[seg_row]
+        d_idx = starts[seg_row] + pos // cp[seg_row]
+        p_idx = starts[seg_row] + cd[seg_row] + pos % cp[seg_row]
+        return pa.table({
+            "probe_id": pa.array(id_s[p_idx], type=pa.int64()),
+            "doc_id": pa.array(id_s[d_idx], type=pa.int64())})
+
+    pairs = rows.map_batches(add_pkey, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(emit_cross, batch_format="pyarrow")
+
+    def add_pair_pkey(batch: pa.Table) -> pa.Table:
+        p = np.asarray(batch.column("probe_id"), dtype=np.int64)
+        d = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        key = pair_mix(p, d).astype(np.int64) >> 1
+        return batch.append_column(
+            "pkey", pa.array(mix_to_partition(key, num_partitions),
+                             type=pa.int32()))
+
+    def distinct(group: pa.Table) -> pa.Table:
+        p = np.asarray(group.column("probe_id"), dtype=np.int64)
+        d = np.asarray(group.column("doc_id"), dtype=np.int64)
+        if len(p) == 0:
+            return _EMPTY
+        key = pair_mix(p, d)
+        _, first = np.unique(key, return_index=True)
+        return pa.table({"probe_id": pa.array(p[first], type=pa.int64()),
+                         "doc_id": pa.array(d[first], type=pa.int64())})
+
+    return pairs.map_batches(add_pair_pkey, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(distinct, batch_format="pyarrow")

@@ -229,3 +229,54 @@ def test_verify_tier_keeps_mutual_pairs(ray_session):
     out = run_dedup(rd.from_arrow(pages_t), cfg)
     cl = out["clusters"].to_pandas()
     assert len(cl) == out["docs"].count()
+
+
+def test_query_similar_batch_parity(ray_session):
+    """Batch probe join returns exactly the per-probe query_similar
+    candidate sets (estimate mode) for every probe."""
+    import pyarrow as pa
+    import ray.data
+
+    from apollo_ray.config import DedupConfig
+    from apollo_ray.fixtures import generate_pages
+    from apollo_ray.pipelines.dedup import run_dedup
+    from apollo_ray.stages.report import query_similar, query_similar_batch
+
+    cfg = DedupConfig(feature_dim_log2=12)
+    pages, _ = generate_pages(300)
+    out = run_dedup(ray.data.from_arrow(pages), cfg, num_partitions=8)
+    bands, bags = out["bands"], out["bags"]
+
+    texts = pages.column("text").to_pylist()[:12]
+    probes = ray.data.from_arrow(pa.table({
+        "probe_id": pa.array(range(12), type=pa.int64()),
+        "text": pa.array(texts)}))
+    got = query_similar_batch(probes, bands, cfg).to_pandas()
+    got_sets = {pid: set(g["doc_id"]) for pid, g in got.groupby("probe_id")}
+    n_nonempty = 0
+    for pid, text in enumerate(texts):
+        want = set(query_similar(text, bands, bags, cfg, precise=False))
+        assert got_sets.get(pid, set()) == want, f"probe {pid}"
+        n_nonempty += bool(want)
+    assert n_nonempty > 0   # probes copied from the corpus match it
+
+
+def test_query_similar_batch_empty_and_cap(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from apollo_ray.config import DedupConfig
+    from apollo_ray.fixtures import generate_pages
+    from apollo_ray.pipelines.dedup import run_dedup
+    from apollo_ray.stages.report import query_similar_batch
+
+    cfg = DedupConfig(feature_dim_log2=12)
+    pages, _ = generate_pages(120)
+    out = run_dedup(ray.data.from_arrow(pages), cfg, num_partitions=4)
+    probes = ray.data.from_arrow(pa.table({
+        "probe_id": pa.array([0], type=pa.int64()),
+        "text": pa.array([pages.column("text")[0].as_py()])}))
+    # max_bucket=0 caps every bucket -> no pairs at all
+    got = query_similar_batch(probes, out["bands"], cfg,
+                              max_bucket=0).to_pandas()
+    assert len(got) == 0
