@@ -165,13 +165,29 @@ def cmd_reset(args) -> int:
 def cmd_query(args) -> int:
     import ray
     from apollo_ray.sources.io import read_stage
-    if args.doc_id is None and args.file is None:
-        print("error: query needs --file or --doc-id", file=sys.stderr)
+    if args.doc_id is None and args.file is None and args.probes is None:
+        print("error: query needs --file, --doc-id or --probes",
+              file=sys.stderr)
         return 2
     owns = _init_ray(args.num_cpus)
     cfg = _cfg_from_args(args)
-    from apollo_ray.stages.report import query_similar, query_similar_by_id
+    from apollo_ray.stages.report import (query_similar,
+                                          query_similar_batch,
+                                          query_similar_by_id)
     bands = read_stage(args.ckpt, "bands")
+    if args.probes is not None:
+        # whole-table probe join: parquet (probe_id, text) in,
+        # (probe_id, doc_id) candidate pairs parquet out
+        import ray.data
+        probes = ray.data.read_parquet(args.probes)
+        pairs = query_similar_batch(probes, bands, cfg)
+        out_dir = args.output or (args.ckpt.rstrip("/") + "/query_pairs")
+        pairs.write_parquet(out_dir)
+        print(json.dumps({"pairs_dir": out_dir,
+                          "n_pairs": pairs.count()}))
+        if owns:
+            ray.shutdown()
+        return 0
     bags = read_stage(args.ckpt, "bags")
     if args.doc_id is not None:
         # indexed-document probe: stored signature, no re-hash
@@ -288,6 +304,11 @@ def main(argv=None) -> int:
     sp.add_argument("--doc-id", type=int, default=None,
                     help="query an already-indexed document by id "
                          "(reads its stored signature)")
+    sp.add_argument("--probes", default=None,
+                    help="parquet of (probe_id, text): batch probe "
+                         "join, writes candidate pairs parquet")
+    sp.add_argument("--output", default=None,
+                    help="output dir for --probes pairs")
     sp.add_argument("--precise", action="store_true")
     sp.set_defaults(handler=cmd_query)
 

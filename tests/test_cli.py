@@ -40,6 +40,20 @@ def test_cli_round_trip(tmp_path, capsys, ray_session):
     hits = json.loads(capsys.readouterr().out.strip())["similar"]
     assert len(hits) >= 1
 
+    # batch probe join: parquet in, candidate-pairs parquet out
+    probes = tmp_path / "probes.parquet"
+    import pyarrow as pa
+    pq.write_table(pa.table({
+        "probe_id": pa.array([0, 1], type=pa.int64()),
+        "text": pages_t.column("text").slice(0, 2)}), str(probes))
+    assert main(["query", "--ckpt", ckpt, "--probes", str(probes),
+                 "--output", str(tmp_path / "pairs"),
+                 "--feature-dim-log2", "12"]) == 0
+    qout = json.loads(capsys.readouterr().out.strip())
+    assert qout["n_pairs"] >= 2       # each probe finds its own doc
+    got = pq.read_table(str(tmp_path / "pairs"))
+    assert set(got.column_names) == {"probe_id", "doc_id"}
+
     assert main(["reset", "--ckpt", ckpt, "--stages", "bands,edges"]) == 0
     capsys.readouterr()
     assert not os.path.exists(os.path.join(ckpt, "bands"))
