@@ -218,6 +218,39 @@ def cmd_report(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """One-shot corpus health report over a documents-shaped parquet
+    dir: per-source duplication rate, per-lang volume, Zipf vocabulary
+    histogram, token-length quantiles — the first look an ops user
+    takes at a new snapshot."""
+    import ray
+    import ray.data
+
+    from apollo_ray.functions.textstats import (lang_stats,
+                                                length_quantiles,
+                                                source_dup_stats,
+                                                token_freq_hist)
+    owns = _init_ray(args.num_cpus)
+    docs = ray.data.read_parquet(args.input)
+    cols = set(docs.schema().names)
+    out = {}
+    if "source" in cols:
+        out["sources"] = source_dup_stats(docs).to_pandas() \
+            .sort_values("source").to_dict("records")
+    if "lang" in cols and "n_chars" in cols:
+        out["langs"] = lang_stats(docs).to_pandas() \
+            .sort_values("lang").to_dict("records")
+        out["length_quantiles"] = length_quantiles(docs).to_pandas() \
+            .sort_values("lang").to_dict("records")
+    hist = token_freq_hist(docs).to_pandas().sort_values("bucket")
+    out["token_freq_log2_hist"] = hist.to_dict("records")
+    out["n_docs"] = docs.count()
+    print(json.dumps(out, default=int))
+    if owns:
+        ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="apollo_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -315,6 +348,12 @@ def main(argv=None) -> int:
     sp = sub.add_parser("report")
     common(sp)
     sp.set_defaults(handler=cmd_report)
+
+    sp = sub.add_parser("stats")
+    sp.add_argument("--input", required=True,
+                    help="documents-shaped parquet file or dir")
+    sp.add_argument("--num-cpus", type=int, default=None)
+    sp.set_defaults(handler=cmd_stats)
 
     args = p.parse_args(argv)
     return args.handler(args)

@@ -80,3 +80,26 @@ def test_cli_curate(tmp_path, capsys, ray_session):
     t = pq.read_table(glob.glob(os.path.join(out_dir, "*.parquet")))
     assert t.num_rows == out["curated_docs"]
     assert "text" in t.column_names
+
+
+def test_cli_stats(tmp_path, capsys, ray_session):
+    import pyarrow as pa
+    from apollo_ray.cli import main
+    d = tmp_path / "docs"
+    d.mkdir()
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["a b c", "a b c", "d e"]),
+        "lang": pa.array(["en", "en", "de"]),
+        "source": pa.array(["s1", "s1", "s2"]),
+        "n_chars": pa.array([5, 5, 3], type=pa.int64()),
+    })
+    pq.write_table(t, str(d / "part-0.parquet"))
+    assert main(["stats", "--input", str(d)]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["n_docs"] == 3
+    srcs = {r["source"]: r for r in out["sources"]}
+    assert srcs["s1"]["dup_ppm"] == 500000
+    assert srcs["s2"]["dup_ppm"] == 0
+    assert {r["lang"] for r in out["langs"]} == {"en", "de"}
+    assert sum(r["n_tokens"] for r in out["token_freq_log2_hist"]) == 5
