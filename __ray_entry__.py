@@ -213,6 +213,11 @@ def _forecast_sql_entry() -> str:
     return FORECAST_REVENUE_SQL
 
 
+def _order_priority_sql_entry() -> str:
+    from apollo_ray.functions.analytics import order_priority_counts_sql
+    return order_priority_counts_sql()
+
+
 def _top_revenue_sql_entry() -> str:
     from apollo_ray.functions.analytics import top_revenue_orders_sql
     return top_revenue_orders_sql()
@@ -518,6 +523,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return forecast_revenue(_lineitem(sf_dir, [
             "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"]))
 
+    def q_order_priority_counts(sf_dir):
+        import ray.data
+        from apollo_ray.functions.analytics import order_priority_counts
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+        return order_priority_counts(
+            orders, _lineitem(sf_dir, ["l_orderkey", "l_returnflag"]))
+
     def q_top_revenue_orders(sf_dir):
         import ray.data
         from apollo_ray.functions.analytics import top_revenue_orders
@@ -727,6 +741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "forecast_revenue": q_forecast_revenue,
         "top_revenue_orders": q_top_revenue_orders,
+        "order_priority_counts": q_order_priority_counts,
         "regional_revenue": q_regional_revenue,
         "promo_revenue": q_promo_revenue,
         "ppl_buckets": q_ppl_buckets,
@@ -1251,6 +1266,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": _pricing_sql_entry(),
         "forecast_revenue": _forecast_sql_entry(),
         "top_revenue_orders": _top_revenue_sql_entry(),
+        "order_priority_counts": _order_priority_sql_entry(),
         "regional_revenue": _regional_revenue_sql_entry(),
         "promo_revenue": _promo_revenue_sql_entry(),
         "length_quantiles": r"""

@@ -774,3 +774,112 @@ def promo_revenue_sql(month: str = "1997-09",
                AS promo_share_ppm
     FROM rev
 """
+
+
+def order_priority_counts(orders: "ray.data.Dataset",
+                          lineitem: "ray.data.Dataset",
+                          year: int = 1997,
+                          flag: str = "R",
+                          broadcast_max: int = ORDERS_BROADCAST_MAX
+                          ) -> "ray.data.Dataset":
+    """TPC-H Q4 shape — the EXISTS semi-join: count ``year`` orders per
+    priority that have AT LEAST ONE lineitem with
+    ``l_returnflag = flag`` (the synthetic schema has no
+    commit/receipt dates, so the returned-item flag stands in for
+    Q4's late-delivery predicate; the join classes exercised — a
+    distinct-key semi-join reduced map-side — are Q4's).
+
+    Plan: lineitem scans once, emitting per-batch DISTINCT matching
+    orderkeys (map-side dedup); one pkey pass completes the global
+    distinct; the resulting key set broadcasts sorted (capped at
+    ``broadcast_max`` — the Q3 attach rule) and orders resolves the
+    EXISTS with a ``searchsorted`` membership test plus per-batch
+    per-priority partials.  Neither fact table enters a shuffle; the
+    only all-to-all is the distinct-orderkey metadata pass.
+    """
+    import ray
+
+    from apollo_ray.hashing import mix_to_partition
+
+    def matching_keys(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch.column("l_returnflag"), flag)
+        k = np.unique(np.asarray(batch.filter(m).column("l_orderkey"),
+                                 dtype=np.int64))
+        return pa.table({
+            "k": pa.array(k, type=pa.int64()),
+            "pkey": pa.array(mix_to_partition(k, 64), type=pa.int32())})
+
+    def distinct_part(group: pa.Table) -> pa.Table:
+        k = np.unique(np.asarray(group.column("k"), dtype=np.int64))
+        return pa.table({"k": pa.array(k, type=pa.int64())})
+
+    keys_ds = lineitem.map_batches(matching_keys, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(distinct_part, batch_format="pyarrow")
+    n_keys = keys_ds.count()
+    if n_keys > broadcast_max:
+        raise NotImplementedError(
+            "matching-orderkey set (%d) above broadcast cap %d: attach "
+            "via the hash-join path (top_revenue_orders method="
+            "'hashjoin')" % (n_keys, broadcast_max))
+    if n_keys == 0:
+        sorted_keys = np.empty(0, dtype=np.int64)
+    else:
+        parts = [np.asarray(b.column("k"), dtype=np.int64)
+                 for b in keys_ds.iter_batches(batch_format="pyarrow")
+                 if b.num_rows]
+        sorted_keys = np.sort(np.concatenate(parts))
+    keys_ref = ray.put(sorted_keys)
+
+    lo = np.datetime64(f"{year}-01-01", "us").astype(np.int64)
+    hi = np.datetime64(f"{year + 1}-01-01", "us").astype(np.int64)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        od = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        in_year = (od >= lo) & (od < hi)
+        ok = np.asarray(batch.column("o_orderkey"), dtype=np.int64)
+        pos = np.searchsorted(ks, ok)
+        exists = np.zeros(len(ok), dtype=bool)
+        if len(ks):
+            inb = pos < len(ks)
+            exists[inb] = ks[pos[inb]] == ok[inb]
+        keep = in_year & exists
+        if not keep.any():
+            return pa.table({"o_orderpriority": pa.array([],
+                                                         type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        pri = np.asarray(batch.column("o_orderpriority").to_pylist(),
+                         dtype=object)[keep]
+        uniq, cnt = np.unique(pri, return_counts=True)
+        return pa.table({
+            "o_orderpriority": pa.array(uniq.tolist(), type=pa.string()),
+            "n": pa.array(cnt, type=pa.int64())})
+
+    def fold(group: pa.Table) -> pa.Table:
+        pri = np.asarray(group.column("o_orderpriority").to_pylist(),
+                         dtype=object)
+        n = np.asarray(group.column("n"), dtype=np.int64)
+        uniq, inv = np.unique(pri, return_inverse=True)
+        tot = np.bincount(inv, weights=n.astype(np.float64)).astype(np.int64)
+        return pa.table({
+            "o_orderpriority": pa.array(uniq.tolist(), type=pa.string()),
+            "order_count": pa.array(tot, type=pa.int64())})
+
+    parts = orders.map_batches(partials, batch_format="pyarrow")
+    # <= priorities x batches partial rows: bounded-cardinality fold
+    return parts.groupby("o_orderpriority").map_groups(
+        fold, batch_format="pyarrow")
+
+
+def order_priority_counts_sql(year: int = 1997, flag: str = "R") -> str:
+    return f"""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '{year}-01-01'
+      AND o.o_orderdate < TIMESTAMP '{year + 1}-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = '{flag}')
+    GROUP BY o_orderpriority
+    """

@@ -232,3 +232,48 @@ def test_promo_revenue_matches_duckdb(ray_session):
     assert len(got0) == len(exp0) == 1
     for c in ("promo_revenue_e4", "total_revenue_e4", "promo_share_ppm"):
         assert int(got0[c][0]) == int(exp0[c][0]) == 0, c
+
+
+def test_order_priority_counts(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from apollo_ray.functions.analytics import order_priority_counts
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "o_orderdate": pa.array(
+            [np.datetime64("1997-03-01", "us")] * 3
+            + [np.datetime64("1996-03-01", "us")], type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT", "1-URGENT", "2-HIGH",
+                                     "1-URGENT"]),
+    })
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 4], type=pa.int64()),
+        "l_returnflag": pa.array(["R", "N", "N", "R"]),
+    })
+    df = order_priority_counts(rd.from_arrow(orders), rd.from_arrow(li)) \
+        .to_pandas().set_index("o_orderpriority")
+    # order 1: returned lineitem + in 1997 -> counted; order 2: no R;
+    # order 3: no lineitems; order 4: R but 1996
+    assert df["order_count"].to_dict() == {"1-URGENT": 1}
+
+
+def test_order_priority_counts_cap(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+    from apollo_ray.functions.analytics import order_priority_counts
+    orders = pa.table({
+        "o_orderkey": pa.array([1], type=pa.int64()),
+        "o_orderdate": pa.array([np.datetime64("1997-03-01", "us")],
+                                type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"]),
+    })
+    li = pa.table({
+        "l_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+        "l_returnflag": pa.array(["R", "R", "R"]),
+    })
+    with _pytest.raises(NotImplementedError, match="broadcast cap"):
+        order_priority_counts(rd.from_arrow(orders), rd.from_arrow(li),
+                              broadcast_max=2)
