@@ -213,6 +213,11 @@ def _forecast_sql_entry() -> str:
     return FORECAST_REVENUE_SQL
 
 
+def _customer_order_dist_sql_entry() -> str:
+    from apollo_ray.functions.analytics import CUSTOMER_ORDER_DIST_SQL
+    return CUSTOMER_ORDER_DIST_SQL
+
+
 def _order_priority_sql_entry() -> str:
     from apollo_ray.functions.analytics import order_priority_counts_sql
     return order_priority_counts_sql()
@@ -523,6 +528,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return forecast_revenue(_lineitem(sf_dir, [
             "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"]))
 
+    def q_customer_order_dist(sf_dir):
+        import ray.data
+        from apollo_ray.functions.analytics import customer_order_dist
+        customer = ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey"])
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey"])
+        return customer_order_dist(customer, orders)
+
     def q_order_priority_counts(sf_dir):
         import ray.data
         from apollo_ray.functions.analytics import order_priority_counts
@@ -632,6 +648,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_props_key_stats(sf_dir):
         return textstats.props_key_stats(_events(sf_dir))
 
+    def q_user_cumulative_spend(sf_dir):
+        from apollo_ray.functions.asof import user_cumulative_spend
+        return user_cumulative_spend(_events(sf_dir))
+
     def q_retention_cohorts(sf_dir):
         from apollo_ray.functions.asof import retention_cohorts
         return retention_cohorts(_events(sf_dir))
@@ -687,6 +707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_join": q_containment_join,
         "funnel_counts": q_funnel_counts,
         "retention_cohorts": q_retention_cohorts,
+        "user_cumulative_spend": q_user_cumulative_spend,
         "props_key_stats": q_props_key_stats,
         "value_quantiles": q_value_quantiles,
         "char_pair_counts": q_char_pair_counts,
@@ -742,6 +763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forecast_revenue": q_forecast_revenue,
         "top_revenue_orders": q_top_revenue_orders,
         "order_priority_counts": q_order_priority_counts,
+        "customer_order_dist": q_customer_order_dist,
         "regional_revenue": q_regional_revenue,
         "promo_revenue": q_promo_revenue,
         "ppl_buckets": q_ppl_buckets,
@@ -838,6 +860,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v) AS BIGINT) AS sum_v,
                    min(v) AS min_v, max(v) AS max_v
             FROM e GROUP BY event_type
+        """,
+        "user_cumulative_spend": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cum_spend_c
+            FROM events WHERE event_type = 'purchase'
         """,
         "retention_cohorts": """
             WITH act AS (
@@ -1267,6 +1298,7 @@ def oracle_sql() -> dict[str, str]:
         "forecast_revenue": _forecast_sql_entry(),
         "top_revenue_orders": _top_revenue_sql_entry(),
         "order_priority_counts": _order_priority_sql_entry(),
+        "customer_order_dist": _customer_order_dist_sql_entry(),
         "regional_revenue": _regional_revenue_sql_entry(),
         "promo_revenue": _promo_revenue_sql_entry(),
         "length_quantiles": r"""

@@ -883,3 +883,94 @@ def order_priority_counts_sql(year: int = 1997, flag: str = "R") -> str:
                     AND l.l_returnflag = '{flag}')
     GROUP BY o_orderpriority
     """
+
+
+def customer_order_dist(customer: "ray.data.Dataset",
+                        orders: "ray.data.Dataset",
+                        num_partitions: int = 64) -> "ray.data.Dataset":
+    """TPC-H Q13 shape — the OUTER-join histogram: distribution of
+    customers by order count, INCLUDING zero-order customers (the
+    rows an inner join would silently drop).
+
+    Plan: orders emits per-batch (custkey, n) partials; one pkey pass
+    completes per-customer totals; customer keys take the same pkey
+    shuffle (16-byte rows) so each partition holds a customer's key
+    AND its complete count — the left-outer zero-fill is a local
+    searchsorted, never a driver collect.  Per-partition histogram
+    partials (count-of-counts) then fold to <= distinct-counts rows.
+    """
+    from apollo_ray.hashing import mix_to_partition
+
+    def order_partials(batch: pa.Table) -> pa.Table:
+        ck = np.asarray(batch.column("o_custkey"), dtype=np.int64)
+        uniq, cnt = np.unique(ck, return_counts=True)
+        return pa.table({
+            "k": pa.array(uniq, type=pa.int64()),
+            "n": pa.array(cnt, type=pa.int64()),
+            "side": pa.array(np.zeros(len(uniq), dtype=np.int8)),
+            "pkey": pa.array(mix_to_partition(uniq, num_partitions),
+                             type=pa.int32())})
+
+    def customer_keys(batch: pa.Table) -> pa.Table:
+        ck = np.asarray(batch.column("c_custkey"), dtype=np.int64)
+        return pa.table({
+            "k": pa.array(ck, type=pa.int64()),
+            "n": pa.array(np.zeros(len(ck), dtype=np.int64)),
+            "side": pa.array(np.ones(len(ck), dtype=np.int8)),
+            "pkey": pa.array(mix_to_partition(ck, num_partitions),
+                             type=pa.int32())})
+
+    rows = orders.map_batches(order_partials, batch_format="pyarrow") \
+        .union(customer.map_batches(customer_keys, batch_format="pyarrow"))
+
+    def hist_part(group: pa.Table) -> pa.Table:
+        empty = pa.table({"c_count": pa.array([], type=pa.int64()),
+                          "custdist": pa.array([], type=pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        k = np.asarray(group.column("k"), dtype=np.int64)
+        n = np.asarray(group.column("n"), dtype=np.int64)
+        side = np.asarray(group.column("side"), dtype=np.int8)
+        cust = np.unique(k[side == 1])
+        if len(cust) == 0:
+            return empty
+        ok = k[side == 0]
+        on = n[side == 0]
+        # per-customer totals; orders referencing unknown custkeys are
+        # dropped by the membership test (matches the SQL LEFT JOIN
+        # FROM customer)
+        pos = np.searchsorted(cust, ok)
+        inb = pos < len(cust)
+        inb[inb] &= cust[pos[inb]] == ok[inb]
+        tot = np.zeros(len(cust), dtype=np.int64)
+        np.add.at(tot, pos[inb], on[inb])
+        cnt_vals, cnt_n = np.unique(tot, return_counts=True)
+        return pa.table({
+            "c_count": pa.array(cnt_vals, type=pa.int64()),
+            "custdist": pa.array(cnt_n, type=pa.int64())})
+
+    parts = rows.groupby("pkey").map_groups(hist_part,
+                                            batch_format="pyarrow")
+
+    def fold(group: pa.Table) -> pa.Table:
+        c = np.asarray(group.column("c_count"), dtype=np.int64)
+        n = np.asarray(group.column("custdist"), dtype=np.int64)
+        uniq, inv = np.unique(c, return_inverse=True)
+        tot = np.bincount(inv, weights=n.astype(np.float64)).astype(np.int64)
+        return pa.table({"c_count": pa.array(uniq, type=pa.int64()),
+                         "custdist": pa.array(tot, type=pa.int64())})
+
+    # bounded cardinality: one group per distinct order count
+    return parts.groupby("c_count").map_groups(fold,
+                                               batch_format="pyarrow")
+
+
+CUSTOMER_ORDER_DIST_SQL = """
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey)
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+"""

@@ -521,3 +521,64 @@ def retention_cohorts(events: "ray.data.Dataset",
             lambda g: fold(g.select(["cohort_day", "day_offset",
                                      "n_users"])),
             batch_format="pyarrow")
+
+
+def user_cumulative_spend(events: "ray.data.Dataset",
+                          event_type: str = "purchase",
+                          num_partitions: int = 32
+                          ) -> "ray.data.Dataset":
+    """(event_id, user_id, cum_spend_c) — per-row ORDERED WINDOW scan:
+    each ``event_type`` event's running total of the user's spend up
+    to and including it (``sum(value) OVER (PARTITION BY user
+    ORDER BY ts, event_id)``), in exact integer cents.
+
+    One user-hash shuffle co-locates each user's events; the running
+    sum is one lexsort + ``np.cumsum`` with per-user segment
+    subtraction — per-ROW output (unlike the aggregate windows), no
+    per-user loop.  Ties on ts break by event_id, matching the SQL
+    ORDER BY exactly.
+    """
+    import pyarrow.compute as pc
+
+    def prep(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch.column("event_type"), event_type)
+        sub = batch.filter(m)
+        u = np.asarray(sub.column("user_id"), dtype=np.int64)
+        cents = np.rint(np.asarray(sub.column("value"),
+                                   dtype=np.float64) * 100).astype(np.int64)
+        return pa.table({
+            "event_id": sub.column("event_id").cast(pa.int64()),
+            "user_id": pa.array(u, type=pa.int64()),
+            "ts_us": sub.column("ts").cast(pa.int64()),
+            "cents": pa.array(cents, type=pa.int64()),
+            "pkey": pa.array(mix_to_partition(u, num_partitions),
+                             type=pa.int32())})
+
+    def scan(group: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], type=pa.int64()),
+                          "user_id": pa.array([], type=pa.int64()),
+                          "cum_spend_c": pa.array([], type=pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        u = np.asarray(group.column("user_id"), dtype=np.int64)
+        t = np.asarray(group.column("ts_us"), dtype=np.int64)
+        e = np.asarray(group.column("event_id"), dtype=np.int64)
+        c = np.asarray(group.column("cents"), dtype=np.int64)
+        order = np.lexsort((e, t, u))
+        u_s, e_s, c_s = u[order], e[order], c[order]
+        cum = np.cumsum(c_s)
+        first = np.empty(len(u_s), dtype=bool)
+        first[0] = True
+        first[1:] = u_s[1:] != u_s[:-1]
+        starts = np.flatnonzero(first)
+        base = np.repeat(
+            np.concatenate(([0], cum[starts[1:] - 1]))
+            if len(starts) > 1 else np.zeros(1, dtype=np.int64),
+            np.diff(np.append(starts, len(u_s))))
+        return pa.table({
+            "event_id": pa.array(e_s, type=pa.int64()),
+            "user_id": pa.array(u_s, type=pa.int64()),
+            "cum_spend_c": pa.array(cum - base, type=pa.int64())})
+
+    return events.map_batches(prep, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(scan, batch_format="pyarrow")

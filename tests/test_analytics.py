@@ -277,3 +277,19 @@ def test_order_priority_counts_cap(ray_session):
     with _pytest.raises(NotImplementedError, match="broadcast cap"):
         order_priority_counts(rd.from_arrow(orders), rd.from_arrow(li),
                               broadcast_max=2)
+
+
+def test_customer_order_dist(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from apollo_ray.functions.analytics import customer_order_dist
+    customer = pa.table({"c_custkey": pa.array([1, 2, 3, 4],
+                                               type=pa.int64())})
+    orders = pa.table({"o_custkey": pa.array([1, 1, 1, 2, 9],
+                                             type=pa.int64())})
+    df = customer_order_dist(rd.from_arrow(customer),
+                             rd.from_arrow(orders)).to_pandas() \
+        .set_index("c_count")["custdist"]
+    # cust 1 -> 3 orders; cust 2 -> 1; custs 3, 4 -> 0; order for
+    # unknown cust 9 dropped (LEFT JOIN FROM customer)
+    assert df.to_dict() == {0: 2, 1: 1, 3: 1}

@@ -147,3 +147,21 @@ def test_props_key_stats(ray_session):
         .tolist() == [2, 2, -3, 5]
     assert df.loc["b", ["n_with_key", "sum_v", "min_v", "max_v"]] \
         .tolist() == [1, 10, 10, 10]
+
+
+def test_user_cumulative_spend(ray_session):
+    import ray.data as rd
+    from apollo_ray.functions.asof import user_cumulative_spend
+    t = pa.table({
+        "event_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "ts": pa.array([10, 20, 20, 5, 30], type=pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+        "event_type": pa.array(["purchase"] * 4 + ["view"]),
+        "value": pa.array([1.50, 2.25, 0.25, 9.99, 100.0],
+                          type=pa.float64()),
+    })
+    df = user_cumulative_spend(rd.from_arrow(t)).to_pandas() \
+        .set_index("event_id")["cum_spend_c"]
+    # user 1: ts order 10,20,20 (tie by event_id 1<2): 150, 375, 400
+    # user 2: only event 3 counts (event 4 is a view)
+    assert df.to_dict() == {0: 150, 1: 375, 2: 400, 3: 999}
