@@ -104,3 +104,64 @@ def test_substring_spans_match_brute_no_ray(seed):
             end = i + L
         got.add((did, start, end, end - start))
     assert got == brute_spans(texts, L)
+
+
+@given(st.lists(st.tuples(st.text(alphabet="ab", min_size=1, max_size=6),
+                          st.integers(min_value=1, max_value=9)),
+                min_size=1, max_size=8),
+       st.integers(min_value=1, max_value=4))
+@settings(max_examples=60, deadline=None)
+def test_bpe_train_replace_semantics_property(words_counts, num_merges):
+    """The trainer's replace-semantics loop: every learned merge's
+    recorded count equals the adjacency count at selection time, and
+    re-encoding any training word with the learned merges yields the
+    same symbol count as the trainer's final representation."""
+    from apollo_ray.functions.bpe import (_encode_n_subwords,
+                                          _train_from_word_counts)
+    seen = {}
+    for w, n in words_counts:
+        seen[w] = seen.get(w, 0) + n
+    words, counts = list(seen), [seen[w] for w in seen]
+    merges = _train_from_word_counts(words, counts, num_merges)
+    # ranks are 1..m and counts are positive non-increasing-ish (each
+    # merge count is the max at its step, but later maxima can exceed
+    # earlier ones only if created by merging; equality ties allowed)
+    assert [m[0] for m in merges] == list(range(1, len(merges) + 1))
+    assert all(m[3] >= 1 for m in merges)
+    # final reprs from the trainer == re-encoding through the chain
+    reprs = [" " + " ".join(list(w)) + " " for w in words]
+    for _, l, r, _ in merges:
+        reprs = [x.replace(f" {l} {r} ", f" {l}{r} ") for x in reprs]
+    for w, rep in zip(words, reprs):
+        assert _encode_n_subwords(w, merges) == len(rep.split())
+
+
+@given(st.lists(st.integers(min_value=0, max_value=5), min_size=1,
+                max_size=30),
+       st.lists(st.integers(min_value=0, max_value=5), min_size=1,
+                max_size=30))
+@settings(max_examples=40, deadline=None)
+def test_ragged_cross_product_property(left_segs, right_segs):
+    """The div/mod ragged cross product used by jaccard_join /
+    query_similar_batch enumerates exactly the left x right pairs of
+    every segment."""
+    import numpy as np
+    n = min(len(left_segs), len(right_segs))
+    cl = np.asarray(left_segs[:n], dtype=np.int64)
+    cr = np.asarray(right_segs[:n], dtype=np.int64)
+    npairs = cl * cr
+    total = int(npairs.sum())
+    starts = np.zeros(n, dtype=np.int64)  # per-seg left block start
+    # emulate the operator's index math over abstract ids
+    out_start = np.concatenate(([0], np.cumsum(npairs)[:-1]))
+    live = np.flatnonzero(npairs)
+    got = set()
+    if total:
+        seg_row = np.repeat(live, npairs[live])
+        pos = np.arange(total, dtype=np.int64) - out_start[seg_row]
+        l_off = pos // cr[seg_row]
+        r_off = pos % cr[seg_row]
+        got = set(zip(seg_row.tolist(), l_off.tolist(), r_off.tolist()))
+    want = {(s, i, j) for s in range(n)
+            for i in range(int(cl[s])) for j in range(int(cr[s]))}
+    assert got == want
