@@ -180,7 +180,9 @@ def cmd_query(args) -> int:
         # (probe_id, doc_id) candidate pairs parquet out
         import ray.data
         probes = ray.data.read_parquet(args.probes)
-        pairs = query_similar_batch(probes, bands, cfg)
+        bags = read_stage(args.ckpt, "bags") if args.precise else None
+        pairs = query_similar_batch(probes, bands, cfg,
+                                    precise=args.precise, bags_ds=bags)
         out_dir = args.output or (args.ckpt.rstrip("/") + "/query_pairs")
         pairs.write_parquet(out_dir)
         print(json.dumps({"pairs_dir": out_dir,

@@ -267,7 +267,10 @@ def query_similar_batch(probes_ds: "ray.data.Dataset",
                         bands_ds: "ray.data.Dataset", cfg: DedupConfig,
                         df=None, ndocs: int = 0,
                         num_partitions: int = 64,
-                        max_bucket: int = 10_000) -> "ray.data.Dataset":
+                        max_bucket: int = 10_000,
+                        precise: bool = False,
+                        bags_ds: "ray.data.Dataset | None" = None
+                        ) -> "ray.data.Dataset":
     """(probe_id, doc_id) — candidate pairs for a whole TABLE of probe
     texts joined against an indexed corpus's bands checkpoint: the
     production shape of the reference's one-at-a-time query loop
@@ -285,6 +288,14 @@ def query_similar_batch(probes_ds: "ray.data.Dataset",
     ``df``/``ndocs``: required when ``cfg.needs_docfreq`` — the probe
     bags must be weighted with the INDEX-TIME docfreq model (load it
     from the checkpoint), otherwise bucket keys would diverge.
+
+    ``precise=True`` (requires ``bags_ds``, the bags checkpoint) adds
+    the exact-similarity tier: probe bags are rebuilt with the same
+    stage as indexing, both endpoints' packed bags attach to each
+    candidate pair via the two verify-stage hash joins, and pairs
+    below ``cfg.threshold`` are dropped; output gains a
+    ``similarity`` column (the reference's ``--precise``,
+    ``apollo/query.py:45-66``, at table scale).
     """
     import ray as _ray
 
@@ -381,5 +392,91 @@ def query_similar_batch(probes_ds: "ray.data.Dataset",
         return pa.table({"probe_id": pa.array(p[first], type=pa.int64()),
                          "doc_id": pa.array(d[first], type=pa.int64())})
 
-    return pairs.map_batches(add_pair_pkey, batch_format="pyarrow") \
+    out = pairs.map_batches(add_pair_pkey, batch_format="pyarrow") \
         .groupby("pkey").map_groups(distinct, batch_format="pyarrow")
+    if not precise:
+        return out
+    if bags_ds is None:
+        raise ValueError("precise=True needs bags_ds (bags checkpoint)")
+
+    from apollo_ray.stages.bags import build_bags
+    from apollo_ray.stages.verify import (pack_bags, unpack_bag,
+                                          weighted_jaccard_sparse)
+
+    def as_docs(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("probe_id").cast(pa.int64()),
+                         "text": batch.column("text")})
+
+    # both lookup sides are candidate-sized, not corpus-sized: probe
+    # bags (<= #probes) and the bags of candidate doc_ids only (the
+    # corpus scan filters map-side).  Broadcast each as sorted
+    # (ids, blobs) arrays — the house rule for metadata sides (Acero
+    # joins fail intermittently on schema-less empty shuffle blocks).
+    probe_docs = probes_ds.map_batches(as_docs, batch_format="pyarrow")
+    p_packed = pack_bags(build_bags(probe_docs, cfg, df=df, ndocs=ndocs))
+
+    def _collect_sorted(packed_ds) -> tuple:
+        ids_l, blobs_l = [], []
+        for b in packed_ds.iter_batches(batch_format="pyarrow"):
+            if b.num_rows:
+                ids_l.append(np.asarray(b.column("doc_id"), dtype=np.int64))
+                blobs_l.extend(b.column("bag").to_pylist())
+        if not ids_l:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=object)
+        ids = np.concatenate(ids_l)
+        order = np.argsort(ids, kind="stable")
+        return ids[order], np.asarray(blobs_l, dtype=object)[order]
+
+    cand_parts = [np.asarray(b.column("doc_id"), dtype=np.int64)
+                  for b in out.iter_batches(batch_format="pyarrow")
+                  if b.num_rows]
+    cand_ids = (np.unique(np.concatenate(cand_parts)) if cand_parts
+                else np.empty(0, dtype=np.int64))
+    cand_ref = _ray.put(cand_ids)
+
+    def keep_cands(batch: pa.Table) -> pa.Table:
+        ks = _ray.get(cand_ref)
+        d = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        pos = np.searchsorted(ks, d)
+        hit = pos < len(ks)
+        hit[hit] &= ks[pos[hit]] == d[hit]
+        return batch.filter(pa.array(hit))
+
+    d_packed = pack_bags(bags_ds.map_batches(keep_cands,
+                                             batch_format="pyarrow"))
+    bags_ref = _ray.put((_collect_sorted(p_packed),
+                         _collect_sorted(d_packed)))
+    thr = cfg.threshold
+    binary = cfg.minhash_mode == "unweighted"
+
+    def score(batch: pa.Table) -> pa.Table:
+        (p_ids, p_blobs), (d_ids, d_blobs) = _ray.get(bags_ref)
+        p = np.asarray(batch.column("probe_id"), dtype=np.int64)
+        d = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        n = batch.num_rows
+        keep = np.zeros(n, dtype=bool)
+        sims = np.zeros(n, dtype=np.float32)
+        pi = np.searchsorted(p_ids, p)
+        di = np.searchsorted(d_ids, d)
+        for i in range(n):
+            if pi[i] >= len(p_ids) or p_ids[pi[i]] != p[i]:
+                continue
+            if di[i] >= len(d_ids) or d_ids[di[i]] != d[i]:
+                continue
+            iu, wu = unpack_bag(p_blobs[pi[i]])
+            iv, wv = unpack_bag(d_blobs[di[i]])
+            if binary:
+                inter = len(np.intersect1d(iu, iv, assume_unique=True))
+                union = len(iu) + len(iv) - inter
+                sim = inter / union if union else 0.0
+            else:
+                sim = weighted_jaccard_sparse(iu, wu, iv, wv)
+            sims[i] = sim
+            keep[i] = sim >= thr
+        res = pa.table({
+            "probe_id": pa.array(p, type=pa.int64()),
+            "doc_id": pa.array(d, type=pa.int64()),
+            "similarity": pa.array(sims, type=pa.float32())})
+        return res.filter(pa.array(keep))
+
+    return out.map_batches(score, batch_format="pyarrow")

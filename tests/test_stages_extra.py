@@ -280,3 +280,33 @@ def test_query_similar_batch_empty_and_cap(ray_session):
     got = query_similar_batch(probes, out["bands"], cfg,
                               max_bucket=0).to_pandas()
     assert len(got) == 0
+
+
+def test_query_similar_batch_precise_parity(ray_session):
+    """Precise batch tier == per-probe query_similar(precise=True)."""
+    import pyarrow as pa
+    import ray.data
+
+    from apollo_ray.config import DedupConfig
+    from apollo_ray.fixtures import generate_pages
+    from apollo_ray.pipelines.dedup import run_dedup
+    from apollo_ray.stages.report import query_similar, query_similar_batch
+
+    cfg = DedupConfig(feature_dim_log2=12)
+    pages, _ = generate_pages(250)
+    out = run_dedup(ray.data.from_arrow(pages), cfg, num_partitions=8)
+    texts = pages.column("text").to_pylist()[:8]
+    probes = ray.data.from_arrow(pa.table({
+        "probe_id": pa.array(range(8), type=pa.int64()),
+        "text": pa.array(texts)}))
+    got = query_similar_batch(probes, out["bands"], cfg, precise=True,
+                              bags_ds=out["bags"]).to_pandas()
+    assert "similarity" in got.columns
+    got_sets = {pid: set(g["doc_id"]) for pid, g in got.groupby("probe_id")}
+    n_nonempty = 0
+    for pid, text in enumerate(texts):
+        want = set(query_similar(text, out["bands"], out["bags"], cfg,
+                                 precise=True))
+        assert got_sets.get(pid, set()) == want, f"probe {pid}"
+        n_nonempty += bool(want)
+    assert n_nonempty > 0
