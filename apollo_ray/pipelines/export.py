@@ -189,3 +189,89 @@ def pack_sequences(docs: "ray.data.Dataset", seq_len: int = 128,
 
     return docs.map_batches(tag, batch_format="pyarrow") \
         .groupby("shard").map_groups(pack_part, batch_format="pyarrow")
+
+
+def export_packed(docs: "ray.data.Dataset", out_dir: str,
+                  seq_len: int = 128, n_shards: int = 16) -> dict:
+    """Write the ready-to-train packed artifact: per hash shard, the
+    doc_id-ordered token stream cut into exact ``seq_len`` windows of
+    uint32 token ids (vocab-free hash ids — swap in a learned
+    tokenizer's ids upstream if needed), one hive-partitioned parquet
+    dir per shard (``shard=K/``), rows (seq_id, token_ids).
+
+    The tail remainder of each shard (< seq_len tokens) is dropped —
+    the standard packed-pretraining convention; the
+    :func:`pack_sequences` manifest documents exactly which docs feed
+    which window.  Same sharding rule as the manifest (md5 of
+    doc_id), so the two artifacts line up row-for-row.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from apollo_ray.functions.textstats import _split_tokens
+    from apollo_ray.hashing import hash_utf8
+    from apollo_ray.kernels.text import _md5_u64
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = _split_tokens(text)
+        flat = toks.flatten()
+        # per-batch-distinct token hashing via dictionary codes
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dict_ids = np.fromiter(
+            (hash_utf8(t) & 0xFFFFFFFF for t in
+             enc.dictionary.to_pylist()),
+            dtype=np.uint32, count=len(enc.dictionary))
+        tok_ids = dict_ids[codes] if len(codes) else \
+            np.zeros(0, dtype=np.uint32)
+        n_tok = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int32)
+        sh = np.fromiter((_md5_u64(str(i)) % n_shards for i in ids),
+                         dtype=np.int64, count=len(ids)).astype(np.int32)
+        offs = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(n_tok, out=offs[1:])
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "shard": pa.array(sh, type=pa.int32()),
+            "token_ids": pa.ListArray.from_arrays(
+                pa.array(offs, type=pa.int32()),
+                pa.array(tok_ids, type=pa.uint32())),
+        })
+
+    def pack_shard(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "shard": pa.array([], type=pa.int32()),
+            "seq_id": pa.array([], type=pa.int64()),
+            "token_ids": pa.array([], type=pa.list_(pa.uint32()))})
+        if group.num_rows == 0:
+            return empty
+        ids = np.asarray(group.column("doc_id"), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        tl = group.column("token_ids").combine_chunks().take(
+            pa.array(order))
+        flat = tl.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.uint32)
+        n_seq = len(flat) // seq_len
+        if n_seq == 0:
+            return empty
+        kept = flat[:n_seq * seq_len]
+        offs = np.arange(n_seq + 1, dtype=np.int32) * seq_len
+        sh = int(group.column("shard")[0].as_py())
+        return pa.table({
+            "shard": pa.array(np.full(n_seq, sh, dtype=np.int32)),
+            "seq_id": pa.array(np.arange(n_seq, dtype=np.int64)),
+            "token_ids": pa.ListArray.from_arrays(
+                pa.array(offs), pa.array(kept, type=pa.uint32())),
+        })
+
+    packed = docs.map_batches(tag, batch_format="pyarrow") \
+        .groupby("shard").map_groups(pack_shard, batch_format="pyarrow")
+    packed.write_parquet(out_dir, partition_cols=["shard"])
+    import ray.data as _rd
+    written = _rd.read_parquet(out_dir)
+    return {"out_dir": out_dir, "n_sequences": written.count(),
+            "seq_len": seq_len, "n_shards": n_shards}
