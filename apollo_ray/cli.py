@@ -146,8 +146,14 @@ def cmd_export(args) -> int:
         docs = temperature_sample(docs, alpha=args.sample_alpha,
                                   base_permille=args.sample_base_permille,
                                   group_col=args.sample_group_col)
-    manifest = export_shards(docs, args.output, args.shards,
-                             key=args.key)
+    if args.packed_seq_len is not None:
+        from apollo_ray.pipelines.export import export_packed
+        manifest = export_packed(docs, args.output,
+                                 seq_len=args.packed_seq_len,
+                                 n_shards=args.shards)
+    else:
+        manifest = export_shards(docs, args.output, args.shards,
+                                 key=args.key)
     print(json.dumps(manifest))
     if owns:
         ray.shutdown()
@@ -324,6 +330,10 @@ def main(argv=None) -> int:
     sp.add_argument("--sample-alpha", type=float, default=None)
     sp.add_argument("--sample-base-permille", type=int, default=1000)
     sp.add_argument("--sample-group-col", default="lang")
+    sp.add_argument("--packed-seq-len", dest="packed_seq_len", type=int,
+                    default=None,
+                    help="write packed uint32 token sequences of this "
+                         "length instead of raw doc shards")
     sp.set_defaults(handler=cmd_export)
 
     sp = sub.add_parser("reset")
