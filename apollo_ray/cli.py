@@ -107,7 +107,8 @@ def cmd_curate(args) -> int:
         dedup_lines=args.dedup_lines,
         line_dedup_min_len=args.line_dedup_min_len,
         cut_substrings_min_len=args.cut_substrings_min_len,
-        cut_winnow_w=args.winnow_w)
+        cut_winnow_w=args.winnow_w,
+        redact_pii=args.redact_pii)
     pages = read_pages(args.input)
     out = curate_corpus(pages, cfg, ccfg)
     curated = out["curated"]
@@ -306,6 +307,9 @@ def main(argv=None) -> int:
     sp.add_argument("--dedup-lines", action="store_true",
                     help="ccnet-style cross-doc line dedup before near-dedup")
     sp.add_argument("--line-dedup-min-len", type=int, default=1)
+    sp.add_argument("--redact-pii", action="store_true",
+                    help="scrub PII placeholders into the curated "
+                         "output (after dedup)")
     sp.add_argument("--cut-substrings-min-len", type=int, default=0,
                     help="cut cross-doc duplicated substrings >= this length")
     sp.add_argument("--winnow-w", type=int, default=None)

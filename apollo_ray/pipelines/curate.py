@@ -64,6 +64,9 @@ class CurateConfig:
     # False disables; line_dedup_min_len sets the eligibility floor.
     dedup_lines: bool = False
     line_dedup_min_len: int = 1
+    # publish-time PII scrubbing of the curated output (AFTER dedup,
+    # so redaction never perturbs the duplicate clustering).
+    redact_pii: bool = False
 
 
 def clean_filter_docs(docs: "ray.data.Dataset", ccfg: CurateConfig
@@ -211,5 +214,18 @@ def curate_corpus(pages: "ray.data.Dataset", cfg: DedupConfig,
     else:
         curated = hash_join(kept, reps, on=("doc_id",),
                             num_partitions=num_partitions)
+    if ccfg.redact_pii:
+        from apollo_ray.functions.pii import PII_PATTERNS
+
+        def scrub(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            text = batch.column("text")
+            for _, pat, repl in PII_PATTERNS:
+                text = pc.replace_substring_regex(text, pattern=pat,
+                                                  replacement=repl)
+            return batch.set_column(batch.column_names.index("text"),
+                                    "text", text)
+
+        curated = curated.map_batches(scrub, batch_format="pyarrow")
     return {"curated": curated, "clusters": res["clusters"],
             "kept_docs": kept, "metrics": res["metrics"]}

@@ -136,3 +136,34 @@ def test_curate_with_line_dedup(ray_session):
         assert ln in t0
     for ln in own_b:
         assert ln in t1
+
+
+def test_curate_redact_pii(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from apollo_ray.config import DedupConfig
+    from apollo_ray.pipelines.curate import CurateConfig, curate_corpus
+    from apollo_ray.fixtures import generate_pages
+
+    from apollo_ray.fixtures import pages_from_documents
+    base, _ = generate_pages(80)
+    # plant an email into every doc (rebuilding pages so the HTML the
+    # extractor reads carries it) — whichever cluster reps win, the
+    # curated output must carry redactions
+    docs_t = pa.table({
+        "doc_id": pa.array(range(80), type=pa.int64()),
+        "text": pa.array([t + " contact alice@example.com now"
+                          for t in base.column("text").to_pylist()]),
+        "lang": pa.array(["en"] * 80),
+    })
+    pages = pages_from_documents(docs_t)
+    cfg = DedupConfig(feature_dim_log2=12)
+    out = curate_corpus(ray.data.from_arrow(pages), cfg,
+                        CurateConfig(clean_lines=False, min_tokens=1,
+                                     redact_pii=True),
+                        num_partitions=4)
+    cur = out["curated"].to_pandas()
+    joined = " ".join(cur["text"])
+    assert "alice@example.com" not in joined
+    assert "<EMAIL>" in joined or "EMAIL" in joined
