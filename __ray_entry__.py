@@ -666,6 +666,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_source_dup_stats(sf_dir):
         return textstats.source_dup_stats(_docs(sf_dir))
 
+    def q_dup_size_hist(sf_dir):
+        return dedup_extras.dup_size_hist(_docs(sf_dir))
+
     def q_jaccard_join(sf_dir):
         # incremental-dedup shape: join the "new shard" (odd doc_ids)
         # against the "existing corpus" (even doc_ids)
@@ -704,6 +707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup_groups": q_exact_dedup,
         "jaccard_join": q_jaccard_join,
+        "dup_size_hist": q_dup_size_hist,
         "containment_join": q_containment_join,
         "funnel_counts": q_funnel_counts,
         "retention_cohorts": q_retention_cohorts,
@@ -780,6 +784,12 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_groups": """
             SELECT min(doc_id) AS rep_id, count(*) AS n_members
             FROM documents GROUP BY text
+        """,
+        "dup_size_hist": """
+            WITH g AS (SELECT count(*) AS n_members
+                       FROM documents GROUP BY text)
+            SELECT n_members, CAST(count(*) AS BIGINT) AS n_groups
+            FROM g GROUP BY n_members
         """,
         "jaccard_join": r"""
             WITH tok AS (

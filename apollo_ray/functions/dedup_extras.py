@@ -632,3 +632,29 @@ def jaccard_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
 
     return pairs.map_batches(add_pair_pkey, batch_format="pyarrow") \
         .groupby("pkey").map_groups(count_and_filter, batch_format="pyarrow")
+
+
+def dup_size_hist(docs: "ray.data.Dataset",
+                  num_partitions: int = 64) -> "ray.data.Dataset":
+    """(n_members, n_groups) — histogram of exact-duplicate group
+    sizes (how much of the corpus is 1x, 2x, 1000x duplicated): the
+    one-line dedup-savings estimate.  Rides on
+    :func:`exact_dedup_groups`; only ≤64-row histogram partials reach
+    the fold."""
+    groups = exact_dedup_groups(docs, num_partitions)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch.column("n_members"), dtype=np.int64)
+        uniq, cnt = np.unique(n, return_counts=True)
+        return pa.table({"n_members": pa.array(uniq, type=pa.int64()),
+                         "n_groups": pa.array(cnt, type=pa.int64())})
+
+    def fold(group: pa.Table) -> pa.Table:
+        n = np.asarray(group.column("n_members"), dtype=np.int64)
+        c = np.asarray(group.column("n_groups"), dtype=np.int64)
+        return pa.table({"n_members": pa.array(n[:1], type=pa.int64()),
+                         "n_groups": pa.array([int(c.sum())],
+                                              type=pa.int64())})
+
+    return groups.map_batches(partial, batch_format="pyarrow") \
+        .groupby("n_members").map_groups(fold, batch_format="pyarrow")

@@ -165,3 +165,15 @@ def test_user_cumulative_spend(ray_session):
     # user 1: ts order 10,20,20 (tie by event_id 1<2): 150, 375, 400
     # user 2: only event 3 counts (event 4 is a view)
     assert df.to_dict() == {0: 150, 1: 375, 2: 400, 3: 999}
+
+
+def test_dup_size_hist(ray_session):
+    import ray.data as rd
+    from apollo_ray.functions.dedup_extras import dup_size_hist
+    t = pa.table({
+        "doc_id": pa.array(range(6), type=pa.int64()),
+        "text": pa.array(["x", "x", "x", "y", "y", "z"]),
+    })
+    df = dup_size_hist(rd.from_arrow(t)).to_pandas() \
+        .set_index("n_members")["n_groups"]
+    assert df.to_dict() == {1: 1, 2: 1, 3: 1}
