@@ -85,10 +85,65 @@ def shingle_counts(docs: "ray.data.Dataset", k: int = 3,
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+_EXPLODE_EMPTY = pa.table({"shingle": pa.array([], type=pa.int64()),
+                           "doc_id": pa.array([], type=pa.int64()),
+                           "n_sh": pa.array([], type=pa.int64())})
+
+
 def _explode_shingles(batch: pa.Table, k: int, seed: int) -> pa.Table:
     """Rows (shingle, doc_id, n_sh) — the doc's distinct-shingle count
     rides along on every row, so downstream Jaccard needs NO join back
-    to a per-doc sizes table (8 extra bytes/row buys two hash joins)."""
+    to a per-doc sizes table (8 extra bytes/row buys two hash joins).
+
+    Whole-batch vectorized (the fused-bags recurrence): one k-step
+    numpy pass shingles the batch's flat token-hash stream, boundary-
+    crossing windows are masked, and per-doc dedup is one lexsort —
+    elementwise identical to the per-doc path (parity-pinned by
+    ``test_explode_shingles_batch_parity``).  Docs with fewer than k
+    tokens are dropped (they have no k-shingles; same contract as the
+    SQL oracles)."""
+    from apollo_ray.hashing import _MASK64, splitmix64
+    from apollo_ray.kernels.text import batch_token_hashes
+    hasher = TokenHasher(seed=seed)
+    if batch.num_rows == 0:
+        return _EXPLODE_EMPTY
+    th_flat, offs = batch_token_hashes(batch.column("text"), hasher)
+    doc_ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+    n_docs = len(offs) - 1
+    lens = np.diff(offs)
+    flat_n = len(th_flat)
+    if flat_n < k:
+        return _EXPLODE_EMPTY
+    m = flat_n - k + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        mult = splitmix64(np.array([j + 1], dtype=np.uint64))[0] \
+            | np.uint64(1)
+        acc = (acc + th_flat[j:j + m] * mult) & _MASK64
+        acc = splitmix64(acc)
+    pos_doc = np.repeat(np.arange(n_docs, dtype=np.int64), lens)[:m]
+    valid = (np.arange(m, dtype=np.int64) + k - 1) < offs[pos_doc + 1]
+    sh = acc[valid]
+    d_of = pos_doc[valid]
+    if len(sh) == 0:
+        return _EXPLODE_EMPTY
+    order = np.lexsort((sh, d_of))
+    sh_s, d_s = sh[order], d_of[order]
+    first = np.empty(len(sh_s), dtype=bool)
+    first[0] = True
+    first[1:] = (d_s[1:] != d_s[:-1]) | (sh_s[1:] != sh_s[:-1])
+    sh_u, d_u = sh_s[first], d_s[first]
+    n_sh = np.bincount(d_u, minlength=n_docs)[d_u]
+    return pa.table({
+        "shingle": pa.array(sh_u.astype(np.int64) >> 1, type=pa.int64()),
+        "doc_id": pa.array(doc_ids[d_u], type=pa.int64()),
+        "n_sh": pa.array(n_sh.astype(np.int64), type=pa.int64())})
+
+
+def _explode_shingles_per_doc(batch: pa.Table, k: int,
+                              seed: int) -> pa.Table:
+    """Per-doc reference implementation of :func:`_explode_shingles`,
+    kept for the parity test."""
     from apollo_ray.hashing import shingle_hashes
     hasher = TokenHasher(seed=seed)
     doc_out: list[np.ndarray] = []
@@ -104,9 +159,7 @@ def _explode_shingles(batch: pa.Table, k: int, seed: int) -> pa.Table:
         doc_out.append(np.full(len(h), did, dtype=np.int64))
         n_out.append(np.full(len(h), len(h), dtype=np.int64))
     if not doc_out:
-        return pa.table({"shingle": pa.array([], type=pa.int64()),
-                         "doc_id": pa.array([], type=pa.int64()),
-                         "n_sh": pa.array([], type=pa.int64())})
+        return _EXPLODE_EMPTY
     return pa.table({"shingle": pa.array(np.concatenate(sh_out), type=pa.int64()),
                      "doc_id": pa.array(np.concatenate(doc_out), type=pa.int64()),
                      "n_sh": pa.array(np.concatenate(n_out), type=pa.int64())})

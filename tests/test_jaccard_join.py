@@ -140,3 +140,27 @@ def test_containment_vs_brute(ray_session):
                             (2_000_000 * c + len(rs)) // (2 * len(rs))))
     assert got == sorted(exp)
     assert len(exp) > 0
+
+
+def test_explode_shingles_batch_parity(ray_session):
+    """Batched whole-stream shingle explode == the per-doc reference,
+    including short docs, empties and duplicate shingles."""
+    import numpy as np
+    from apollo_ray.functions.dedup_extras import (
+        _explode_shingles, _explode_shingles_per_doc)
+    rng = np.random.default_rng(3)
+    vocab = ["a", "b", "c", "d", "e"]
+    texts = ["", "a", "a b", "a b c",
+             "a b a b a b",            # duplicate shingles
+             *(" ".join(rng.choice(vocab, size=rng.integers(1, 20)))
+               for _ in range(40))]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+    })
+    for k in (2, 3, 5):
+        got = _explode_shingles(t, k=k, seed=42).to_pandas() \
+            .sort_values(["doc_id", "shingle"]).reset_index(drop=True)
+        want = _explode_shingles_per_doc(t, k=k, seed=42).to_pandas() \
+            .sort_values(["doc_id", "shingle"]).reset_index(drop=True)
+        assert got.equals(want), f"k={k}"
