@@ -68,20 +68,44 @@ def shingle_counts(docs: "ray.data.Dataset", k: int = 3,
                    seed: int = 42) -> "ray.data.Dataset":
     """(doc_id, n_shingles) — distinct k-shingles per doc, 64-bit
     shingle hashes (full width, pre-feature-hashing, so counts equal
-    string-distinct counts)."""
+    string-distinct counts).  Docs with < k tokens count 0 (the SQL
+    oracle contract).  Whole-batch vectorized (the same recurrence as
+    :func:`_explode_shingles`)."""
     def f(batch: pa.Table) -> pa.Table:
-        from apollo_ray.hashing import shingle_hashes
+        from apollo_ray.hashing import _MASK64, splitmix64
+        from apollo_ray.kernels.text import batch_token_hashes
         hasher = TokenHasher(seed=seed)
-        out = []
-        for t in batch.column("text").to_pylist():
-            toks = t.split()
-            if len(toks) < k:
-                out.append(0)  # SQL oracle: no shingles for docs < k tokens
-                continue
-            h = shingle_hashes(hasher.hash_tokens(toks), k)
-            out.append(len(np.unique(h)))
+        n_rows = batch.num_rows
+        zero = pa.table({"doc_id": batch.column("doc_id").cast(pa.int64()),
+                         "n_shingles": pa.array(np.zeros(n_rows,
+                                                         dtype=np.int64))})
+        if n_rows == 0:
+            return zero
+        th_flat, offs = batch_token_hashes(batch.column("text"), hasher)
+        lens = np.diff(offs)
+        flat_n = len(th_flat)
+        if flat_n < k:
+            return zero
+        m = flat_n - k + 1
+        acc = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            mult = splitmix64(np.array([j + 1], dtype=np.uint64))[0] \
+                | np.uint64(1)
+            acc = (acc + th_flat[j:j + m] * mult) & _MASK64
+            acc = splitmix64(acc)
+        pos_doc = np.repeat(np.arange(n_rows, dtype=np.int64), lens)[:m]
+        valid = (np.arange(m, dtype=np.int64) + k - 1) < offs[pos_doc + 1]
+        sh, d_of = acc[valid], pos_doc[valid]
+        counts = np.zeros(n_rows, dtype=np.int64)
+        if len(sh):
+            order = np.lexsort((sh, d_of))
+            sh_s, d_s = sh[order], d_of[order]
+            first = np.empty(len(sh_s), dtype=bool)
+            first[0] = True
+            first[1:] = (d_s[1:] != d_s[:-1]) | (sh_s[1:] != sh_s[:-1])
+            counts = np.bincount(d_s[first], minlength=n_rows)
         return pa.table({"doc_id": batch.column("doc_id").cast(pa.int64()),
-                         "n_shingles": pa.array(out, type=pa.int64())})
+                         "n_shingles": pa.array(counts.astype(np.int64))})
     return docs.map_batches(f, batch_format="pyarrow")
 
 
