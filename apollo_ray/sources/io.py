@@ -182,3 +182,68 @@ def read_pages(path: str, columns: list[str] | None = None,
     if num_blocks:
         kwargs["override_num_blocks"] = num_blocks
     return ray.data.read_parquet(path, **kwargs)
+
+
+def read_pages_jsonl(path: str,
+                     lang_filter: list[str] | None = None
+                     ) -> "ray.data.Dataset":
+    """Read a JSONL crawl dump (one object per line with at least
+    ``url`` and ``text``; optional ``warc_ts`` (ISO-8601 or epoch
+    seconds), ``html``, ``lang``) and normalize it to the ``pages``
+    schema the pipeline expects — WET-style ingestion for corpora that
+    arrive as JSON lines instead of Parquet.
+
+    Missing fields are synthesized deterministically: html wraps text
+    (the fixture rule), warc_ts defaults to epoch 0, lang to 'und'.
+    The language filter applies AFTER normalization (JSONL has no
+    row-group pushdown).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import numpy as np
+
+    ds = ray.data.read_json(path)
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        cols = set(batch.column_names)
+        if "url" not in cols or "text" not in cols:
+            raise ValueError("pages JSONL needs url and text fields")
+        n = batch.num_rows
+        url = batch.column("url").cast(pa.string())
+        text = batch.column("text").cast(pa.string())
+        if "warc_ts" in cols:
+            ts_col = batch.column("warc_ts")
+            if pa.types.is_timestamp(ts_col.type):
+                ts = ts_col.cast(pa.timestamp("us"))
+            elif pa.types.is_integer(ts_col.type) or \
+                    pa.types.is_floating(ts_col.type):
+                us = (np.asarray(ts_col.cast(pa.float64()))
+                      * 1_000_000).astype(np.int64)
+                ts = pa.array(us, type=pa.int64()).cast(pa.timestamp("us"))
+            else:
+                ts = pc.strptime(ts_col.cast(pa.string()),
+                                 format="%Y-%m-%dT%H:%M:%S",
+                                 unit="us")
+        else:
+            ts = pa.array(np.zeros(n, dtype=np.int64),
+                          type=pa.int64()).cast(pa.timestamp("us"))
+        if "html" in cols and pa.types.is_binary(batch.column("html").type):
+            html = batch.column("html")
+        elif "html" in cols:
+            html = batch.column("html").cast(pa.string()).cast(pa.binary())
+        else:
+            from apollo_ray.fixtures import _wrap_html
+            html = pa.array([_wrap_html(t, i) for i, t in
+                             enumerate(text.to_pylist())],
+                            type=pa.binary())
+        lang = (batch.column("lang").cast(pa.string()) if "lang" in cols
+                else pa.array(["und"] * n, type=pa.string()))
+        out = pa.table({"url": url, "warc_ts": ts, "html": html,
+                        "text": text, "lang": lang})
+        if lang_filter:
+            out = out.filter(pc.is_in(out.column("lang"),
+                                      value_set=pa.array(lang_filter)))
+        return out
+
+    return ds.map_batches(normalize, batch_format="pyarrow")

@@ -310,3 +310,34 @@ def test_query_similar_batch_precise_parity(ray_session):
         assert got_sets.get(pid, set()) == want, f"probe {pid}"
         n_nonempty += bool(want)
     assert n_nonempty > 0
+
+
+def test_read_pages_jsonl(tmp_path, ray_session):
+    import json as _json
+
+    from apollo_ray.config import DedupConfig
+    from apollo_ray.sources.io import read_pages_jsonl
+    from apollo_ray.stages.extract import extract_docs
+
+    p = tmp_path / "dump.jsonl"
+    rows = [
+        {"url": "https://a.example/1", "text": "hello world one two",
+         "lang": "en", "warc_ts": 1700000000},
+        {"url": "https://b.example/2", "text": "bonjour le monde",
+         "lang": "fr"},
+        {"url": "https://c.example/3", "text": "hello world one two",
+         "lang": "en"},
+    ]
+    p.write_text("\n".join(_json.dumps(r) for r in rows))
+
+    pages = read_pages_jsonl(str(p))
+    t = pages.to_pandas()
+    assert set(t.columns) == {"url", "warc_ts", "html", "text", "lang"}
+    assert len(t) == 3
+    # the synthesized html round-trips byte-identically through extract
+    docs = extract_docs(pages, DedupConfig(feature_dim_log2=12)) \
+        .to_pandas()
+    assert sorted(docs["text"]) == sorted(r["text"] for r in rows)
+
+    only_en = read_pages_jsonl(str(p), lang_filter=["en"]).to_pandas()
+    assert len(only_en) == 2 and (only_en["lang"] == "en").all()
