@@ -171,6 +171,17 @@ def read_pages(path: str, columns: list[str] | None = None,
     shaped anyway.  Pass ``num_blocks`` to override.
     """
     import pyarrow.compute as pc
+    # JSONL dumps route through the normalizing reader (auto-detected
+    # by extension so `cli run --input dump.jsonl` just works)
+    if isinstance(path, str) and (
+            path.endswith((".jsonl", ".json"))
+            or (os.path.isdir(path)
+                and any(f.endswith((".jsonl", ".json"))
+                        for f in os.listdir(path))
+                and not any(f.endswith(".parquet")
+                            for f in os.listdir(path)))):
+        ds = read_pages_jsonl(path, lang_filter=lang_filter)
+        return ds.select_columns(columns) if columns else ds
     kwargs: dict[str, Any] = {}
     if columns:
         kwargs["columns"] = columns
