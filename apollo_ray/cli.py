@@ -42,7 +42,7 @@ def _cfg_from_args(args) -> "DedupConfig":
     cfg = DedupConfig()
     over = {}
     for f in ("shingle_k", "size", "threshold", "seed", "feature_dim_log2",
-              "minhash_mode"):
+              "minhash_mode", "community_algorithm"):
         v = getattr(args, f, None)
         if v is not None:
             over[f] = v
@@ -272,6 +272,11 @@ def main(argv=None) -> int:
         sp.add_argument("--threshold", type=float)
         sp.add_argument("--seed", type=int)
         sp.add_argument("--feature-dim-log2", dest="feature_dim_log2", type=int)
+        sp.add_argument("--community-algorithm",
+                        dest="community_algorithm", default=None,
+                        help="walktrap (default, built-in) | "
+                             "label_propagation | any igraph "
+                             "community_* name when igraph is present")
         sp.add_argument("--minhash-mode", dest="minhash_mode",
                         choices=("weighted", "unweighted"), default=None,
                         help="weighted = Ioffe WMH over weighted bags "

@@ -54,6 +54,13 @@ class DedupConfig:
     # --- verification (apollo query --precise, apollo/query.py:45-66) ---
     verify: bool = False          # exact weighted-Jaccard check on candidate edges
 
+    # --- communities (apollo --algorithm, apollo/__main__.py:176-179) ---
+    # 'walktrap' = the reference's default, via the built-in from-
+    # scratch Pons-Latapy kernel (LPA fallback above its per-CC size
+    # cap); 'label_propagation' = the O(E)-per-round scale kernel;
+    # igraph names resolve by reflection when the library is present.
+    community_algorithm: str = "walktrap"
+
     # --- execution ---
     batch_size: int = 512         # docs per map_batches batch in the WMH stage
     wmh_concurrency: int = 8      # actor-pool size for the hasher stage

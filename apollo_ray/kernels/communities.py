@@ -154,11 +154,19 @@ def detect(edges_u: np.ndarray, edges_v: np.ndarray,
     """
     if algorithm == "label_propagation":
         return label_propagation(edges_u, edges_v, weights)
+    if algorithm == "walktrap":
+        # built-in from-scratch Pons-Latapy implementation — the
+        # reference's default algorithm no longer needs igraph;
+        # 'walktrap_igraph' still resolves by reflection when the
+        # library is present
+        return walktrap(edges_u, edges_v, weights, **kwargs)
+    if algorithm == "walktrap_igraph":
+        algorithm = "walktrap"
     if _igraph is None:
         raise ImportError(
             "community algorithm %r needs igraph, which is not "
-            "installed; the supported fallback is "
-            "algorithm='label_propagation'" % algorithm)
+            "installed; supported built-ins are "
+            "'label_propagation' and 'walktrap'" % algorithm)
     verts = np.unique(np.concatenate([edges_u, edges_v]))
     vmap = {int(x): i for i, x in enumerate(verts)}
     g = _igraph.Graph(
@@ -178,4 +186,137 @@ def detect(edges_u: np.ndarray, edges_v: np.ndarray,
         lo = min(int(verts[m]) for m in members)
         for m in members:
             out[int(verts[m])] = lo
+    return out
+
+
+def walktrap(edges_u: np.ndarray, edges_v: np.ndarray,
+             weights: np.ndarray | None = None, t: int = 4,
+             max_vertices: int = 1000) -> dict[int, int]:
+    """Pure-NumPy Walktrap (Pons & Latapy 2005) — the reference's
+    DEFAULT community algorithm (``apollo/__main__.py:176-179``),
+    reimplemented from the paper so it no longer requires igraph.
+
+    Dense formulation sized for per-CC subgraphs (near-dup components
+    are small): lazy random walk ``P = (A + I) / (d + 1)`` (the
+    original walktrap's self-loop transform), ``P^t`` by matrix power,
+    community distance
+
+        r²(C1,C2) = Σ_k (P^t_{C1,k} - P^t_{C2,k})² / d_k
+
+    and Ward-style agglomeration minimizing
+    Δσ = (|C1||C2| / (|C1|+|C2|)) · r² / n over ADJACENT community
+    pairs, returning the intermediate partition with maximum
+    (weighted) modularity.  Deterministic: Δσ ties break on the
+    communities' smallest original vertex ids.
+
+    Components larger than ``max_vertices`` fall back to
+    :func:`label_propagation` (documented scale boundary — the dense
+    O(n²·t + merges·n) walk is the small-component tool, exactly how
+    the reference uses walktrap per fat CC).
+    """
+    eu = np.asarray(edges_u, dtype=np.int64)
+    ev = np.asarray(edges_v, dtype=np.int64)
+    w = (np.ones(len(eu), dtype=np.float64) if weights is None
+         else np.asarray(weights, dtype=np.float64))
+    verts = np.unique(np.concatenate([eu, ev]))
+    n = len(verts)
+    if n == 0:
+        return {}
+    if n == 1:
+        return {int(verts[0]): int(verts[0])}
+    if n > max_vertices:
+        return label_propagation(edges_u, edges_v, weights)
+    ui = np.searchsorted(verts, eu)
+    vi = np.searchsorted(verts, ev)
+    A0 = np.zeros((n, n), dtype=np.float64)
+    np.add.at(A0, (ui, vi), w)
+    np.add.at(A0, (vi, ui), w)
+    np.fill_diagonal(A0, np.diag(A0) / 2)   # self-edges counted once
+    # lazy walk: self-loop of weight 1 per vertex (walktrap transform)
+    A = A0 + np.eye(n)
+    d = A.sum(axis=1)
+    P = A / d[:, None]
+    Pt = np.linalg.matrix_power(P, t)
+
+    W_tot = A0.sum() / 2.0
+    if W_tot == 0:
+        return {int(x): int(x) for x in verts}
+    deg0 = A0.sum(axis=1)
+
+    # community state
+    comm_members: dict[int, list[int]] = {i: [i] for i in range(n)}
+    comm_vec = {i: Pt[i].copy() for i in range(n)}
+    comm_size = {i: 1 for i in range(n)}
+    comm_repr = {i: int(verts[i]) for i in range(n)}
+    comm_deg = {i: float(deg0[i]) for i in range(n)}
+    comm_in = {i: float(A0[i, i]) for i in range(n)}
+    # community adjacency (between-weights on the ORIGINAL graph)
+    nbr: dict[int, dict[int, float]] = {i: {} for i in range(n)}
+    iu, iv = np.nonzero(np.triu(A0, k=1))
+    for a, b in zip(iu.tolist(), iv.tolist()):
+        nbr[a][b] = nbr[b].get(a, 0.0) + A0[a, b]
+        nbr[b][a] = nbr[a][b]
+
+    inv_d = 1.0 / d
+
+    def dsigma(c1: int, c2: int) -> float:
+        diff = comm_vec[c1] - comm_vec[c2]
+        r2 = float(np.dot(diff * diff, inv_d))
+        s1, s2 = comm_size[c1], comm_size[c2]
+        return (s1 * s2) / (s1 + s2) * r2 / n
+
+    def q_term(c: int) -> float:
+        return comm_in[c] / W_tot - (comm_deg[c] / (2 * W_tot)) ** 2
+
+    label = np.arange(n)
+    q = sum(q_term(c) for c in comm_members)
+    best_q = q
+    best_labels = label.copy()
+    live = set(comm_members)
+    while len(live) > 1:
+        best = None
+        for c1 in sorted(live):
+            for c2 in sorted(nbr[c1]):
+                if c2 <= c1:
+                    continue
+                key = (dsigma(c1, c2), comm_repr[c1], comm_repr[c2])
+                if best is None or key < best[0]:
+                    best = (key, c1, c2)
+        if best is None:     # disconnected communities: stop merging
+            break
+        _, c1, c2 = best
+        # merge c2 into c1
+        q -= q_term(c1) + q_term(c2)
+        between = nbr[c1].pop(c2, 0.0)
+        nbr[c2].pop(c1, None)
+        comm_in[c1] += comm_in[c2] + between
+        comm_deg[c1] += comm_deg[c2]
+        comm_vec[c1] = (comm_size[c1] * comm_vec[c1]
+                        + comm_size[c2] * comm_vec[c2]) \
+            / (comm_size[c1] + comm_size[c2])
+        comm_size[c1] += comm_size[c2]
+        comm_repr[c1] = min(comm_repr[c1], comm_repr[c2])
+        comm_members[c1].extend(comm_members[c2])
+        for c3, wgt in nbr[c2].items():
+            nbr[c3].pop(c2, None)
+            nbr[c1][c3] = nbr[c1].get(c3, 0.0) + wgt
+            nbr[c3][c1] = nbr[c1][c3]
+        del (comm_members[c2], comm_vec[c2], comm_size[c2],
+             comm_repr[c2], comm_deg[c2], comm_in[c2], nbr[c2])
+        live.discard(c2)
+        q += q_term(c1)
+        for m in comm_members[c1]:
+            label[m] = c1
+        if q > best_q + 1e-12:
+            best_q = q
+            best_labels = label.copy()
+
+    out: dict[int, int] = {}
+    reprs: dict[int, int] = {}
+    for i in range(n):
+        c = int(best_labels[i])
+        reprs.setdefault(c, int(verts[i]))
+        reprs[c] = min(reprs[c], int(verts[i]))
+    for i in range(n):
+        out[int(verts[i])] = reprs[int(best_labels[i])]
     return out

@@ -192,6 +192,7 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
             "communities",
             lambda: detect_communities(
                 clusters, bands.select_columns(["doc_id", "bucket"]), cfg,
+                algorithm=cfg.community_algorithm,
                 num_partitions=num_partitions),
             clusters_hit, bands_hit)
         out["communities"] = comms

@@ -48,12 +48,11 @@ def test_igraph_reflection_parity_or_documented_divergence():
     """Translated from the reference's per-algorithm smoke test
     (``tests/test_graph_CommunityDetector.py:18-36``: every
     ``community_*`` algorithm over a tiny graph, asserting vertex
-    coverage).  With igraph installed, the reflection plugin must pass
-    the same smoke for the reference's default (walktrap) and a
-    second algorithm; without igraph (this container), the documented
-    divergence applies: label_propagation is the default and asking
-    for an igraph algorithm raises a clear ImportError instead of
-    silently falling back.
+    coverage).  The reference's default (walktrap) is now a BUILT-IN
+    from-scratch implementation, so it must pass the smoke with or
+    without igraph; igraph-only names ('fastgreedy', ...) still
+    resolve by reflection when the library is present and raise a
+    clear ImportError (no silent fallback) when it is not.
     """
     import numpy as np
     import pytest
@@ -62,14 +61,83 @@ def test_igraph_reflection_parity_or_documented_divergence():
     # all vertices; LPA must keep each triangle together
     u = np.array([0, 1, 2, 10, 11, 12, 2], dtype=np.int64)
     v = np.array([1, 2, 0, 11, 12, 10, 10], dtype=np.int64)
+    labels_wt = C.detect(u, v, algorithm="walktrap")
+    assert set(labels_wt) == set(range(3)) | {10, 11, 12}
+    assert labels_wt[0] == labels_wt[1] == labels_wt[2]
+    assert labels_wt[10] == labels_wt[11] == labels_wt[12]
+    assert labels_wt[0] != labels_wt[10]
     if C._igraph is not None:
-        for algo in ("walktrap", "fastgreedy"):
+        for algo in ("walktrap_igraph", "fastgreedy"):
             labels = C.detect(u, v, algorithm=algo)
             assert set(labels) == set(range(3)) | {10, 11, 12}
     else:
         with pytest.raises(ImportError, match="igraph"):
-            C.detect(u, v, algorithm="walktrap")
+            C.detect(u, v, algorithm="fastgreedy")
     labels = C.detect(u, v)          # the dependency-free default
     assert set(labels) == {0, 1, 2, 10, 11, 12}
     assert labels[0] == labels[1] == labels[2]
     assert labels[10] == labels[11] == labels[12]
+
+
+def _clique_edges(nodes):
+    import itertools
+    return list(itertools.combinations(nodes, 2))
+
+
+def test_walktrap_two_cliques():
+    import numpy as np
+    from apollo_ray.kernels.communities import detect, walktrap
+    # two 5-cliques bridged by one edge -> two communities
+    edges = (_clique_edges(range(5)) + _clique_edges(range(10, 15))
+             + [(0, 10)])
+    u = np.array([e[0] for e in edges], dtype=np.int64)
+    v = np.array([e[1] for e in edges], dtype=np.int64)
+    got = walktrap(u, v)
+    assert {got[i] for i in range(5)} == {0}
+    assert {got[i] for i in range(10, 15)} == {10}
+    # detect() routes the name to the built-in (no igraph needed)
+    assert detect(u, v, algorithm="walktrap") == got
+
+
+def test_walktrap_ring_of_cliques():
+    import numpy as np
+    from apollo_ray.kernels.communities import walktrap
+    # three 4-cliques in a ring
+    edges = (_clique_edges(range(4)) + _clique_edges(range(10, 14))
+             + _clique_edges(range(20, 24))
+             + [(0, 10), (11, 20), (21, 1)])
+    u = np.array([e[0] for e in edges], dtype=np.int64)
+    v = np.array([e[1] for e in edges], dtype=np.int64)
+    got = walktrap(u, v)
+    comms = {}
+    for k, c in got.items():
+        comms.setdefault(c, set()).add(k)
+    assert sorted(map(sorted, comms.values())) == [
+        [0, 1, 2, 3], [10, 11, 12, 13], [20, 21, 22, 23]]
+
+
+def test_walktrap_single_clique_and_edge_cases():
+    import numpy as np
+    from apollo_ray.kernels.communities import walktrap
+    edges = _clique_edges(range(6))
+    u = np.array([e[0] for e in edges], dtype=np.int64)
+    v = np.array([e[1] for e in edges], dtype=np.int64)
+    got = walktrap(u, v)
+    assert set(got.values()) == {0}            # one community
+    # single edge
+    got2 = walktrap(np.array([3]), np.array([7]))
+    assert got2 == {3: 3, 7: 3}
+    # determinism
+    assert walktrap(u, v) == got
+
+
+def test_walktrap_large_falls_back_to_lpa():
+    import numpy as np
+    from apollo_ray.kernels.communities import label_propagation, walktrap
+    rng = np.random.default_rng(0)
+    n = 60
+    u = rng.integers(0, n, 200).astype(np.int64)
+    v = rng.integers(0, n, 200).astype(np.int64)
+    keep = u != v
+    u, v = u[keep], v[keep]
+    assert walktrap(u, v, max_vertices=10) == label_propagation(u, v, None)
