@@ -141,3 +141,19 @@ def test_walktrap_large_falls_back_to_lpa():
     keep = u != v
     u, v = u[keep], v[keep]
     assert walktrap(u, v, max_vertices=10) == label_propagation(u, v, None)
+
+
+def test_walktrap_weighted_bipartite_linear_mode():
+    """Walktrap over the linear doc<->bucket bipartite graph (the
+    pipeline's default edge construction, bucket-size weights)."""
+    import numpy as np
+    from apollo_ray.kernels.communities import build_linear_edges, walktrap
+    # two buckets of 3 docs each, sharing no docs
+    doc_ids = np.array([1, 2, 3, 11, 12, 13], dtype=np.int64)
+    buckets = np.array([100, 100, 100, 200, 200, 200], dtype=np.int64)
+    eu, ev, w = build_linear_edges(doc_ids, buckets)
+    labels = walktrap(eu, ev, w)
+    docs = {int(d): labels[int(d)] for d in doc_ids}
+    assert docs[1] == docs[2] == docs[3]
+    assert docs[11] == docs[12] == docs[13]
+    assert docs[1] != docs[11]
