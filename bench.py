@@ -109,7 +109,8 @@ def bench_once() -> dict:
         "asof_purchase", "substring_dup_spans",
         "line_dedup", "bigram_score", "regional_revenue",
         "ppl_buckets", "bloom_dedup", "dsir_logweights",
-        "jaccard_join", "token_freq_hist")
+        "jaccard_join", "token_freq_hist",
+        "retention_cohorts", "customer_order_dist")
     for name in qnames:
         t0 = time.monotonic()
         res = qs[name](SF_DIR)
