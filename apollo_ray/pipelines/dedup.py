@@ -95,21 +95,59 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
         metrics[name + "_sec"] = round(time.monotonic() - t0, 3)
         return ds, False
 
-    # docs_ds: caller-supplied pre-extracted/filtered docs (the
-    # curation pipeline cleans and filters before deduping); the
-    # extract stage is skipped, everything downstream is identical
-    docs, docs_hit = stage("docs", lambda: (docs_ds if docs_ds is not None
-                                            else extract_docs(pages, cfg)))
+    # Checkpoint-free fast path: never materialize the doc payload.
+    # The extract stage's wall time is ~95% object-store write of the
+    # text column (measured at 500k: read+decode 1.6s, +extract 0.2s,
+    # +materialize 6.0s) while the extract COMPUTE is trivial — so the
+    # pipeline runs extraction twice instead of storing its output:
+    # once in a metadata-only pass that materializes just
+    # (doc_id, text_hash) for the collapse election and the final
+    # cluster-label universe, and once folded into the fused
+    # hash map (extract -> dup-filter -> bags -> wmh -> bands in one
+    # streaming pass over the original parquet blocks).
+    fold_extract = (ckpt_root is None and not cfg.verify
+                    and docs_ds is None)
+    meta = None
+    if fold_extract:
+        def ids_meta(batch):
+            return batch.select(["doc_id", "text_hash"])
+        docs = extract_docs(pages, cfg)          # stays lazy
+        t0 = time.monotonic()
+        meta = docs.map_batches(ids_meta, batch_format="pyarrow") \
+            .materialize()
+        metrics["docs_sec"] = round(time.monotonic() - t0, 3)
+        docs_hit = False
+    else:
+        # docs_ds: caller-supplied pre-extracted/filtered docs (the
+        # curation pipeline cleans and filters before deduping); the
+        # extract stage is skipped, everything downstream is identical
+        docs, docs_hit = stage("docs", lambda: (docs_ds if docs_ds is not None
+                                                else extract_docs(pages, cfg)))
     if cfg.collapse_exact:
         # checkpoint-free: reps stays LAZY (fork=False) — it is a cheap
-        # broadcast-filter map over the materialized docs, so fusing it
-        # into each consumer avoids a full rep-text object-store
-        # round-trip (collapse_exact's membership shuffle still
-        # materializes eagerly inside the build); member edges come
-        # straight from the (small, materialized) membership table
+        # broadcast-filter map over the docs, so fusing it into each
+        # consumer avoids a full rep-text object-store round-trip
+        # (collapse_exact's membership shuffle still materializes
+        # eagerly inside the build); member edges come straight from
+        # the (small, materialized) membership table
         side: dict[str, Any] = {}
 
         def build_reps():
+            if meta is not None:
+                # fold-extract path: elect representatives from the
+                # tiny materialized metadata table (16 B/row), then
+                # filter the LAZY docs — the broadcast filter + the
+                # re-extraction fuse into the fused hash pass below
+                from apollo_ray.stages.bags import (
+                    _collapse_exact_shuffle, exact_membership,
+                    rep_filter_from_membership)
+                m = exact_membership(meta).materialize()
+                r = rep_filter_from_membership(docs, m)
+                if r is None:     # above the broadcast cap: full-
+                    # payload shuffle fallback (same as collapse_exact)
+                    r = _collapse_exact_shuffle(docs)
+                side["membership"] = m
+                return r
             r, m = collapse_exact(docs, with_membership=True)
             side["membership"] = m
             return r
@@ -140,10 +178,15 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
             df, ndocs = compute_feature_docfreq(reps, cfg)
         bags = build_bags(reps, cfg, df=df, ndocs=ndocs)
         sigs = compute_signatures(bags, cfg)
-        bands, bands_hit = stage("bands",
-                                 lambda: fused_bands(reps, cfg, df=df,
-                                                     ndocs=ndocs),
-                                 reps_hit)
+        # the fused map emits the salted bucket pkey inline so the
+        # edges stage skips one full pass over the band table
+        bands_pre_keyed = True
+        bands, bands_hit = stage(
+            "bands",
+            lambda: fused_bands(reps, cfg, df=df, ndocs=ndocs,
+                                pkey=(num_partitions,
+                                      max(1, cfg.bucket_salt))),
+            reps_hit)
     else:
         # staged path: separate checkpoints per artifact (the reference
         # persists bags, hashes and hashtables separately too,
@@ -153,6 +196,7 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
         sigs, sigs_hit = stage("signatures",
                                lambda: compute_signatures(bags, cfg),
                                bags_hit, fork=False)
+        bands_pre_keyed = False
         bands, bands_hit = stage("bands", lambda: explode_bands(sigs, cfg),
                                  sigs_hit)
     if with_stats:
@@ -166,7 +210,8 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
             e = verify_edges(e, bags, cfg,
                              num_partitions=num_partitions).select_columns(["u", "v"])
         else:
-            e = bucket_star_edges(bands, cfg, num_partitions=num_partitions)
+            e = bucket_star_edges(bands, cfg, num_partitions=num_partitions,
+                                  pre_keyed=bands_pre_keyed)
         if member_edges is not None:
             e = e.union(member_edges)
         return e
@@ -177,7 +222,10 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
         final_edges = connected_components(edges,
                                            num_partitions=num_partitions,
                                            max_rounds=cfg.cc_max_rounds)
-        return assign_clusters(docs.select_columns(["doc_id"]), final_edges)
+        # fold-extract path: the doc-id universe comes from the tiny
+        # materialized metadata table, not a third extraction pass
+        id_src = meta if meta is not None else docs
+        return assign_clusters(id_src.select_columns(["doc_id"]), final_edges)
 
     clusters, clusters_hit = stage("clusters", build_clusters,
                                    edges_hit, docs_hit)

@@ -110,8 +110,27 @@ def collapse_exact(docs: "ray.data.Dataset",
         raise ValueError("unknown collapse method %r" % method)
     if method != "shuffle":
         membership = exact_membership(docs, num_partitions).materialize()
-        n_dups = membership.count()
-        if method == "broadcast" or n_dups <= BROADCAST_COLLAPSE_MAX_DUPS:
+        reps = rep_filter_from_membership(docs, membership)
+        if reps is not None:
+            return (reps, membership) if with_membership else reps
+
+    reps = _collapse_exact_shuffle(docs, num_partitions)
+    return (reps, None) if with_membership else reps
+
+
+def rep_filter_from_membership(docs: "ray.data.Dataset",
+                               membership: "ray.data.Dataset",
+                               force: bool = False
+                               ) -> "ray.data.Dataset | None":
+    """The broadcast half of the collapse: given the materialized
+    (rep_id, member_id) table, drop non-representative rows from
+    ``docs`` with one streaming ``map_batches`` (sorted dup-id array +
+    ``np.searchsorted``; the text payload never moves).  ``docs`` may
+    be fully lazy — the filter fuses into whatever consumes the reps.
+    Returns None above ``BROADCAST_COLLAPSE_MAX_DUPS`` unless ``force``
+    (callers fall back to the full-payload shuffle)."""
+    n_dups = membership.count()
+    if force or n_dups <= BROADCAST_COLLAPSE_MAX_DUPS:
             import ray
             if n_dups:
                 mdf = membership.to_pandas()
@@ -181,11 +200,8 @@ def collapse_exact(docs: "ray.data.Dataset",
                     "member_ids": member_col,
                 })
 
-            reps = docs.map_batches(keep_reps, batch_format="pyarrow")
-            return (reps, membership) if with_membership else reps
-
-    reps = _collapse_exact_shuffle(docs, num_partitions)
-    return (reps, None) if with_membership else reps
+            return docs.map_batches(keep_reps, batch_format="pyarrow")
+    return None
 
 
 def _collapse_exact_shuffle(docs: "ray.data.Dataset",

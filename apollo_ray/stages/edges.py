@@ -37,6 +37,8 @@ from apollo_ray.hashing import mix_to_partition, pair_mix, splitmix64
 
 def _add_salted_pkey(batch: pa.Table, num_partitions: int, salt: int
                      ) -> pa.Table:
+    if "pkey" in batch.column_names:   # re-keying a pre-keyed band table
+        batch = batch.drop_columns(["pkey"])
     b = np.asarray(batch.column("bucket"), dtype=np.int64)
     if salt > 1:
         d = np.asarray(batch.column("doc_id"), dtype=np.int64)
@@ -85,7 +87,8 @@ def _star_edges_in_partition(group: pa.Table, emit_reps: bool) -> pa.Table:
 
 
 def bucket_star_edges(bands: "ray.data.Dataset", cfg: DedupConfig,
-                      num_partitions: int = 64) -> "ray.data.Dataset":
+                      num_partitions: int = 64,
+                      pre_keyed: bool = False) -> "ray.data.Dataset":
     """bands (band_id, bucket, doc_id) -> candidate edges (u, v).
 
     Two-level salted grouping (SURVEY §4 skew design): level 1 groups
@@ -98,9 +101,15 @@ def bucket_star_edges(bands: "ray.data.Dataset", cfg: DedupConfig,
     at |bucket|/S ids regardless of skew.
     """
     salt = max(1, cfg.bucket_salt)
-    keyed = bands.map_batches(_add_salted_pkey, batch_format="pyarrow",
-                              fn_kwargs={"num_partitions": num_partitions,
-                                         "salt": salt})
+    if pre_keyed:
+        # the fused hash map already emitted the identical salted pkey
+        # column (fused.fused_hash_batch) — skip the extra full pass
+        # over the band table
+        keyed = bands
+    else:
+        keyed = bands.map_batches(_add_salted_pkey, batch_format="pyarrow",
+                                  fn_kwargs={"num_partitions": num_partitions,
+                                             "salt": salt})
     level1 = keyed.groupby("pkey").map_groups(
         _star_edges_in_partition, batch_format="pyarrow",
         fn_kwargs={"emit_reps": salt > 1}).materialize()

@@ -64,7 +64,12 @@ def _get_state(cfg: DedupConfig, params_ref, df_ref=None) -> dict:
 
 
 def fused_hash_batch(batch: pa.Table, cfg: DedupConfig, params_ref,
-                     df_ref=None, ndocs: int = 0) -> pa.Table:
+                     df_ref=None, ndocs: int = 0,
+                     pkey_partitions: int = 0,
+                     pkey_salt: int = 1) -> pa.Table:
+    """``pkey_partitions > 0`` additionally emits the salted bucket
+    partition key (identical math to ``edges._add_salted_pkey``) so the
+    downstream bucket groupby needs no extra pass over the band table."""
     st = _get_state(cfg, params_ref, df_ref)
     hasher = st["hasher"]
     htnum, band_size = st["band"]
@@ -116,9 +121,12 @@ def fused_hash_batch(batch: pa.Table, cfg: DedupConfig, params_ref,
             idx_flat = np.concatenate(idx_parts)
             w_flat = np.concatenate(w_parts)
     if len(keep_rows) == 0:
-        return pa.table({"band_id": pa.array([], type=pa.int32()),
-                         "bucket": pa.array([], type=pa.int64()),
-                         "doc_id": pa.array([], type=pa.int64())})
+        empty = {"band_id": pa.array([], type=pa.int32()),
+                 "bucket": pa.array([], type=pa.int64()),
+                 "doc_id": pa.array([], type=pa.int64())}
+        if pkey_partitions > 0:
+            empty["pkey"] = pa.array([], type=pa.int32())
+        return pa.table(empty)
     if cfg.minhash_mode == "unweighted":
         from apollo_ray.kernels.minhash import minhash_batch, sig_to_u32_lanes
         flat = sig_to_u32_lanes(minhash_batch(
@@ -132,18 +140,34 @@ def fused_hash_batch(batch: pa.Table, cfg: DedupConfig, params_ref,
     buckets = bucket_keys(flat, htnum, band_size)
     ids = doc_ids[keep_rows]
     n = len(ids)
-    return pa.table({
+    bucket_flat = buckets.T.ravel()
+    id_flat = np.tile(ids, htnum)
+    cols = {
         "band_id": pa.array(np.repeat(np.arange(htnum, dtype=np.int32), n)),
-        "bucket": pa.array(buckets.T.ravel(), type=pa.int64()),
-        "doc_id": pa.array(np.tile(ids, htnum), type=pa.int64()),
-    })
+        "bucket": pa.array(bucket_flat, type=pa.int64()),
+        "doc_id": pa.array(id_flat, type=pa.int64()),
+    }
+    if pkey_partitions > 0:
+        from apollo_ray.hashing import mix_to_partition, splitmix64
+        if pkey_salt > 1:
+            key = (bucket_flat.astype(np.uint64)
+                   ^ splitmix64((id_flat % pkey_salt).astype(np.uint64))
+                   ).astype(np.int64)
+        else:
+            key = bucket_flat
+        cols["pkey"] = pa.array(mix_to_partition(key, pkey_partitions),
+                                type=pa.int32())
+    return pa.table(cols)
 
 
 def fused_bands(reps: "ray.data.Dataset", cfg: DedupConfig,
-                df=None, ndocs: int = 0) -> "ray.data.Dataset":
+                df=None, ndocs: int = 0,
+                pkey: tuple[int, int] | None = None) -> "ray.data.Dataset":
     """``df``/``ndocs``: pass a precomputed docfreq array to avoid a
     second full-corpus scan when the caller already ran one (the
-    pipeline computes it once and shares it with ``build_bags``)."""
+    pipeline computes it once and shares it with ``build_bags``).
+    ``pkey=(num_partitions, salt)``: emit the salted bucket partition
+    key inline (see :func:`fused_hash_batch`)."""
     from apollo_ray.stages.wmh_stage import params_object_ref
     params_ref = params_object_ref(cfg)
     df_ref = None
@@ -153,7 +177,10 @@ def fused_bands(reps: "ray.data.Dataset", cfg: DedupConfig,
             from apollo_ray.stages.bags import compute_feature_docfreq
             df, ndocs = compute_feature_docfreq(reps, cfg)
         df_ref = ray.put(df)
+    kw = {"cfg": cfg, "params_ref": params_ref,
+          "df_ref": df_ref, "ndocs": ndocs}
+    if pkey is not None:
+        kw["pkey_partitions"], kw["pkey_salt"] = pkey
     return reps.map_batches(
         fused_hash_batch, batch_format="pyarrow", batch_size=cfg.batch_size,
-        fn_kwargs={"cfg": cfg, "params_ref": params_ref,
-                   "df_ref": df_ref, "ndocs": ndocs})
+        fn_kwargs=kw)
