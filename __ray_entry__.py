@@ -350,6 +350,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         num_partitions=16)
         return out["clusters"]
 
+    def q_minhash_cluster_stats(sf_dir):
+        """Second flagship invariant bundle (cluster COUNT + SIZE
+        histogram level, complementing the per-group CC check of
+        minhash_dedup_invariants): the cluster-size histogram's mass
+        must equal the corpus row count (every doc labeled exactly
+        once), the cluster count can never exceed the distinct-text
+        count (exact dups always merge), and the largest cluster is at
+        least as large as the largest exact-duplicate group."""
+        import pyarrow as pa
+        from apollo_ray.functions.dedup_extras import cc_size_hist
+        ch = cc_size_hist(_clusters(sf_dir)).to_pandas()
+        eh = dedup_extras.dup_size_hist(_docs(sf_dir)).to_pandas()
+        n_docs = int((ch["n_members"] * ch["n_clusters"]).sum())
+        n_clusters = int(ch["n_clusters"].sum())
+        n_distinct = int(eh["n_groups"].sum())
+        return pa.table({
+            "n_docs": pa.array([n_docs], type=pa.int64()),
+            "clusters_le_distinct_texts": pa.array(
+                [int(n_clusters <= n_distinct)], type=pa.int64()),
+            "max_cc_ge_max_exact": pa.array(
+                [int(int(ch["n_members"].max())
+                     >= int(eh["n_members"].max()))], type=pa.int64()),
+        })
+
     def q_minhash_invariants(sf_dir):
         """End-to-end pipeline invariant, SQL-checkable: every member
         of an exact-duplicate text group must land in the SAME
@@ -735,6 +759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_dup_pairs": q_emb_dup_pairs,
         "minhash_dedup_clusters": q_minhash_clusters,
         "minhash_dedup_invariants": q_minhash_invariants,
+        "minhash_cluster_stats": q_minhash_cluster_stats,
         "simhash_pairs": q_simhash_pairs,
         "minhash_signatures": q_minhash_signatures,
         "lang_id_fingerprint": q_lang_id,
@@ -1222,6 +1247,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS rep_id, count(*) AS n_members,
                    CAST(1 AS BIGINT) AS n_distinct_cc
             FROM documents GROUP BY text
+        """,
+        "minhash_cluster_stats": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(1 AS BIGINT) AS clusters_le_distinct_texts,
+                   CAST(1 AS BIGINT) AS max_cc_ge_max_exact
+            FROM documents
         """,
         "decontam_overlap": r"""
             WITH tok AS (

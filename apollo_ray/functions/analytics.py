@@ -168,9 +168,17 @@ def forecast_revenue(lineitem: "ray.data.Dataset",
         price_c = _money_ints(batch, "l_extendedprice", 100)
         rev = int(np.sum(price_c[keep] * disc_c[keep], dtype=np.int64))
         return pa.table({"revenue_e4": pa.array([rev], type=pa.int64()),
+                         "n_match": pa.array([int(keep.sum())],
+                                             type=pa.int64()),
                          "pkey": pa.array([0], type=pa.int32())})
 
     def final(group: pa.Table) -> pa.Table:
+        # SQL sum() over zero qualifying rows is NULL, not 0 — match
+        # DuckDB exactly so an sf slice with no rows in the discount
+        # band can never flip the oracle comparison
+        if sum(group.column("n_match").to_pylist()) == 0:
+            return pa.table({"revenue_e4": pa.array([None],
+                                                    type=pa.int64())})
         v = np.asarray(group.column("revenue_e4"), dtype=np.int64)
         return pa.table({"revenue_e4": pa.array([int(v.sum())],
                                                 type=pa.int64())})
@@ -476,6 +484,10 @@ def _top_revenue_hashjoin(lineitem, orders, order_filter, cut, k,
         .groupby("gkey").map_groups(final, batch_format="pyarrow")
 
 
+class _OverBroadcastCap(Exception):
+    """Internal: a broadcast side exceeded the cap (auto-fallback)."""
+
+
 def regional_revenue(lineitem: "ray.data.Dataset",
                      orders: "ray.data.Dataset",
                      customer: "ray.data.Dataset",
@@ -483,24 +495,38 @@ def regional_revenue(lineitem: "ray.data.Dataset",
                      nation: "ray.data.Dataset",
                      region: "ray.data.Dataset",
                      region_name: str = "ASIA",
-                     year: int = 1997) -> "ray.data.Dataset":
+                     year: int = 1997,
+                     method: str = "auto",
+                     broadcast_max: int | None = None,
+                     num_partitions: int = 64) -> "ray.data.Dataset":
     """TPC-H Q5 shape: per-nation revenue (exact 1e-4 dollar units) of
     ``year`` orders where the customer and the line item's supplier sit
     in the same nation of ``region_name``; ordered revenue DESC.
 
-    Join strategy — a broadcast dimension CHAIN, never a shuffle join:
-    region⋈nation (tiny) resolve on the driver to the in-region nation
-    set; customer and supplier project to sorted (key → nationkey)
-    arrays filtered to those nations; orders filter by date + in-region
-    customer and project to sorted (orderkey → cust_nationkey).  Each
-    side broadcasts once via ``ray.put`` (customer/orders sides capped
-    at ORDERS_BROADCAST_MAX rows — above it the attach must become a
-    hash join, cf. :func:`top_revenue_orders` ``method="hashjoin"``).
-    The single lineitem scan then resolves both nations map-side with
+    Join strategy (``method="auto"``) — a broadcast dimension CHAIN,
+    never a shuffle join: region⋈nation (tiny) resolve on the driver to
+    the in-region nation set; customer and supplier project to sorted
+    (key → nationkey) arrays filtered to those nations; orders filter
+    by date + in-region customer and project to sorted (orderkey →
+    cust_nationkey).  Each side broadcasts once via ``ray.put`` (capped
+    at ``broadcast_max``, default ORDERS_BROADCAST_MAX rows).  The
+    single lineitem scan then resolves both nations map-side with
     ``searchsorted``, keeps cust_nation == supp_nation, and bincounts
     revenue per nationkey — the shuffle moves O(nations × batches)
-    partial rows only."""
+    partial rows only.
+
+    Above the cap ``method="auto"`` switches to the fully distributed
+    ``method="hashjoin"`` plan (:func:`_regional_revenue_hashjoin`):
+    orders⋈customer meet on hash(custkey), the result attaches to
+    lineitem on hash(orderkey), supplier attaches on hash(suppkey) —
+    three pkey shuffles over date-filtered rows, no driver state, the
+    region/nation dimension still resolved driver-side (tiny)."""
     import ray
+
+    if method not in ("auto", "broadcast", "hashjoin"):
+        raise ValueError("unknown regional_revenue method %r" % method)
+    if broadcast_max is None:
+        broadcast_max = ORDERS_BROADCAST_MAX
 
     # region ⋈ nation: tiny dimension tables, resolved driver-side
     rkeys = []
@@ -528,6 +554,30 @@ def regional_revenue(lineitem: "ray.data.Dataset",
                           "revenue_e4": pa.array([], type=pa.int64())})
     if len(nats) == 0:
         return ray.data.from_arrow(empty_out)
+    lo = np.datetime64("%d-01-01" % year, "us")
+    hi = np.datetime64("%d-01-01" % (year + 1), "us")
+    nat_hi = int(nats.max()) + 1
+
+    def final(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty_out
+        nat = np.asarray(group.column("nat"), dtype=np.int64)
+        rev = np.asarray(group.column("rev"), dtype=np.int64)
+        sums = np.bincount(nat, weights=rev,
+                           minlength=nat_hi).astype(np.int64)
+        nz = np.flatnonzero(sums)
+        j = np.searchsorted(nats, nz)
+        nm = names[j]
+        order = np.lexsort((nm, -sums[nz]))
+        return pa.table({
+            "n_name": pa.array(nm[order].tolist(), type=pa.string()),
+            "revenue_e4": pa.array(sums[nz][order], type=pa.int64()),
+        })
+
+    if method == "hashjoin":
+        return _regional_revenue_hashjoin(
+            lineitem, orders, customer, supplier, nats, lo, hi, nat_hi,
+            final, num_partitions)
 
     def _keyed_side(ds, key_col, nat_col, what):
         """Sorted (key, nationkey) arrays for rows in the region."""
@@ -540,10 +590,9 @@ def regional_revenue(lineitem: "ray.data.Dataset",
             nv = np.asarray(b.column(nat_col), dtype=np.int64)
             hit, _ = _lookup_hit(nats, nv)
             n_rows += int(hit.sum())
-            if n_rows > ORDERS_BROADCAST_MAX:
-                raise NotImplementedError(
-                    "%s side exceeds ORDERS_BROADCAST_MAX; switch the "
-                    "attach to a hash join" % what)
+            if n_rows > broadcast_max:
+                raise _OverBroadcastCap(
+                    "%s side exceeds broadcast_max" % what)
             ks.append(kv[hit])
             ns.append(nv[hit])
         k = np.concatenate(ks) if ks else np.empty(0, dtype=np.int64)
@@ -551,36 +600,40 @@ def regional_revenue(lineitem: "ray.data.Dataset",
         ix = np.argsort(k, kind="stable")
         return k[ix], n[ix]
 
-    cust_k, cust_n = _keyed_side(customer, "c_custkey", "c_nationkey",
-                                 "customer")
-    supp_k, supp_n = _keyed_side(supplier, "s_suppkey", "s_nationkey",
-                                 "supplier")
-    lo = np.datetime64("%d-01-01" % year, "us")
-    hi = np.datetime64("%d-01-01" % (year + 1), "us")
+    try:
+        cust_k, cust_n = _keyed_side(customer, "c_custkey", "c_nationkey",
+                                     "customer")
+        supp_k, supp_n = _keyed_side(supplier, "s_suppkey", "s_nationkey",
+                                     "supplier")
 
-    # orders filtered by date + in-region customer -> (orderkey, nat)
-    ok_l, on_l, n_orders = [], [], 0
-    for b in orders.iter_batches(batch_format="pyarrow"):
-        od = b.column("o_orderdate").to_numpy(zero_copy_only=False)
-        keep = (od >= lo) & (od < hi)
-        ck = np.asarray(b.column("o_custkey"), dtype=np.int64)
-        hit, i = _lookup_hit(cust_k, ck)
-        keep &= hit
-        n_orders += int(keep.sum())
-        if n_orders > ORDERS_BROADCAST_MAX:
+        # orders filtered by date + in-region customer -> (orderkey, nat)
+        ok_l, on_l, n_orders = [], [], 0
+        for b in orders.iter_batches(batch_format="pyarrow"):
+            od = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+            keep = (od >= lo) & (od < hi)
+            ck = np.asarray(b.column("o_custkey"), dtype=np.int64)
+            hit, i = _lookup_hit(cust_k, ck)
+            keep &= hit
+            n_orders += int(keep.sum())
+            if n_orders > broadcast_max:
+                raise _OverBroadcastCap("filtered orders side exceeds "
+                                        "broadcast_max")
+            ok_l.append(np.asarray(b.column("o_orderkey"),
+                                   dtype=np.int64)[keep])
+            on_l.append(cust_n[i[keep]])
+    except _OverBroadcastCap as e:
+        if method == "broadcast":
             raise NotImplementedError(
-                "filtered orders side exceeds ORDERS_BROADCAST_MAX; "
-                "switch the attach to a hash join")
-        ok_l.append(np.asarray(b.column("o_orderkey"),
-                               dtype=np.int64)[keep])
-        on_l.append(cust_n[i[keep]])
+                str(e) + "; use method='hashjoin'") from None
+        return _regional_revenue_hashjoin(
+            lineitem, orders, customer, supplier, nats, lo, hi, nat_hi,
+            final, num_partitions)
     okeys = np.concatenate(ok_l) if ok_l else np.empty(0, dtype=np.int64)
     onats = np.concatenate(on_l) if on_l else np.empty(0, dtype=np.int64)
     ix = np.argsort(okeys, kind="stable")
     okeys, onats = okeys[ix], onats[ix]
     if len(okeys) == 0:
         return ray.data.from_arrow(empty_out)
-    nat_hi = int(nats.max()) + 1
     ref = ray.put((okeys, onats, supp_k, supp_n))
 
     def li_partial(batch: pa.Table, ref=ref) -> pa.Table:
@@ -612,24 +665,141 @@ def regional_revenue(lineitem: "ray.data.Dataset",
                              type=pa.int32()),
         })
 
-    def final(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return empty_out
-        nat = np.asarray(group.column("nat"), dtype=np.int64)
-        rev = np.asarray(group.column("rev"), dtype=np.int64)
-        sums = np.bincount(nat, weights=rev,
-                           minlength=nat_hi).astype(np.int64)
-        nz = np.flatnonzero(sums)
-        j = np.searchsorted(nats, nz)
-        nm = names[j]
-        order = np.lexsort((nm, -sums[nz]))
-        return pa.table({
-            "n_name": pa.array(nm[order].tolist(), type=pa.string()),
-            "revenue_e4": pa.array(sums[nz][order], type=pa.int64()),
-        })
-
     return lineitem.map_batches(li_partial, batch_format="pyarrow") \
         .groupby("pkey").map_groups(final, batch_format="pyarrow")
+
+
+def _regional_revenue_hashjoin(lineitem, orders, customer, supplier,
+                               nats, lo, hi, nat_hi, final,
+                               num_partitions: int = 64):
+    """Fully distributed Q5 attach (above the broadcast cap): three
+    pkey-partitioned joins, no driver-side fact state.
+
+    1. orders (date-filtered) ⋈ customer (region-filtered) meet on
+       hash(custkey) -> (orderkey, cust_nation);
+    2. that result ⋈ lineitem on hash(orderkey), pre-aggregating each
+       lineitem batch to (orderkey, suppkey) revenue partials ->
+       (suppkey, cust_nation, rev) rows re-keyed on hash(suppkey);
+    3. ⋈ supplier (region-filtered) on hash(suppkey), keeping
+       cust_nation == supp_nation, bincounting revenue per nation —
+       each partition emits <= |nations| partial rows into the final
+       fold.  Per-partition memory is the partition's slice of each
+       side; raise ``num_partitions`` to bound it at scale."""
+    import ray  # noqa: F401
+    from apollo_ray.hashing import mix_to_partition
+
+    nats_sorted = np.sort(np.asarray(nats, dtype=np.int64))
+
+    def _keyed(k, a, b_, side):
+        return pa.table({
+            "k": pa.array(k, type=pa.int64()),
+            "a": pa.array(a, type=pa.int64()),
+            "b": pa.array(b_, type=pa.int64()),
+            "side": pa.array(np.full(len(k), side, dtype=np.int8),
+                             type=pa.int8()),
+            "pkey": pa.array(mix_to_partition(
+                np.asarray(k, dtype=np.int64), num_partitions),
+                type=pa.int32()),
+        })
+
+    zeros = lambda n: np.zeros(n, dtype=np.int64)  # noqa: E731
+
+    # --- stage 1: orders ⋈ customer on custkey ---
+    def cust_side(batch: pa.Table) -> pa.Table:
+        ck = np.asarray(batch.column("c_custkey"), dtype=np.int64)
+        nv = np.asarray(batch.column("c_nationkey"), dtype=np.int64)
+        hit, _ = _lookup_hit(nats_sorted, nv)
+        return _keyed(ck[hit], nv[hit], zeros(int(hit.sum())), 0)
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        keep = (od >= lo) & (od < hi)
+        ck = np.asarray(batch.column("o_custkey"), dtype=np.int64)[keep]
+        ok = np.asarray(batch.column("o_orderkey"), dtype=np.int64)[keep]
+        return _keyed(ck, ok, zeros(len(ck)), 1)
+
+    def join_cust(group: pa.Table) -> pa.Table:
+        side = np.asarray(group.column("side"), dtype=np.int8)
+        k = np.asarray(group.column("k"), dtype=np.int64)
+        a = np.asarray(group.column("a"), dtype=np.int64)
+        cm = side == 0
+        ck, cn = k[cm], a[cm]
+        six = np.argsort(ck, kind="stable")
+        ck, cn = ck[six], cn[six]
+        ok_cust, ok_key = k[~cm], a[~cm]
+        hit, i = _lookup_hit(ck, ok_cust)
+        # -> (orderkey, cust_nation) re-keyed on hash(orderkey)
+        return _keyed(ok_key[hit], cn[i[hit]], zeros(int(hit.sum())), 0)
+
+    oc = orders.map_batches(orders_side, batch_format="pyarrow").union(
+        customer.map_batches(cust_side, batch_format="pyarrow")) \
+        .groupby("pkey").map_groups(join_cust, batch_format="pyarrow")
+
+    # --- stage 2: (orderkey, cnat) ⋈ lineitem on orderkey ---
+    def li_side(batch: pa.Table) -> pa.Table:
+        lk = np.asarray(batch.column("l_orderkey"), dtype=np.int64)
+        sup = np.asarray(batch.column("l_suppkey"), dtype=np.int64)
+        price_c = _money_ints(batch, "l_extendedprice", 100)
+        disc_c = _money_ints(batch, "l_discount", 100)
+        return _keyed(lk, sup, price_c * (100 - disc_c), 1)
+
+    def join_order(group: pa.Table) -> pa.Table:
+        side = np.asarray(group.column("side"), dtype=np.int8)
+        k = np.asarray(group.column("k"), dtype=np.int64)
+        a = np.asarray(group.column("a"), dtype=np.int64)
+        b_ = np.asarray(group.column("b"), dtype=np.int64)
+        om = side == 0
+        ok, on = k[om], a[om]
+        six = np.argsort(ok, kind="stable")
+        ok, on = ok[six], on[six]
+        lk, sup, rev = k[~om], a[~om], b_[~om]
+        hit, i = _lookup_hit(ok, lk)
+        sup, rev, cn = sup[hit], rev[hit], on[i[hit]]
+        # pre-aggregate (suppkey, cnat) before the stage-3 shuffle
+        key = sup * np.int64(nat_hi) + cn
+        uk, inv = np.unique(key, return_inverse=True)
+        sums = np.bincount(inv, weights=rev,
+                           minlength=len(uk)).astype(np.int64)
+        # -> (suppkey, cnat, rev) re-keyed on hash(suppkey)
+        return _keyed(uk // nat_hi, uk % nat_hi, sums, 0)
+
+    li_oc = oc.union(lineitem.map_batches(li_side, batch_format="pyarrow")) \
+        .groupby("pkey").map_groups(join_order, batch_format="pyarrow")
+
+    # --- stage 3: ⋈ supplier on suppkey, same-nation filter ---
+    def supp_side(batch: pa.Table) -> pa.Table:
+        sk = np.asarray(batch.column("s_suppkey"), dtype=np.int64)
+        nv = np.asarray(batch.column("s_nationkey"), dtype=np.int64)
+        hit, _ = _lookup_hit(nats_sorted, nv)
+        return _keyed(sk[hit], nv[hit], zeros(int(hit.sum())), 1)
+
+    def join_supp(group: pa.Table) -> pa.Table:
+        side = np.asarray(group.column("side"), dtype=np.int8)
+        k = np.asarray(group.column("k"), dtype=np.int64)
+        a = np.asarray(group.column("a"), dtype=np.int64)
+        b_ = np.asarray(group.column("b"), dtype=np.int64)
+        sm = side == 1
+        sk, sn = k[sm], a[sm]
+        six = np.argsort(sk, kind="stable")
+        sk, sn = sk[six], sn[six]
+        lsup, cn, rev = k[~sm], a[~sm], b_[~sm]
+        hit, i = _lookup_hit(sk, lsup)
+        same = np.zeros(len(lsup), dtype=bool)
+        same[hit] = sn[i[hit]] == cn[hit]
+        nat = cn[same]
+        sums = np.bincount(nat, weights=rev[same],
+                           minlength=nat_hi).astype(np.int64)
+        nz = np.flatnonzero(sums)
+        return pa.table({
+            "nat": pa.array(nz.astype(np.int64), type=pa.int64()),
+            "rev": pa.array(sums[nz], type=pa.int64()),
+            "gkey": pa.array(np.zeros(len(nz), dtype=np.int32),
+                             type=pa.int32())})
+
+    return li_oc.union(supplier.map_batches(supp_side,
+                                            batch_format="pyarrow")) \
+        .groupby("pkey").map_groups(join_supp, batch_format="pyarrow") \
+        .groupby("gkey").map_groups(final, batch_format="pyarrow")
 
 
 def regional_revenue_sql(region_name: str = "ASIA",
@@ -679,41 +849,71 @@ def top_revenue_orders_sql(segment: str = "BUILDING",
 def promo_revenue(lineitem: "ray.data.Dataset",
                   part: "ray.data.Dataset",
                   month: str = "1997-09",
-                  promo_type: str = "PROMO") -> "ray.data.Dataset":
+                  promo_type: str = "PROMO",
+                  method: str = "auto",
+                  broadcast_max: int | None = None,
+                  num_partitions: int = 64) -> "ray.data.Dataset":
     """TPC-H Q14 shape: promotion revenue share for one ship month —
     ``sum(rev where p_type = promo_type)`` vs total, both as exact
     1e-4 dollar units, plus the share in exact integer parts-per-
     million (``(2*10^6*promo + total) // (2*total)`` — round-half-up
     on the exact rational, no float division on either side).
 
-    Join strategy: the promo part-key set (one int64 per promo part)
-    broadcasts once via ``ray.put`` (capped at ORDERS_BROADCAST_MAX
-    keys; above it the attach must become a hash join on partkey, cf.
-    :func:`top_revenue_orders` ``method="hashjoin"``), and the
+    Join strategy (``method="auto"``): the promo part-key set (one
+    int64 per promo part) broadcasts once via ``ray.put`` (capped at
+    ``broadcast_max``, default ORDERS_BROADCAST_MAX keys), and the
     lineitem scan resolves promo membership map-side with
-    ``searchsorted``.  Each batch emits ONE partial row (promo_e4,
-    total_e4); the shuffle moves O(batches) rows."""
+    ``searchsorted`` — each batch emits ONE partial row, the shuffle
+    moves O(batches) rows.  Above the cap the attach switches to
+    ``method="hashjoin"``: promo part keys and per-batch (partkey ->
+    revenue) lineitem partials both pkey on hash(partkey) and meet in
+    a per-partition membership join that emits one (promo, total)
+    partial per partition — nothing materializes on the driver."""
     import ray
 
-    pk = []
-    n_keys = 0
-    for b in part.map_batches(
-            lambda t: t.filter(pc.equal(t.column("p_type"), promo_type))
-            .select(["p_partkey"]), batch_format="pyarrow") \
-            .iter_batches(batch_format="pyarrow"):
-        n_keys += b.num_rows
-        if n_keys > ORDERS_BROADCAST_MAX:
-            raise NotImplementedError(
-                "promo part-key side exceeds ORDERS_BROADCAST_MAX; "
-                "switch the attach to a hash join on l_partkey")
-        pk.append(np.asarray(b.column("p_partkey"), dtype=np.int64))
-    promo_keys = np.sort(np.concatenate(pk)) if pk else \
-        np.empty(0, dtype=np.int64)
-    ref = ray.put(promo_keys)
+    if method not in ("auto", "broadcast", "hashjoin"):
+        raise ValueError("unknown promo_revenue method %r" % method)
+    if broadcast_max is None:
+        broadcast_max = ORDERS_BROADCAST_MAX
     y, m = (int(x) for x in month.split("-"))
     lo = np.datetime64("%04d-%02d-01" % (y, m), "us")
     hi = np.datetime64("%04d-%02d-01" % ((y + 1, 1) if m == 12 else
                                          (y, m + 1)), "us")
+
+    def final(group: pa.Table) -> pa.Table:
+        promo = sum(group.column("promo_e4").to_pylist())  # Python ints:
+        total = sum(group.column("total_e4").to_pylist())  # no overflow
+        share = (2 * 10**6 * promo + total) // (2 * total) if total else 0
+        return pa.table({
+            "promo_revenue_e4": pa.array([promo], type=pa.int64()),
+            "total_revenue_e4": pa.array([total], type=pa.int64()),
+            "promo_share_ppm": pa.array([share], type=pa.int64())})
+
+    promo_keys = None
+    if method != "hashjoin":
+        pk = []
+        n_keys = 0
+        over_cap = False
+        for b in part.map_batches(
+                lambda t: t.filter(pc.equal(t.column("p_type"), promo_type))
+                .select(["p_partkey"]), batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            n_keys += b.num_rows
+            if n_keys > broadcast_max:
+                if method == "broadcast":
+                    raise NotImplementedError(
+                        "promo part-key side exceeds broadcast_max; "
+                        "use method='hashjoin'")
+                over_cap = True
+                break
+            pk.append(np.asarray(b.column("p_partkey"), dtype=np.int64))
+        if not over_cap:
+            promo_keys = np.sort(np.concatenate(pk)) if pk else \
+                np.empty(0, dtype=np.int64)
+    if promo_keys is None:
+        return _promo_revenue_hashjoin(lineitem, part, promo_type, lo, hi,
+                                       final, num_partitions)
+    ref = ray.put(promo_keys)
 
     def partial(batch: pa.Table, ref=ref) -> pa.Table:
         import ray as _ray
@@ -736,17 +936,69 @@ def promo_revenue(lineitem: "ray.data.Dataset",
             "total_e4": pa.array([int(rev.sum())], type=pa.int64()),
             "pkey": pa.array([0], type=pa.int32())})
 
-    def final(group: pa.Table) -> pa.Table:
-        promo = sum(group.column("promo_e4").to_pylist())  # Python ints:
-        total = sum(group.column("total_e4").to_pylist())  # no overflow
-        share = (2 * 10**6 * promo + total) // (2 * total) if total else 0
-        return pa.table({
-            "promo_revenue_e4": pa.array([promo], type=pa.int64()),
-            "total_revenue_e4": pa.array([total], type=pa.int64()),
-            "promo_share_ppm": pa.array([share], type=pa.int64())})
-
     return lineitem.map_batches(partial, batch_format="pyarrow") \
         .groupby("pkey").map_groups(final, batch_format="pyarrow")
+
+
+def _promo_revenue_hashjoin(lineitem, part, promo_type, lo, hi, final,
+                            num_partitions: int = 64):
+    """Above-cap attach for :func:`promo_revenue`: both sides pkey on
+    hash(partkey); each partition joins its promo-key slice against its
+    lineitem revenue partials and emits ONE (promo, total) row.  Driver
+    state: none."""
+    from apollo_ray.hashing import mix_to_partition
+
+    def _rows(k, rev, side):
+        return pa.table({
+            "k": pa.array(k, type=pa.int64()),
+            "rev": pa.array(rev, type=pa.int64()),
+            "side": pa.array(np.full(len(k), side, dtype=np.int8),
+                             type=pa.int8()),
+            "pkey": pa.array(mix_to_partition(
+                np.asarray(k, dtype=np.int64), num_partitions),
+                type=pa.int32()),
+        })
+
+    def part_side(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("p_type"), promo_type))
+        k = np.asarray(t.column("p_partkey"), dtype=np.int64)
+        return _rows(k, np.zeros(len(k), dtype=np.int64), 0)
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        od = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        keep = (od >= lo) & (od < hi)
+        if not keep.any():
+            # one zero partial so a no-match corpus still folds to the
+            # oracle's single coalesce-0 row
+            return _rows(np.zeros(1, dtype=np.int64),
+                         np.zeros(1, dtype=np.int64), 1)
+        price_c = _money_ints(batch, "l_extendedprice", 100)[keep]
+        disc_c = _money_ints(batch, "l_discount", 100)[keep]
+        lp = np.asarray(batch.column("l_partkey"), dtype=np.int64)[keep]
+        uk, inv = np.unique(lp, return_inverse=True)
+        sums = np.bincount(inv, weights=price_c * (100 - disc_c),
+                           minlength=len(uk)).astype(np.int64)
+        return _rows(uk, sums, 1)
+
+    def join_part(group: pa.Table) -> pa.Table:
+        side = np.asarray(group.column("side"), dtype=np.int8)
+        k = np.asarray(group.column("k"), dtype=np.int64)
+        rev = np.asarray(group.column("rev"), dtype=np.int64)
+        pm = side == 0
+        li_k, li_rev = k[~pm], rev[~pm]
+        total = int(li_rev.sum())
+        keys = np.sort(k[pm])
+        hit, _ = _lookup_hit(keys, li_k)
+        return pa.table({
+            "promo_e4": pa.array([int(li_rev[hit].sum())], type=pa.int64()),
+            "total_e4": pa.array([total], type=pa.int64()),
+            "gkey": pa.array([0], type=pa.int32())})
+
+    both = part.map_batches(part_side, batch_format="pyarrow").union(
+        lineitem.map_batches(li_side, batch_format="pyarrow"))
+    return both.groupby("pkey").map_groups(join_part,
+                                           batch_format="pyarrow") \
+        .groupby("gkey").map_groups(final, batch_format="pyarrow")
 
 
 def promo_revenue_sql(month: str = "1997-09",

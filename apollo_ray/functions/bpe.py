@@ -158,9 +158,19 @@ _WORDS_CTE = r"""
 def _merge_chain_sql(num_merges: int) -> str:
     """CTE chain p{i}/b{i}/w{i} reproducing the training loop: pair
     counts over all adjacencies, best by (cnt DESC, pair ASC), one
-    ``replace`` pass per iteration."""
+    ``replace`` pass per iteration.
+
+    Robust to EXHAUSTED merges (fewer real pairs than ``num_merges``,
+    matching the engine's early loop exit): ``b{i}`` stays empty then
+    (so the train oracle emits no row for step i), while ``w{i}``
+    reads the pair through a scalar subquery coalesced to a sentinel
+    that cannot match — when ``p{i}`` is empty every word is a single
+    symbol, so no ``' x y '`` pattern exists in any ``r{i-1}`` and the
+    replace is a no-op regardless of the sentinel's content."""
     parts = [_WORDS_CTE]
+    noop = "chr(1) || ' ' || chr(1)"
     for i in range(1, num_merges + 1):
+        pair_i = f"coalesce((SELECT pair FROM b{i}), {noop})"
         parts.append(f"""
             p{i} AS (
               SELECT sym[j] || ' ' || sym[j + 1] AS pair, sum(n) AS cnt
@@ -173,11 +183,11 @@ def _merge_chain_sql(num_merges: int) -> str:
               ORDER BY cnt DESC, pair LIMIT 1),
             w{i} AS (
               SELECT w,
-                     replace(r{i - 1}, ' ' || b.pair || ' ',
-                             ' ' || replace(b.pair, ' ', '') || ' ')
+                     replace(r{i - 1}, ' ' || {pair_i} || ' ',
+                             ' ' || replace({pair_i}, ' ', '') || ' ')
                          AS r{i},
                      n
-              FROM w{i - 1}, b{i} b)""")
+              FROM w{i - 1})""")
     return ",".join(parts)
 
 

@@ -711,6 +711,45 @@ def jaccard_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         .groupby("pkey").map_groups(count_and_filter, batch_format="pyarrow")
 
 
+def cc_size_hist(clusters: "ray.data.Dataset",
+                 num_partitions: int = 64) -> "ray.data.Dataset":
+    """(n_members, n_clusters) — histogram of connected-component sizes
+    over a (doc_id, cc_id) cluster assignment (the LSH analog of
+    :func:`dup_size_hist`).  One pkey shuffle of (cc_id) rows, then
+    only ≤num_partitions-row histogram partials reach the fold."""
+    from apollo_ray.hashing import mix_to_partition
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        cc = np.asarray(batch.column("cc_id"), dtype=np.int64)
+        return pa.table({
+            "cc_id": pa.array(cc, type=pa.int64()),
+            "pkey": pa.array(mix_to_partition(cc, num_partitions),
+                             type=pa.int32())})
+
+    def sizes_part(group: pa.Table) -> pa.Table:
+        cc = np.asarray(group.column("cc_id"), dtype=np.int64)
+        if len(cc) == 0:
+            return pa.table({"n_members": pa.array([], type=pa.int64()),
+                             "n_clusters": pa.array([], type=pa.int64())})
+        _, counts = np.unique(cc, return_counts=True)
+        size, n = np.unique(counts, return_counts=True)
+        return pa.table({"n_members": pa.array(size.astype(np.int64),
+                                               type=pa.int64()),
+                         "n_clusters": pa.array(n.astype(np.int64),
+                                                type=pa.int64())})
+
+    def fold(group: pa.Table) -> pa.Table:
+        s = np.asarray(group.column("n_members"), dtype=np.int64)
+        c = np.asarray(group.column("n_clusters"), dtype=np.int64)
+        return pa.table({"n_members": pa.array(s[:1], type=pa.int64()),
+                         "n_clusters": pa.array([int(c.sum())],
+                                                type=pa.int64())})
+
+    return clusters.map_batches(add_pkey, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(sizes_part, batch_format="pyarrow") \
+        .groupby("n_members").map_groups(fold, batch_format="pyarrow")
+
+
 def dup_size_hist(docs: "ray.data.Dataset",
                   num_partitions: int = 64) -> "ray.data.Dataset":
     """(n_members, n_groups) — histogram of exact-duplicate group

@@ -50,11 +50,13 @@ def test_forecast_revenue_matches_duckdb(ray_session):
     con = duckdb.connect()
     con.register("lineitem", t.to_pandas())
     exp = con.execute(FORECAST_REVENUE_SQL).df()
-    # DuckDB sum over an empty filter set is NULL; engine emits 0
-    e = exp["revenue_e4"][0]
-    assert int(got["revenue_e4"][0]) == (0 if e is None or
-                                         np.isnan(e) else int(e))
+    assert int(got["revenue_e4"][0]) == int(exp["revenue_e4"][0])
     assert int(got["revenue_e4"][0]) > 0  # fixture spans 1997
+
+    # empty discount band: engine now matches DuckDB's NULL-on-empty
+    got0 = forecast_revenue(ray.data.from_arrow(t),
+                            year=2050).to_pandas()
+    assert len(got0) == 1 and got0["revenue_e4"].isna().all()
 
 
 def test_top_revenue_orders_matches_duckdb(ray_session):
@@ -184,6 +186,30 @@ def test_regional_revenue_matches_duckdb(ray_session):
     assert got["revenue_e4"].astype(int).tolist() == \
         exp["revenue_e4"].astype(int).tolist()
 
+    # fully distributed hash-join attach (above-broadcast-cap regime):
+    # same answer, forced directly and via the auto fallback
+    for kw in ({"method": "hashjoin"},
+               {"method": "auto", "broadcast_max": 2}):
+        hj = regional_revenue(
+            ray.data.from_arrow(li), ray.data.from_arrow(orders),
+            ray.data.from_arrow(customer), ray.data.from_arrow(supplier),
+            ray.data.from_arrow(nation), ray.data.from_arrow(region),
+            region_name="ASIA", year=1996, num_partitions=8,
+            **kw).to_pandas()
+        assert hj["n_name"].tolist() == exp["n_name"].tolist(), kw
+        assert hj["revenue_e4"].astype(int).tolist() == \
+            exp["revenue_e4"].astype(int).tolist(), kw
+
+    # method="broadcast" above the cap keeps the declared boundary
+    import pytest
+    with pytest.raises(NotImplementedError):
+        regional_revenue(
+            ray.data.from_arrow(li), ray.data.from_arrow(orders),
+            ray.data.from_arrow(customer), ray.data.from_arrow(supplier),
+            ray.data.from_arrow(nation), ray.data.from_arrow(region),
+            region_name="ASIA", year=1996, method="broadcast",
+            broadcast_max=2).to_pandas()
+
 
 def test_regional_revenue_empty_region(ray_session):
     import ray.data
@@ -232,6 +258,30 @@ def test_promo_revenue_matches_duckdb(ray_session):
     assert len(got0) == len(exp0) == 1
     for c in ("promo_revenue_e4", "total_revenue_e4", "promo_share_ppm"):
         assert int(got0[c][0]) == int(exp0[c][0]) == 0, c
+
+    # partkey hash-join attach (above-broadcast-cap regime): same
+    # answer, forced directly and via the auto fallback; and the
+    # no-match month still folds to the single all-zero row
+    for kw in ({"method": "hashjoin"},
+               {"method": "auto", "broadcast_max": 2}):
+        hj = promo_revenue(ray.data.from_arrow(li),
+                           ray.data.from_arrow(part),
+                           month="1996-07", num_partitions=8,
+                           **kw).to_pandas()
+        for c in ("promo_revenue_e4", "total_revenue_e4",
+                  "promo_share_ppm"):
+            assert int(hj[c][0]) == int(exp[c][0]), (c, kw)
+    hj0 = promo_revenue(ray.data.from_arrow(li), ray.data.from_arrow(part),
+                        month="2010-01", method="hashjoin",
+                        num_partitions=8).to_pandas()
+    assert len(hj0) == 1
+    for c in ("promo_revenue_e4", "total_revenue_e4", "promo_share_ppm"):
+        assert int(hj0[c][0]) == 0, c
+    import pytest
+    with pytest.raises(NotImplementedError):
+        promo_revenue(ray.data.from_arrow(li), ray.data.from_arrow(part),
+                      month="1996-07", method="broadcast",
+                      broadcast_max=2).to_pandas()
 
 
 def test_order_priority_counts(ray_session):

@@ -75,3 +75,34 @@ def test_bpe_vocab_cap(ray_session):
     m = bpe_train(rd.from_arrow(t), num_merges=1, vocab_cap=1).to_pandas()
     assert list(m["left_sym"]) == ["a"]
     assert m["n"].iloc[0] == 3
+
+
+def test_bpe_oracle_exhausted_merges(ray_session):
+    # ADVICE r2: with num_merges > available pairs, the oracle's empty
+    # b{i} used to cross-join w{i} empty and report n_bpe_tokens=0 for
+    # every doc while the engine (early loop exit) reported real
+    # counts.  Both sides must agree on the exhausted corpus.
+    import duckdb
+    import ray.data as rd
+    from apollo_ray.functions.bpe import (bpe_encode_counts,
+                                          bpe_encode_sql, bpe_train,
+                                          bpe_train_sql)
+    t = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["aa aa b", "b b"]),
+    })
+    ds = rd.from_arrow(t)
+    got = bpe_encode_counts(ds, num_merges=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    exp = con.execute(bpe_encode_sql(num_merges=3)).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["n_bpe_tokens"].astype(int).tolist() == \
+        exp["n_bpe_tokens"].astype(int).tolist()
+    assert got["n_bpe_tokens"].astype(int).tolist() == [3, 2]
+    # train oracle emits exactly the engine's (shorter) merge list
+    m = bpe_train(ds, num_merges=3).to_pandas()
+    em = con.execute(bpe_train_sql(num_merges=3)).df()
+    assert len(m) == len(em) == 1
+    assert em["left_sym"].tolist() == m["left_sym"].tolist() == ["a"]

@@ -85,13 +85,15 @@ def test_ntile_empty(ray_session):
 
 
 def test_ntile_hist_cap_raises(ray_session):
+    # mode="exact" keeps the declared above-cap boundary; the default
+    # "auto" switches to sampled cuts instead (tested below)
     import ray.data
     from apollo_ray.functions.ranking import ntile_buckets
     t = pa.table({"doc_id": pa.array(np.arange(50, dtype=np.int64)),
                   "s": pa.array(np.arange(50, dtype=np.int64))})
     with pytest.raises(NotImplementedError):
         ntile_buckets(ray.data.from_arrow(t), 3, score_col="s",
-                      id_col="doc_id", hist_cap=10)
+                      id_col="doc_id", hist_cap=10, mode="exact")
 
 
 def test_ppl_buckets_tiers(ray_session):
@@ -154,3 +156,52 @@ def test_sliding_window_matches_duckdb(ray_session):
     assert (got["win_us"].values == want["win_us"].values).all()
     assert (got["n"].values == want["n"].values).all()
     assert (got["sum_cents"].values == want["sum_cents"].values).all()
+
+
+@pytest.mark.parametrize("desc", [False, True])
+def test_ntile_sampled_full_rate_exact(ray_session, desc):
+    # sample_rate=1.0 with all-distinct values reproduces ANSI ntile
+    # exactly (the sampled cuts follow the ANSI fill rule)
+    import ray.data
+    from apollo_ray.functions.ranking import ntile_buckets
+    rng = np.random.default_rng(11)
+    N = 2003
+    t = pa.table({
+        "doc_id": pa.array(np.arange(N, dtype=np.int64)),
+        "s": pa.array(rng.permutation(N * 3)[:N].astype(np.int64)),
+    })
+    got = ntile_buckets(ray.data.from_arrow(t), 7, score_col="s",
+                        id_col="doc_id", descending=desc,
+                        mode="sample", sample_rate=1.0) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(_ntile_df(t, 7, "DESC" if desc else "ASC"))
+
+
+def test_ntile_auto_switches_to_sampled_above_cap(ray_session):
+    # hist_cap=10 forces the sampled path mid-collect; the result must
+    # stay monotone in score and approximately balanced
+    import ray.data
+    from apollo_ray.functions.ranking import ntile_buckets
+    rng = np.random.default_rng(13)
+    N = 4000
+    t = pa.table({
+        "doc_id": pa.array(np.arange(N, dtype=np.int64)),
+        "s": pa.array(rng.permutation(N).astype(np.int64)),
+    })
+    got = ntile_buckets(ray.data.from_arrow(t), 4, score_col="s",
+                        id_col="doc_id", hist_cap=10, mode="auto",
+                        sample_target=1000) \
+        .to_pandas().sort_values("s").reset_index(drop=True)
+    assert len(got) == N
+    b = got["bucket"].to_numpy()
+    assert (np.diff(b) >= 0).all()          # monotone in score
+    assert set(b) == {1, 2, 3, 4}
+    sizes = got.groupby("bucket").size()
+    # DKW bound at m=1000, delta=1e-3: ~6.2% of N per cut
+    assert (np.abs(sizes - N / 4) < 0.1 * N).all()
+
+    # mode="exact" keeps the declared boundary above the cap
+    with pytest.raises(NotImplementedError):
+        ntile_buckets(ray.data.from_arrow(t), 4, score_col="s",
+                      id_col="doc_id", hist_cap=10,
+                      mode="exact").to_pandas()
