@@ -62,6 +62,7 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
     chash = cfg.config_hash()
     metrics: dict[str, Any] = {}
     t_start = time.monotonic()
+    pending_writes: list = []
 
     def stage(name: str, build, *deps_ok, fork: bool = True):
         """Build-or-load one checkpointed stage.
@@ -84,8 +85,12 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
                 return ckpt_io.read_stage(ckpt_root, name), True
             t0 = time.monotonic()
             ds = build()
-            ds = ckpt_io.write_stage(ds, ckpt_root, name, chash,
-                                     input_fingerprint)
+            # write-through: downstream reads the materialized blocks
+            # while the Parquet copy persists in the background; all
+            # writes are joined before run_dedup returns
+            ds, wh = ckpt_io.write_stage_async(ds, ckpt_root, name, chash,
+                                               input_fingerprint)
+            pending_writes.append(wh)
             metrics[name + "_sec"] = round(time.monotonic() - t0, 3)
             return ds, False
         t0 = time.monotonic()
@@ -244,6 +249,11 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
                 num_partitions=num_partitions),
             clusters_hit, bands_hit)
         out["communities"] = comms
+    if pending_writes:
+        t0 = time.monotonic()
+        for wh in pending_writes:
+            wh.wait()
+        metrics["ckpt_write_wait_sec"] = round(time.monotonic() - t0, 3)
     metrics["total_sec"] = round(time.monotonic() - t_start, 3)
     return out
 

@@ -78,6 +78,52 @@ def write_stage(ds: "ray.data.Dataset", ckpt_root: str, stage: str,
     return read_stage(ckpt_root, stage)
 
 
+class StageWrite:
+    """Handle for an in-flight background checkpoint write (see
+    :func:`write_stage_async`).  ``wait()`` blocks until the Parquet
+    files and manifest are durable, re-raising any write error."""
+
+    def __init__(self, thread, err: list):
+        self._thread = thread
+        self._err = err
+
+    def wait(self) -> None:
+        self._thread.join()
+        if self._err:
+            raise self._err[0]
+
+
+def write_stage_async(ds: "ray.data.Dataset", ckpt_root: str, stage: str,
+                      config_hash: str, input_fingerprint: str = "",
+                      metrics: dict[str, Any] | None = None
+                      ) -> tuple["ray.data.Dataset", StageWrite]:
+    """Write-through checkpointing: materialize the stage once, hand
+    the materialized dataset straight to the next stage, and persist
+    the Parquet copy in a BACKGROUND thread (writing a materialized
+    dataset only re-reads object-store blocks — no recompute, no race
+    with downstream consumers).  The manifest lands after the files,
+    so a crash mid-write never looks complete; callers must ``wait()``
+    every returned handle before declaring the run finished (the
+    write-then-read serial barrier this replaces was a measured part
+    of the pipeline's Amdahl floor)."""
+    import threading
+
+    mat = ds.materialize()
+    err: list = []
+
+    def _persist():
+        try:
+            write_stage(mat, ckpt_root, stage, config_hash,
+                        input_fingerprint, metrics)
+        except BaseException as e:  # surfaced by wait()
+            err.append(e)
+
+    th = threading.Thread(target=_persist, daemon=True,
+                          name="ckpt-write-%s" % stage)
+    th.start()
+    return mat, StageWrite(th, err)
+
+
 def read_stage(ckpt_root: str, stage: str, columns: list[str] | None = None
                ) -> "ray.data.Dataset":
     """Read a stage: its top-level part files plus any appended
