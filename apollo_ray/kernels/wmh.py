@@ -55,23 +55,24 @@ def generate_params(dim: int, size: int, seed: int) -> dict[str, np.ndarray]:
 
 def derive_params(rs: np.ndarray, ln_cs: np.ndarray, betas: np.ndarray
                   ) -> dict[str, np.ndarray]:
-    """Precompute the hot-path parameter arrays, transposed to
-    C-contiguous (dim, size) so each present feature gathers one
-    contiguous row:
+    """The hot-path parameter tables, transposed to C-contiguous
+    (dim, size) so each present feature gathers one contiguous row:
+    ``r_t`` = r, ``beta_t`` = beta, ``lnc_t`` = ln_c.
 
-    - ``rinv_t`` = 1/r
-    - ``beta_t`` = beta
-    - ``r_t``    = r
-    - ``c2_t``   = ln_c + (beta - 1) * r   (the doc-independent part of
-                                            ln_a)
-    """
-    rinv = (np.float32(1.0) / rs).astype(np.float32)
-    c2 = (ln_cs + (betas - np.float32(1.0)) * rs).astype(np.float32)
+    Only the three INDEPENDENT tables are stored: the kernel gather is
+    DRAM-bandwidth-bound (the measured multi-process scaling ceiling),
+    so the derived quantities 1/r and ln_c + (beta-1)*r are recomputed
+    per L2 tile instead of gathered — 25% less gather traffic and a
+    96 MB (not 128 MB) broadcast table at the 2^16 x 128 defaults, for
+    a few extra cheap vector ops on cache-hot tiles.  The in-tile
+    recomputation uses the exact float32 op sequence of the scalar
+    oracle, so signatures stay bit-identical (pinned by tests)."""
     return {
-        "rinv_t": np.ascontiguousarray(rinv.T),
-        "beta_t": np.ascontiguousarray(betas.T),
-        "r_t": np.ascontiguousarray(rs.T),
-        "c2_t": np.ascontiguousarray(c2.T),
+        "r_t": np.ascontiguousarray(np.asarray(rs, dtype=np.float32).T),
+        "beta_t": np.ascontiguousarray(np.asarray(betas,
+                                                  dtype=np.float32).T),
+        "lnc_t": np.ascontiguousarray(np.asarray(ln_cs,
+                                                 dtype=np.float32).T),
     }
 
 
@@ -121,13 +122,14 @@ def make_work_buffers(size: int, nnz_budget: int = 1 << 16
     argmin is fused into the tile pass (see :func:`wmh_batch_t`) — so
     the buffers are (min(nnz_budget, _ROW_TILE), size), i.e. 256 KB
     each at the defaults, regardless of how large a batch is hashed.
+    Four buffers: t, ln_a, r and the ln_c gather target.
 
     First-touch page faults are expensive on virtualized hosts; actors
     allocate these ONCE in ``__init__`` and reuse them every batch.
     """
     rows = max(1, min(int(nnz_budget), _ROW_TILE))
     bufs = tuple(np.empty((rows, size), dtype=np.float32)
-                 for _ in range(3))
+                 for _ in range(4))
     for b in bufs:
         b.fill(0)  # touch every page now, not in the first hot batch
     return bufs
@@ -165,11 +167,10 @@ def wmh_batch_t(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
 
     Returns (n_docs, size, 2) uint32.
     """
-    rinv_t = dparams["rinv_t"]
     beta_t = dparams["beta_t"]
     r_t = dparams["r_t"]
-    c2_t = dparams["c2_t"]
-    size = rinv_t.shape[1]
+    lnc_t = dparams["lnc_t"]
+    size = r_t.shape[1]
     n_docs = len(indptr) - 1
     out = np.empty((n_docs, size, 2), dtype=np.uint32)
     if n_docs == 0:
@@ -181,10 +182,11 @@ def wmh_batch_t(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
     data = np.asarray(data, dtype=np.float32)
     vlog_all = np.log(data)[:, None]
     sample_idx = np.arange(size)
-    if work_bufs is None:
+    if work_bufs is None or len(work_bufs) < 4:
         work_bufs = make_work_buffers(size, nnz_budget)
-    buf_t, buf_a, buf_g = work_bufs
+    buf_t, buf_a, buf_g, buf_l = work_bufs
     tile = max(1, min(int(nnz_budget), _ROW_TILE, buf_t.shape[0]))
+    one = np.float32(1.0)
 
     m_total = int(indptr[-1])
     # Running best for the (single) doc straddling the current tile
@@ -203,14 +205,20 @@ def wmh_batch_t(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
         tt = buf_t[:n]
         at = buf_a[:n]
         gt = buf_g[:n]
-        np.take(rinv_t, it, axis=0, out=tt)
+        lt = buf_l[:n]
+        # three gathers (r, beta, ln_c); 1/r and c2 recomputed in-tile
+        # with the scalar oracle's exact float32 op sequence
+        np.take(r_t, it, axis=0, out=gt)         # r
+        np.divide(one, gt, out=tt)               # 1/r
         np.multiply(tt, vlog_all[ts:te], out=tt)
-        np.take(beta_t, it, axis=0, out=gt)
-        np.add(tt, gt, out=tt)
+        np.take(beta_t, it, axis=0, out=at)      # beta
+        np.add(tt, at, out=tt)
         np.floor(tt, out=tt)                     # t
-        np.take(r_t, it, axis=0, out=gt)
+        np.subtract(at, one, out=at)             # beta - 1
+        np.multiply(at, gt, out=at)              # (beta-1) * r
+        np.take(lnc_t, it, axis=0, out=lt)       # ln_c
+        np.add(lt, at, out=at)                   # c2 = ln_c + (beta-1)*r
         np.multiply(tt, gt, out=gt)              # t * r
-        np.take(c2_t, it, axis=0, out=at)
         np.subtract(at, gt, out=at)              # ln_a
 
         # reduce each doc segment inside [ts, te) while hot in L2
