@@ -116,10 +116,27 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
     if fold_extract:
         def ids_meta(batch):
             return batch.select(["doc_id", "text_hash"])
+
+        def meta_source():
+            """Column-pruned pages for the metadata pass: doc_id and
+            text_hash need only the id + content columns, and the
+            fixture-shaped corpus carries text twice (html and text) —
+            pruning halves this pass's parquet decode.  The fused pass
+            keeps the full schema (out['docs'] is API surface)."""
+            try:
+                names = set(pages.schema().names)
+            except Exception:
+                return pages
+            for want in (("url", "html"), ("url", "text"),
+                         ("doc_id", "html"), ("doc_id", "text")):
+                if set(want) <= names:
+                    return pages.select_columns(list(want))
+            return pages
+
         docs = extract_docs(pages, cfg)          # stays lazy
         t0 = time.monotonic()
-        meta = docs.map_batches(ids_meta, batch_format="pyarrow") \
-            .materialize()
+        meta = extract_docs(meta_source(), cfg) \
+            .map_batches(ids_meta, batch_format="pyarrow").materialize()
         metrics["docs_sec"] = round(time.monotonic() - t0, 3)
         docs_hit = False
     else:
