@@ -117,29 +117,39 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
         def ids_meta(batch):
             return batch.select(["doc_id", "text_hash"])
 
-        def meta_source():
-            """Column-pruned pages for the metadata pass: doc_id and
-            text_hash need only the id + content columns, and the
+        def pruned_source(with_lang: bool):
+            """Column-pruned pages: the hashing passes need only the
+            id + content columns (+ lang for the reps schema), and the
             fixture-shaped corpus carries text twice (html and text) —
-            pruning halves this pass's parquet decode.  The fused pass
-            keeps the full schema (out['docs'] is API surface)."""
+            pruning roughly halves the parquet decode of each pass.
+            ``out['docs']`` stays full-schema (API surface)."""
             try:
                 names = set(pages.schema().names)
             except Exception:
                 return pages
-            for want in (("url", "html"), ("url", "text"),
-                         ("doc_id", "html"), ("doc_id", "text")):
-                if set(want) <= names:
-                    return pages.select_columns(list(want))
-            return pages
+            idc = "url" if "url" in names else \
+                ("doc_id" if "doc_id" in names else None)
+            content = "html" if "html" in names else \
+                ("text" if "text" in names else None)
+            if idc is None or content is None:
+                return pages
+            keep = [idc, content]
+            if with_lang and "lang" in names:
+                keep.append("lang")
+            return pages.select_columns(keep)
 
-        docs = extract_docs(pages, cfg)          # stays lazy
+        docs = extract_docs(pages, cfg)          # stays lazy, full schema
+        # the hash-path docs: same doc_id/text/text_hash/lang, minus
+        # the columns the dedup chain never reads (reps' schema is
+        # (doc_id, text, lang, member_ids) in every mode)
+        docs_lean = extract_docs(pruned_source(with_lang=True), cfg)
         t0 = time.monotonic()
-        meta = extract_docs(meta_source(), cfg) \
+        meta = extract_docs(pruned_source(with_lang=False), cfg) \
             .map_batches(ids_meta, batch_format="pyarrow").materialize()
         metrics["docs_sec"] = round(time.monotonic() - t0, 3)
         docs_hit = False
     else:
+        docs_lean = None
         # docs_ds: caller-supplied pre-extracted/filtered docs (the
         # curation pipeline cleans and filters before deduping); the
         # extract stage is skipped, everything downstream is identical
@@ -164,10 +174,10 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
                     _collapse_exact_shuffle, exact_membership,
                     rep_filter_from_membership)
                 m = exact_membership(meta).materialize()
-                r = rep_filter_from_membership(docs, m)
+                r = rep_filter_from_membership(docs_lean, m)
                 if r is None:     # above the broadcast cap: full-
                     # payload shuffle fallback (same as collapse_exact)
-                    r = _collapse_exact_shuffle(docs)
+                    r = _collapse_exact_shuffle(docs_lean)
                 side["membership"] = m
                 return r
             r, m = collapse_exact(docs, with_membership=True)
@@ -184,7 +194,8 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
         else:
             member_edges = exact_member_edges(reps)
     else:
-        reps, reps_hit = docs, docs_hit
+        reps = docs_lean if docs_lean is not None else docs
+        reps_hit = docs_hit
         member_edges = None
     if ckpt_root is None and not cfg.verify:
         # fast path: one fused actor pool computes bands directly
