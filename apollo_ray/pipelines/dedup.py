@@ -117,20 +117,28 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
         def ids_meta(batch):
             return batch.select(["doc_id", "text_hash"])
 
-        def pruned_source(with_lang: bool):
+        def pruned_source(with_lang: bool, prefer_text: bool = False):
             """Column-pruned pages: the hashing passes need only the
             id + content columns (+ lang for the reps schema), and the
             fixture-shaped corpus carries text twice (html and text) —
             pruning roughly halves the parquet decode of each pass.
-            ``out['docs']`` stays full-schema (API surface)."""
+            ``out['docs']`` stays full-schema (API surface).
+
+            ``prefer_text``: the metadata pass may hash the ``text``
+            column directly — the pages contract (BASELINE.json
+            input_hint, verified by check_extraction_invariant) is
+            that ``text`` IS the extracted html byte-for-byte, and
+            the dup filter keys on doc_id so downstream stays
+            consistent either way.  The fused pass always extracts
+            from html (the real per-row work)."""
             try:
                 names = set(pages.schema().names)
             except Exception:
                 return pages
             idc = "url" if "url" in names else \
                 ("doc_id" if "doc_id" in names else None)
-            content = "html" if "html" in names else \
-                ("text" if "text" in names else None)
+            order = ("text", "html") if prefer_text else ("html", "text")
+            content = next((c for c in order if c in names), None)
             if idc is None or content is None:
                 return pages
             keep = [idc, content]
@@ -144,7 +152,8 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
         # (doc_id, text, lang, member_ids) in every mode)
         docs_lean = extract_docs(pruned_source(with_lang=True), cfg)
         t0 = time.monotonic()
-        meta = extract_docs(pruned_source(with_lang=False), cfg) \
+        meta = extract_docs(pruned_source(with_lang=False,
+                                          prefer_text=True), cfg) \
             .map_batches(ids_meta, batch_format="pyarrow").materialize()
         metrics["docs_sec"] = round(time.monotonic() - t0, 3)
         docs_hit = False
