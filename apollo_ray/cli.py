@@ -377,7 +377,13 @@ def main(argv=None) -> int:
     sp.set_defaults(handler=cmd_stats)
 
     args = p.parse_args(argv)
-    return args.handler(args)
+    try:
+        return args.handler(args)
+    except FileNotFoundError as e:
+        # missing checkpoint stage / input path: a clean one-line error
+        # instead of a traceback (the message already says what to run)
+        print("error: %s" % e, file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

@@ -219,3 +219,28 @@ def test_collapse_broadcast_equals_shuffle(ray_session):
     a = canon(collapse_exact(docs, method="broadcast"))
     b = canon(collapse_exact(docs, method="shuffle"))
     assert a.equals(b)
+
+
+def test_fold_path_above_cap_shuffle_fallback(ray_session, monkeypatch):
+    """Checkpoint-free fold-extract path above the dup-broadcast cap:
+    rep_filter_from_membership returns None and run_dedup falls back
+    to the full-payload shuffle collapse — clusters must be identical
+    to the broadcast path's."""
+    import ray.data as rd
+    from apollo_ray import stages
+    from apollo_ray.config import DedupConfig
+    from apollo_ray.fixtures import generate_pages
+    from apollo_ray.pipelines.dedup import run_dedup
+    pages_t, _ = generate_pages(300)
+    cfg = DedupConfig(feature_dim_log2=12)
+
+    def clusters(df):
+        return sorted(map(tuple, df[["doc_id", "cc_id"]].to_numpy()))
+
+    base = run_dedup(rd.from_arrow(pages_t), cfg,
+                     num_partitions=8)["clusters"].to_pandas()
+    monkeypatch.setattr(stages.bags, "BROADCAST_COLLAPSE_MAX_DUPS", 0)
+    forced = run_dedup(rd.from_arrow(pages_t), cfg,
+                       num_partitions=8)["clusters"].to_pandas()
+    assert clusters(base) == clusters(forced)
+    assert base["cc_id"].nunique() < len(base)  # fixture has dups
