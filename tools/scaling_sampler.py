@@ -10,8 +10,15 @@ no-Ray kernel probes.  This tool loops:
     probe -> clean?  ->  bench.py --scaling  ->  post-probe ->
     record sample (clean only if BOTH probes clean) -> repeat
 
-Usage: python tools/scaling_sampler.py [max_samples] [max_minutes]
-Appends samples to BENCH/SCALING_8_32.json r3_samples.
+Usage: python tools/scaling_sampler.py [max_samples] [max_minutes] [levels]
+
+``levels`` is "8,32" (default) or "2,8"; samples append to
+BENCH/SCALING_{lo}_{hi}.json r3_samples.  Clean gates per level pair
+come from the recorded clean ranges: the 8->32 pair needs the 32-proc
+kernel regime healthy (eff >= 0.75, agg32 >= 70k docs/s); the 2->8
+pair only needs the <=8-way regime healthy (1->8 eff >= 0.80,
+single-proc >= 3,000 docs/s) — 32-way contention does not touch it
+(BENCH/SCALING_2_8.json r3 note).
 """
 from __future__ import annotations
 
@@ -23,57 +30,72 @@ import sys
 import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-REC = os.path.join(ROOT, "BENCH", "SCALING_8_32.json")
-# clean-window gates, from the recorded clean ranges
-MIN_EFF_8_32 = 0.75
-MIN_AGG32 = 70_000          # docs/s, clean range 79-87k
 
 
-def probe() -> tuple[float, float]:
+def probe() -> dict:
     out = subprocess.run([sys.executable,
                           os.path.join(ROOT, "tools", "wmh_microbench.py")],
                          capture_output=True, text=True, timeout=420).stdout
     agg = [float(m.replace(",", "")) for m in
            re.findall(r"agg=([\d,]+) docs/s", out)]
-    eff = re.search(r"8->32 eff ([\d.]+)", out)
-    return (float(eff.group(1)) if eff else 0.0,
-            agg[-1] if agg else 0.0)
+    e18 = re.search(r"1->8 eff ([\d.]+)", out)
+    e832 = re.search(r"8->32 eff ([\d.]+)", out)
+    return {
+        "agg1": agg[0] if len(agg) > 0 else 0.0,
+        "agg8": agg[1] if len(agg) > 1 else 0.0,
+        "agg32": agg[2] if len(agg) > 2 else 0.0,
+        "eff_1_8": float(e18.group(1)) if e18 else 0.0,
+        "eff_8_32": float(e832.group(1)) if e832 else 0.0,
+    }
+
+
+def is_clean(p: dict, levels: tuple[int, int], post: bool = False) -> bool:
+    slack = 0.95 if post else 1.0      # post-probe gets mild tolerance
+    if levels == (2, 8):
+        return (p["eff_1_8"] >= 0.80 * slack
+                and p["agg1"] >= 3000 * slack)
+    return (p["eff_8_32"] >= 0.75 * slack
+            and p["agg32"] >= 70_000 * (0.9 if post else 1.0))
 
 
 def main() -> int:
     max_samples = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     max_minutes = float(sys.argv[2]) if len(sys.argv) > 2 else 60
+    levels_s = sys.argv[3] if len(sys.argv) > 3 else "8,32"
+    lo, hi = (int(x) for x in levels_s.split(","))
+    rec = os.path.join(ROOT, "BENCH", "SCALING_%d_%d.json" % (lo, hi))
     t_end = time.time() + max_minutes * 60
     taken = 0
     while taken < max_samples and time.time() < t_end:
-        eff, agg = probe()
-        print("probe: kernel 8->32 %.3f, 32-proc agg %.0f docs/s"
-              % (eff, agg), flush=True)
-        if eff < MIN_EFF_8_32 or agg < MIN_AGG32:
+        pre = probe()
+        print("probe: 1->8 %.3f 8->32 %.3f agg1 %.0f agg32 %.0f"
+              % (pre["eff_1_8"], pre["eff_8_32"], pre["agg1"], pre["agg32"]),
+              flush=True)
+        if not is_clean(pre, (lo, hi)):
             time.sleep(240)
             continue
-        env = dict(os.environ, GRAFT_SCALING_REPEATS="1")
+        env = dict(os.environ, GRAFT_SCALING_REPEATS="1",
+                   GRAFT_SCALING_LEVELS=levels_s)
         out = subprocess.run([sys.executable, os.path.join(ROOT, "bench.py"),
                               "--scaling"], env=env, capture_output=True,
-                             text=True, cwd=ROOT, timeout=1200)
+                             text=True, cwd=ROOT, timeout=2400)
         r = json.loads(out.stdout.strip().splitlines()[-1])
-        eff2, agg2 = probe()
-        clean = (eff2 >= MIN_EFF_8_32 - 0.05 and agg2 >= MIN_AGG32 * 0.9)
+        post = probe()
+        clean = is_clean(post, (lo, hi), post=True)
         sample = {
             "value": r["value"], "sec_lo": r["sec_lo"], "sec_hi": r["sec_hi"],
             "docs_per_sec_hi": r["docs_per_sec_hi"],
             "bench_rows": r["bench_rows"],
-            "pre_probe": {"kernel_8_32": eff, "agg32": agg},
-            "post_probe": {"kernel_8_32": eff2, "agg32": agg2},
+            "pre_probe": pre, "post_probe": post,
             "clean": bool(clean),
             "note": "tools/scaling_sampler.py probe-bracketed sample"
                     + ("" if clean else " - post-probe degraded, EXCLUDED"),
         }
-        d = json.load(open(REC))
+        d = json.load(open(rec))
         d.setdefault("r3_samples", []).append(sample)
         d["r3_clean_samples"] = [s["value"] for s in d["r3_samples"]
                                  if s.get("clean")]
-        json.dump(d, open(REC, "w"), indent=1)
+        json.dump(d, open(rec, "w"), indent=1)
         print("sample: %.3f (clean=%s); r3 clean list: %s"
               % (r["value"], clean, d["r3_clean_samples"]), flush=True)
         taken += 1
