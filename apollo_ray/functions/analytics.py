@@ -1028,11 +1028,78 @@ def promo_revenue_sql(month: str = "1997-09",
 """
 
 
+def _priority_fold(group: pa.Table) -> pa.Table:
+    """Sum per-batch (priority, n) partials into final counts."""
+    pri = np.asarray(group.column("o_orderpriority").to_pylist(),
+                     dtype=object)
+    n = np.asarray(group.column("n"), dtype=np.int64)
+    uniq, inv = np.unique(pri, return_inverse=True)
+    tot = np.bincount(inv, weights=n.astype(np.float64)).astype(np.int64)
+    return pa.table({
+        "o_orderpriority": pa.array(uniq.tolist(), type=pa.string()),
+        "order_count": pa.array(tot, type=pa.int64())})
+
+
+def _order_priority_hashjoin(orders, keys_ds, lo: int, hi: int,
+                             num_partitions: int = 64):
+    """Above-cap EXISTS attach for :func:`order_priority_counts`: the
+    globally-distinct matching orderkeys and the in-``year`` orders both
+    pkey on hash(orderkey); each partition resolves the semi-join with a
+    sorted-membership test and emits bounded (priority, n) partials.
+    Driver state: none — no side is ever collected or broadcast."""
+    from apollo_ray.hashing import mix_to_partition
+
+    def key_side(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column("k"), dtype=np.int64)
+        return pa.table({
+            "k": pa.array(k, type=pa.int64()),
+            "pri": pa.array([""] * len(k), type=pa.string()),
+            "side": pa.array(np.zeros(len(k), dtype=np.int8),
+                             type=pa.int8()),
+            "pkey": pa.array(mix_to_partition(k, num_partitions),
+                             type=pa.int32())})
+
+    def ord_side(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        t = batch.filter(pa.array((od >= lo) & (od < hi)))
+        k = np.asarray(t.column("o_orderkey"), dtype=np.int64)
+        return pa.table({
+            "k": pa.array(k, type=pa.int64()),
+            "pri": t.column("o_orderpriority").cast(pa.string()),
+            "side": pa.array(np.ones(len(k), dtype=np.int8),
+                             type=pa.int8()),
+            "pkey": pa.array(mix_to_partition(k, num_partitions),
+                             type=pa.int32())})
+
+    def join_part(group: pa.Table) -> pa.Table:
+        side = np.asarray(group.column("side"), dtype=np.int8)
+        k = np.asarray(group.column("k"), dtype=np.int64)
+        km = np.sort(k[side == 0])
+        om = side == 1
+        hit, _ = _lookup_hit(km, k[om])
+        pri = np.asarray(group.column("pri").to_pylist(),
+                         dtype=object)[om][hit]
+        uniq, cnt = np.unique(pri, return_counts=True)
+        return pa.table({
+            "o_orderpriority": pa.array(uniq.tolist(), type=pa.string()),
+            "n": pa.array(cnt, type=pa.int64())})
+
+    both = keys_ds.map_batches(key_side, batch_format="pyarrow").union(
+        orders.map_batches(ord_side, batch_format="pyarrow"))
+    return both.groupby("pkey").map_groups(join_part,
+                                           batch_format="pyarrow") \
+        .groupby("o_orderpriority").map_groups(_priority_fold,
+                                               batch_format="pyarrow")
+
+
 def order_priority_counts(orders: "ray.data.Dataset",
                           lineitem: "ray.data.Dataset",
                           year: int = 1997,
                           flag: str = "R",
-                          broadcast_max: int = ORDERS_BROADCAST_MAX
+                          broadcast_max: int = ORDERS_BROADCAST_MAX,
+                          method: str = "auto",
+                          num_partitions: int = 64
                           ) -> "ray.data.Dataset":
     """TPC-H Q4 shape — the EXISTS semi-join: count ``year`` orders per
     priority that have AT LEAST ONE lineitem with
@@ -1047,7 +1114,11 @@ def order_priority_counts(orders: "ray.data.Dataset",
     ``broadcast_max`` — the Q3 attach rule) and orders resolves the
     EXISTS with a ``searchsorted`` membership test plus per-batch
     per-priority partials.  Neither fact table enters a shuffle; the
-    only all-to-all is the distinct-orderkey metadata pass.
+    only all-to-all is the distinct-orderkey metadata pass.  Above
+    ``broadcast_max`` distinct keys (or with ``method="hashjoin"``)
+    the attach runs as a pkey hash semi-join instead
+    (:func:`_order_priority_hashjoin`); ``method="broadcast"`` keeps
+    the declared raise.
     """
     import ray
 
@@ -1059,7 +1130,8 @@ def order_priority_counts(orders: "ray.data.Dataset",
                                  dtype=np.int64))
         return pa.table({
             "k": pa.array(k, type=pa.int64()),
-            "pkey": pa.array(mix_to_partition(k, 64), type=pa.int32())})
+            "pkey": pa.array(mix_to_partition(k, num_partitions),
+                             type=pa.int32())})
 
     def distinct_part(group: pa.Table) -> pa.Table:
         k = np.unique(np.asarray(group.column("k"), dtype=np.int64))
@@ -1067,12 +1139,20 @@ def order_priority_counts(orders: "ray.data.Dataset",
 
     keys_ds = lineitem.map_batches(matching_keys, batch_format="pyarrow") \
         .groupby("pkey").map_groups(distinct_part, batch_format="pyarrow")
+    lo = np.datetime64(f"{year}-01-01", "us").astype(np.int64)
+    hi = np.datetime64(f"{year + 1}-01-01", "us").astype(np.int64)
+    if method == "hashjoin":
+        return _order_priority_hashjoin(orders, keys_ds, lo, hi,
+                                        num_partitions)
     n_keys = keys_ds.count()
     if n_keys > broadcast_max:
-        raise NotImplementedError(
-            "matching-orderkey set (%d) above broadcast cap %d: attach "
-            "via the hash-join path (top_revenue_orders method="
-            "'hashjoin')" % (n_keys, broadcast_max))
+        if method == "broadcast":
+            raise NotImplementedError(
+                "matching-orderkey set (%d) above broadcast cap %d: "
+                "use method='hashjoin'/'auto' (pkey hash semi-join)"
+                % (n_keys, broadcast_max))
+        return _order_priority_hashjoin(orders, keys_ds, lo, hi,
+                                        num_partitions)
     if n_keys == 0:
         sorted_keys = np.empty(0, dtype=np.int64)
     else:
@@ -1081,9 +1161,6 @@ def order_priority_counts(orders: "ray.data.Dataset",
                  if b.num_rows]
         sorted_keys = np.sort(np.concatenate(parts))
     keys_ref = ray.put(sorted_keys)
-
-    lo = np.datetime64(f"{year}-01-01", "us").astype(np.int64)
-    hi = np.datetime64(f"{year + 1}-01-01", "us").astype(np.int64)
 
     def partials(batch: pa.Table) -> pa.Table:
         ks = ray.get(keys_ref)
@@ -1108,20 +1185,10 @@ def order_priority_counts(orders: "ray.data.Dataset",
             "o_orderpriority": pa.array(uniq.tolist(), type=pa.string()),
             "n": pa.array(cnt, type=pa.int64())})
 
-    def fold(group: pa.Table) -> pa.Table:
-        pri = np.asarray(group.column("o_orderpriority").to_pylist(),
-                         dtype=object)
-        n = np.asarray(group.column("n"), dtype=np.int64)
-        uniq, inv = np.unique(pri, return_inverse=True)
-        tot = np.bincount(inv, weights=n.astype(np.float64)).astype(np.int64)
-        return pa.table({
-            "o_orderpriority": pa.array(uniq.tolist(), type=pa.string()),
-            "order_count": pa.array(tot, type=pa.int64())})
-
     parts = orders.map_batches(partials, batch_format="pyarrow")
     # <= priorities x batches partial rows: bounded-cardinality fold
     return parts.groupby("o_orderpriority").map_groups(
-        fold, batch_format="pyarrow")
+        _priority_fold, batch_format="pyarrow")
 
 
 def order_priority_counts_sql(year: int = 1997, flag: str = "R") -> str:

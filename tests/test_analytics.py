@@ -315,18 +315,29 @@ def test_order_priority_counts_cap(ray_session):
     import ray.data as rd
     from apollo_ray.functions.analytics import order_priority_counts
     orders = pa.table({
-        "o_orderkey": pa.array([1], type=pa.int64()),
-        "o_orderdate": pa.array([np.datetime64("1997-03-01", "us")],
-                                type=pa.timestamp("us")),
-        "o_orderpriority": pa.array(["1-URGENT"]),
+        "o_orderkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "o_orderdate": pa.array(
+            [np.datetime64("1997-03-01", "us")] * 3
+            + [np.datetime64("1996-03-01", "us")], type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT", "1-URGENT", "2-HIGH",
+                                     "1-URGENT"]),
     })
     li = pa.table({
-        "l_orderkey": pa.array([1, 2, 3], type=pa.int64()),
-        "l_returnflag": pa.array(["R", "R", "R"]),
+        "l_orderkey": pa.array([1, 1, 2, 4], type=pa.int64()),
+        "l_returnflag": pa.array(["R", "N", "N", "R"]),
     })
+    # pkey hash semi-join (above-broadcast-cap regime): same answer as
+    # the broadcast path, forced directly and via the auto fallback
+    for kw in ({"method": "hashjoin"},
+               {"method": "auto", "broadcast_max": 1}):
+        df = order_priority_counts(rd.from_arrow(orders),
+                                   rd.from_arrow(li),
+                                   num_partitions=4, **kw) \
+            .to_pandas().set_index("o_orderpriority")
+        assert df["order_count"].to_dict() == {"1-URGENT": 1}, kw
     with _pytest.raises(NotImplementedError, match="broadcast cap"):
         order_priority_counts(rd.from_arrow(orders), rd.from_arrow(li),
-                              broadcast_max=2)
+                              method="broadcast", broadcast_max=1)
 
 
 def test_customer_order_dist(ray_session):
