@@ -150,6 +150,11 @@ def _cms_sql_entry() -> str:
     return cms_token_counts_sql(depth=4, log2_w=12, n_probe=20)
 
 
+def _heavy_hitters_sql_entry() -> str:
+    from apollo_ray.functions.sketch import heavy_hitters_sql
+    return heavy_hitters_sql(phi_ppm=5000)
+
+
 def _dsir_sql_entry() -> str:
     from apollo_ray.functions.dsir import dsir_logweights_sql
     return dsir_logweights_sql(n_buckets=16384, target_mod=97)
@@ -516,6 +521,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return cms_token_counts(_docs(sf_dir), depth=4, log2_w=12,
                                 n_probe=20)
 
+    def q_heavy_hitters(sf_dir):
+        from apollo_ray.functions.sketch import heavy_hitters
+        return heavy_hitters(_docs(sf_dir), phi_ppm=5000)
+
     def q_sliding_window(sf_dir):
         from apollo_ray.functions.asof import sliding_window_stats
         return sliding_window_stats(_events(sf_dir))
@@ -778,6 +787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct_text": q_kmv_distinct,
         "hll_distinct_text": q_hll_distinct,
         "cms_token_counts": q_cms_counts,
+        "heavy_hitters": q_heavy_hitters,
         "leakage_safe_splits": q_leakage_splits,
         "sliding_window_stats": q_sliding_window,
         "pii_stats": q_pii_stats,
@@ -1301,6 +1311,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct_text": _kmv_sql_entry(),
         "hll_distinct_text": _hll_sql_entry(),
         "cms_token_counts": _cms_sql_entry(),
+        "heavy_hitters": _heavy_hitters_sql_entry(),
         "leakage_safe_splits": _leakage_sql_entry(),
         "sliding_window_stats": _sliding_sql_entry(),
         "pii_stats": _pii_stats_sql(),

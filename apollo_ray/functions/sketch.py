@@ -395,3 +395,185 @@ def distinct_count_hll_sql(log2_m: int = 8, table: str = "documents",
                 AS BIGINT) AS est_raw
     FROM s
 """
+
+
+def heavy_hitters(docs: "ray.data.Dataset", phi_ppm: int = 5000,
+                  summary_k: int | None = None,
+                  num_partitions: int = 16) -> "ray.data.Dataset":
+    """Frequent tokens via mergeable Misra-Gries summaries — every
+    token whose corpus occurrence count exceeds ``phi_ppm`` parts per
+    million of all token occurrences, with its EXACT count:
+    (token, n).
+
+    The 100-TB alternative to ``GROUP BY token HAVING count(*) > T``:
+    the full group-by shuffles the entire vocabulary, while this
+    operator's intermediate state is bounded by construction.  Pass 1
+    builds a size-``summary_k`` Misra-Gries summary per batch
+    (exact per-batch counts truncated by subtracting the (k+1)-th
+    largest — the merge operation of Agarwal et al. 2012, "Mergeable
+    Summaries", whose key theorem is that truncation at every merge
+    level still keeps the TOTAL undercount <= N/(k+1)); summaries
+    tree-merge through ``num_partitions`` groups, so no stage holds
+    more than ``num_partitions * (summary_k + 1)`` rows.  Any token
+    with true count > N/(k+1) survives to the final summary, so with
+    ``(summary_k + 1) * phi_ppm > 1e6`` the candidate set — final
+    estimates within N//(k+1) of the threshold — is a guaranteed
+    SUPERSET of the true answer and at most ~2e6/phi_ppm tokens.
+    Pass 2 re-scans the corpus counting ONLY the broadcast candidates
+    (batch-distinct membership tests, pkey fold bounded by the
+    candidate count) and applies the exact threshold, so the output
+    is value-identical to the SQL it replaces — estimates never leak
+    into the result.
+
+    Driver state: the final summary (<= num_partitions * (k+1) rows)
+    and the candidate set (<= ~2e6/phi_ppm tokens).  The corpus is
+    scanned twice, both map-only — the classic 2-pass heavy-hitters
+    trade.
+    """
+    import ray
+
+    from apollo_ray.functions.textstats import _split_tokens
+    from apollo_ray.hashing import hash_utf8, mix_to_partition
+
+    if summary_k is None:
+        summary_k = max(8, -(-2_000_000 // phi_ppm))
+    k = int(summary_k)
+    if (k + 1) * phi_ppm <= 1_000_000:
+        raise ValueError(
+            "summary_k=%d too small for phi_ppm=%d: the Misra-Gries "
+            "superset guarantee needs (summary_k + 1) * phi_ppm > 1e6"
+            % (k, phi_ppm))
+
+    _EMPTY_SUM = pa.table({
+        "token": pa.array([], type=pa.string()),
+        "n": pa.array([], type=pa.int64()),
+        "side": pa.array([], type=pa.int8()),
+        "gkey": pa.array([], type=pa.int32())})
+    _EMPTY_OUT = pa.table({"token": pa.array([], type=pa.string()),
+                           "n": pa.array([], type=pa.int64())})
+
+    def _truncate(tok: np.ndarray, cnt: np.ndarray
+                  ) -> tuple[np.ndarray, np.ndarray]:
+        """Misra-Gries truncation to k items: subtract the (k+1)-th
+        largest count from everything, keep what stays positive."""
+        if len(cnt) <= k:
+            return tok, cnt
+        pivot = np.partition(cnt, len(cnt) - k - 1)[len(cnt) - k - 1]
+        keep = cnt > pivot
+        return tok[keep], cnt[keep] - pivot
+
+    def _summary_rows(tok: np.ndarray, cnt: np.ndarray, total: int,
+                      gkey: int) -> pa.Table:
+        m = len(tok)
+        return pa.table({
+            "token": pa.array(list(tok) + [""], type=pa.string()),
+            "n": pa.array(np.append(cnt, total), type=pa.int64()),
+            "side": pa.array(np.append(np.zeros(m, dtype=np.int8), 1),
+                             type=pa.int8()),
+            "gkey": pa.array(np.full(m + 1, gkey, dtype=np.int32),
+                             type=pa.int32())})
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        flat = _split_tokens(text).flatten()
+        if len(flat) == 0:
+            return _EMPTY_SUM
+        vc = flat.value_counts()
+        tok = np.asarray(vc.field("values").to_pylist(), dtype=object)
+        cnt = np.asarray(vc.field("counts"), dtype=np.int64)
+        total = int(cnt.sum())
+        tok, cnt = _truncate(tok, cnt)
+        # deterministic content-derived merge group (truncation can
+        # empty the summary when every count ties the pivot — the
+        # total row still has to reach a merge group)
+        seed = hash_utf8(str(tok[0])) ^ total if len(tok) else total
+        gkey = int(mix_to_partition(
+            np.array([seed], dtype=np.int64), num_partitions)[0])
+        return _summary_rows(tok, cnt, total, gkey)
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _EMPTY_SUM
+        side = np.asarray(group.column("side"), dtype=np.int8)
+        n = np.asarray(group.column("n"), dtype=np.int64)
+        total = int(n[side == 1].sum())
+        tmask = side == 0
+        if not tmask.any():
+            return _summary_rows(np.empty(0, dtype=object),
+                                 np.empty(0, dtype=np.int64), total, 0)
+        enc = group.column("token").combine_chunks() \
+            .filter(pa.array(tmask)).dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # counts < 2^53: exact in the f64 bincount accumulator
+        est = np.bincount(codes, weights=n[tmask].astype(np.float64),
+                          minlength=len(enc.dictionary)).astype(np.int64)
+        tok = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        tok, est = _truncate(tok, est)
+        return _summary_rows(tok, est, total, 0)
+
+    merged = docs.map_batches(summarize, batch_format="pyarrow") \
+        .groupby("gkey").map_groups(merge_group, batch_format="pyarrow")
+    # bounded collect: <= num_partitions * (k + 1) rows
+    parts = [b for b in merged.iter_batches(batch_format="pyarrow")
+             if b.num_rows]
+    final = merge_group(pa.concat_tables(parts) if parts else _EMPTY_SUM)
+    side = np.asarray(final.column("side"), dtype=np.int8)
+    n_total = int(np.asarray(final.column("n"), dtype=np.int64)
+                  [side == 1].sum())
+    if n_total == 0:
+        return ray.data.from_arrow(_EMPTY_OUT)
+    est = np.asarray(final.column("n"), dtype=np.int64)[side == 0]
+    toks = np.asarray(final.column("token").to_pylist(),
+                      dtype=object)[side == 0]
+    err = n_total // (k + 1)
+    cand = {str(t) for t, e in zip(toks, est)
+            if (int(e) + err) * 1_000_000 > phi_ppm * n_total}
+    if not cand:
+        return ray.data.from_arrow(_EMPTY_OUT)
+    cand_ref = ray.put(cand)
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        cs = ray.get(cand_ref)
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        flat = _split_tokens(text).flatten()
+        if len(flat) == 0:
+            return _EMPTY_OUT
+        vc = flat.value_counts()
+        tok = vc.field("values").to_pylist()
+        cnt = np.asarray(vc.field("counts"), dtype=np.int64)
+        keep = np.fromiter((t in cs for t in tok), dtype=bool,
+                           count=len(tok))
+        return pa.table({
+            "token": pa.array([t for t, m in zip(tok, keep) if m],
+                              type=pa.string()),
+            "n": pa.array(cnt[keep], type=pa.int64())})
+
+    def fold(group: pa.Table) -> pa.Table:
+        n = int(np.asarray(group.column("n"), dtype=np.int64).sum())
+        if n * 1_000_000 <= phi_ppm * n_total:
+            return _EMPTY_OUT
+        return pa.table({"token": group.column("token").slice(0, 1),
+                         "n": pa.array([n], type=pa.int64())})
+
+    return docs.map_batches(exact_partial, batch_format="pyarrow") \
+        .groupby("token").map_groups(fold, batch_format="pyarrow")
+
+
+def heavy_hitters_sql(phi_ppm: int = 5000, table: str = "documents"
+                      ) -> str:
+    """DuckDB oracle for :func:`heavy_hitters`: the exact group-by the
+    two-pass Misra-Gries plan replaces, same whitespace tokenizer and
+    integer-ppm threshold."""
+    return rf"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+      FROM {table} WHERE length(trim(text)) > 0),
+    tot AS (SELECT count(*) AS n FROM tok)
+    SELECT t AS token, CAST(count(*) AS BIGINT) AS n
+    FROM tok GROUP BY t
+    HAVING count(*) * 1000000 > (SELECT n FROM tot) * {phi_ppm}
+"""

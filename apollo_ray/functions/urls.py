@@ -1,0 +1,155 @@
+"""URL canonicalization — step zero of every web-corpus pipeline.
+
+Common-Crawl-style inputs key everything on ``url`` (the reference's
+pages schema does too: /root/reference/apollo/hasher.py reads
+``document`` keys straight from the crawled page id), and raw crawl
+URLs are noisy: the same page appears as ``HTTP://Site.com/a/``,
+``http://site.com:80/a`` and ``http://site.com/a?utm_source=x``.
+Canonicalizing before url-keyed dedup / latest-version election
+collapses those spellings so downstream exact/near dedup sees one key
+per page.
+
+Rules (documented, deterministic, reversible-free):
+
+1. strip the ``#fragment``;
+2. lowercase scheme and authority (host);
+3. drop the scheme's default port (``:80`` http, ``:443`` https);
+4. collapse trailing ``/`` runs on the path (root stays ``/``; an
+   empty path becomes ``/``);
+5. drop tracking query params (``utm_*``, ``fbclid``, ``gclid``,
+   ``msclkid``, ``ref_src``) and empty params;
+6. sort surviving query params bytewise (``a=1&b=2`` == ``b=2&a=1``).
+
+Strings without a ``scheme://`` authority pass through with only the
+fragment strip — the conservative choice for junk rows.
+
+Scale shape: pure map — no shuffle, no state.  Steps 1–4 run as Arrow
+compute kernels over the whole batch; only rows that actually carry a
+``?query`` (a minority of crawl URLs) take the per-row param
+normalization, and host extraction is a vectorized byproduct, so
+host-level grouping downstream needs no re-parse.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# authority-form urls: scheme://auth(rest)
+_URL_RE = (r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://"
+           r"(?P<auth>[^/?#]*)(?P<rest>.*)$")
+_TRACKING_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref_src)="
+
+
+def _norm_query(q: str) -> str:
+    """Drop tracking/empty params, sort the rest bytewise."""
+    import re
+    keep = sorted(p for p in q.split("&")
+                  if p and not re.match(_TRACKING_RE, p))
+    return "&".join(keep)
+
+
+def canonicalize_url_array(urls: pa.Array) -> tuple[pa.Array, pa.Array]:
+    """(canonical_url, host) for a string array.
+
+    Vectorized Arrow regex kernels for fragment/scheme/host/port/path;
+    a compiled-regex Python pass only over the rows that carry a query
+    string.  Null inputs stay null.
+    """
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    u = pc.replace_substring_regex(urls, r"#.*$", "")
+    parts = pc.extract_regex(u, _URL_RE)
+    matched = parts.is_valid()
+    if not pc.any(matched).as_py():
+        empty = pa.array([""] * len(u), type=pa.string())
+        return u, pc.if_else(u.is_valid(), empty, pa.scalar(
+            None, type=pa.string()))
+    scheme = pc.utf8_lower(pc.struct_field(parts, "scheme"))
+    auth = pc.utf8_lower(pc.struct_field(parts, "auth"))
+    rest = pc.struct_field(parts, "rest")
+    # default ports are scheme-conditional
+    auth = pc.if_else(pc.equal(scheme, "http"),
+                      pc.replace_substring_regex(auth, r":80$", ""), auth)
+    auth = pc.if_else(pc.equal(scheme, "https"),
+                      pc.replace_substring_regex(auth, r":443$", ""), auth)
+    rp = pc.extract_regex(rest, r"^(?P<path>[^?]*)(?P<qm>\??)(?P<q>.*)$")
+    path = pc.struct_field(rp, "path")
+    has_q = pc.equal(pc.struct_field(rp, "qm"), "?")
+    q = pc.struct_field(rp, "q")
+    # trailing-slash collapse; empty path -> "/"
+    path = pc.replace_substring_regex(path, r"/+$", "")
+    path = pc.if_else(pc.equal(path, ""), pa.scalar("/"), path)
+    # per-row param normalization only where a query exists
+    qi = np.flatnonzero(
+        pc.and_(matched, has_q).fill_null(False).to_numpy(
+            zero_copy_only=False))
+    if len(qi):
+        qpy = q.take(pa.array(qi)).to_pylist()
+        normed = [_norm_query(x or "") for x in qpy]
+        qnp = np.asarray(q.to_pylist(), dtype=object)
+        qnp[qi] = normed
+        q = pa.array([x if x is not None else None for x in qnp],
+                     type=pa.string())
+    qsuffix = pc.if_else(
+        pc.and_(has_q, pc.not_equal(q, "")).fill_null(False),
+        pc.binary_join_element_wise(pa.array(["?"] * len(u)), q, ""),
+        pa.scalar(""))
+    canon = pc.binary_join_element_wise(
+        scheme, pa.array(["://"] * len(u)), auth, path, qsuffix, "")
+    out = pc.if_else(matched, canon, u)
+    host = pc.if_else(matched,
+                      pc.replace_substring_regex(auth, r"^[^@]*@", ""),
+                      pa.scalar("", type=pa.string()))
+    host = pc.if_else(u.is_valid(), host, pa.scalar(None, type=pa.string()))
+    return out, host
+
+
+def canonical_urls(pages: "ray.data.Dataset", url_col: str = "url",
+                   id_col: str = "doc_id") -> "ray.data.Dataset":
+    """(id, url_canon, host) map pass over a url-keyed table."""
+    def xform(batch: pa.Table) -> pa.Table:
+        canon, host = canonicalize_url_array(batch.column(url_col))
+        return pa.table({id_col: batch.column(id_col),
+                         "url_canon": canon, "host": host})
+    return pages.map_batches(xform, batch_format="pyarrow")
+
+
+def url_host_stats(pages: "ray.data.Dataset", url_col: str = "url",
+                   id_col: str = "doc_id", num_partitions: int = 64
+                   ) -> "ray.data.Dataset":
+    """(host, n_urls, n_canonical) — per-host crawl-dup report: how
+    many raw URLs each host contributed and how many DISTINCT pages
+    remain after canonicalization.  One pkey shuffle of
+    (host, url_canon) metadata rows — 2 short strings per input row,
+    never the payload; each host lands in exactly one partition so the
+    distinct count is exact without a second exchange."""
+    from apollo_ray.hashing import hash_utf8, mix_to_partition
+
+    def meta(batch: pa.Table) -> pa.Table:
+        canon, host = canonicalize_url_array(batch.column(url_col))
+        hs = host.to_pylist()
+        h = np.fromiter((hash_utf8(x or "") for x in hs), dtype=np.int64,
+                        count=len(hs))
+        return pa.table({
+            "host": host, "url_canon": canon,
+            "pkey": pa.array(mix_to_partition(h, num_partitions),
+                             type=pa.int32())})
+
+    def per_host(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"host": pa.array([], type=pa.string()),
+                             "n_urls": pa.array([], type=pa.int64()),
+                             "n_canonical": pa.array([], type=pa.int64())})
+        import pyarrow.compute as _pc
+        tg = group.group_by("host").aggregate(
+            [("url_canon", "count"), ("url_canon", "count_distinct")])
+        return pa.table({
+            "host": tg.column("host"),
+            "n_urls": tg.column("url_canon_count").cast(pa.int64()),
+            "n_canonical": tg.column("url_canon_count_distinct").cast(
+                pa.int64())})
+
+    return pages.map_batches(meta, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(per_host, batch_format="pyarrow")

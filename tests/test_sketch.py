@@ -97,3 +97,45 @@ def test_cms_matches_duckdb_and_bounds(ray_session):
     assert (got["exact"].values == want["exact"].values).all()
     # CMS invariant: never undercounts
     assert (got["est"] >= got["exact"]).all()
+
+
+def test_heavy_hitters_exact_vs_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    from apollo_ray.functions.sketch import heavy_hitters, heavy_hitters_sql
+    rng = np.random.default_rng(7)
+    # zipf head + unique tail: forces real Misra-Gries truncation
+    texts = []
+    for i in range(500):
+        toks = ["hh%d" % int(rng.zipf(1.2)) for _ in range(10)]
+        toks.append("tail%d" % i)
+        texts.append(" ".join(toks))
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts)})
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    for phi_ppm, k in ((20000, 120), (50000, 25)):
+        got = heavy_hitters(_ds(texts, 8), phi_ppm=phi_ppm, summary_k=k,
+                            num_partitions=4).to_pandas() \
+            .sort_values("token").reset_index(drop=True)
+        want = con.execute(heavy_hitters_sql(phi_ppm=phi_ppm)
+                           + " ORDER BY token").df()
+        assert got["token"].tolist() == want["token"].tolist(), phi_ppm
+        assert got["n"].tolist() == [int(x) for x in want["n"]], phi_ppm
+
+
+def test_heavy_hitters_edges(ray_session):
+    from apollo_ray.functions.sketch import heavy_hitters
+    # guarantee guard: k too small for the threshold
+    with pytest.raises(ValueError, match="superset guarantee"):
+        heavy_hitters(_ds(["a b"]), phi_ppm=1000, summary_k=10)
+    # empty corpus -> empty result with the output schema
+    out = heavy_hitters(_ds(["", "   "]), phi_ppm=5000)
+    assert out.schema().names == ["token", "n"]
+    assert out.count() == 0
+    # batch-split invariance of the EXACT result
+    texts = ["z y z"] * 50 + ["q%d" % i for i in range(50)]
+    a = heavy_hitters(_ds(texts, 2), phi_ppm=100000,
+                      summary_k=30).to_pandas().sort_values("token")
+    b = heavy_hitters(_ds(texts, 16), phi_ppm=100000,
+                      summary_k=30).to_pandas().sort_values("token")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
