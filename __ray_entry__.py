@@ -155,6 +155,16 @@ def _heavy_hitters_sql_entry() -> str:
     return heavy_hitters_sql(phi_ppm=5000)
 
 
+def _canonical_urls_sql_entry() -> str:
+    from apollo_ray.functions.urls import canonical_urls_sql
+    return canonical_urls_sql()
+
+
+def _url_host_stats_sql_entry() -> str:
+    from apollo_ray.functions.urls import url_host_stats_sql
+    return url_host_stats_sql()
+
+
 def _dsir_sql_entry() -> str:
     from apollo_ray.functions.dsir import dsir_logweights_sql
     return dsir_logweights_sql(n_buckets=16384, target_mod=97)
@@ -525,6 +535,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from apollo_ray.functions.sketch import heavy_hitters
         return heavy_hitters(_docs(sf_dir), phi_ppm=5000)
 
+    def _synthetic_pages(sf_dir):
+        import numpy as np
+        import pyarrow as pa
+
+        from apollo_ray.functions.urls import synthetic_crawl_urls
+
+        def add_url(batch):
+            ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "url": pa.array(synthetic_crawl_urls(ids),
+                                type=pa.string())})
+        return _docs(sf_dir).map_batches(add_url, batch_format="pyarrow")
+
+    def q_canonical_urls(sf_dir):
+        from apollo_ray.functions.urls import canonical_urls
+        return canonical_urls(_synthetic_pages(sf_dir))
+
+    def q_url_host_stats(sf_dir):
+        from apollo_ray.functions.urls import url_host_stats
+        return url_host_stats(_synthetic_pages(sf_dir))
+
     def q_sliding_window(sf_dir):
         from apollo_ray.functions.asof import sliding_window_stats
         return sliding_window_stats(_events(sf_dir))
@@ -788,6 +820,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_text": q_hll_distinct,
         "cms_token_counts": q_cms_counts,
         "heavy_hitters": q_heavy_hitters,
+        "canonical_urls": q_canonical_urls,
+        "url_host_stats": q_url_host_stats,
         "leakage_safe_splits": q_leakage_splits,
         "sliding_window_stats": q_sliding_window,
         "pii_stats": q_pii_stats,
@@ -1312,6 +1346,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_text": _hll_sql_entry(),
         "cms_token_counts": _cms_sql_entry(),
         "heavy_hitters": _heavy_hitters_sql_entry(),
+        "canonical_urls": _canonical_urls_sql_entry(),
+        "url_host_stats": _url_host_stats_sql_entry(),
         "leakage_safe_splits": _leakage_sql_entry(),
         "sliding_window_stats": _sliding_sql_entry(),
         "pii_stats": _pii_stats_sql(),

@@ -1,9 +1,9 @@
 """URL canonicalization — step zero of every web-corpus pipeline.
 
-Common-Crawl-style inputs key everything on ``url`` (the reference's
-pages schema does too: /root/reference/apollo/hasher.py reads
-``document`` keys straight from the crawled page id), and raw crawl
-URLs are noisy: the same page appears as ``HTTP://Site.com/a/``,
+Common-Crawl-style inputs key everything on ``url`` (the reference
+keys its hash rows by document id the same way —
+/root/reference/apollo/hasher.py:179 zips ``bow.documents`` ids with
+their hashes), and raw crawl URLs are noisy: the same page appears as ``HTTP://Site.com/a/``,
 ``http://site.com:80/a`` and ``http://site.com/a?utm_source=x``.
 Canonicalizing before url-keyed dedup / latest-version election
 collapses those spellings so downstream exact/near dedup sees one key
@@ -153,3 +153,99 @@ def url_host_stats(pages: "ray.data.Dataset", url_col: str = "url",
 
     return pages.map_batches(meta, batch_format="pyarrow") \
         .groupby("pkey").map_groups(per_host, batch_format="pyarrow")
+
+
+def synthetic_crawl_urls(doc_id: np.ndarray) -> list[str]:
+    """Deterministic messy-URL test vectors keyed by doc id (the
+    driver's tables carry no url column, so oracle queries derive one
+    identically on both sides).  Exercises every canonicalization
+    rule — default port, non-default port kept, tracking params,
+    param order, trailing slashes, fragment — and plants real
+    cross-spelling collisions: ids i and i+350 with i % 4 == 0 spell
+    the SAME canonical page two different ways."""
+    out = []
+    for i in np.asarray(doc_id, dtype=np.int64).tolist():
+        h, p, c = i % 7, i % 50, i % 4
+        base = "HTTPS://Site%d.Example.COM" % h
+        if c == 0:
+            out.append(base + ":443/p/%d/?utm_source=x&b=2&a=1#frag" % p)
+        elif c == 1:
+            out.append(base + ":8080/p/%d" % p)
+        elif c == 2:
+            out.append(base + "/p/%d?b=2&utm_campaign=c&a=1&" % p)
+        else:
+            out.append(base + "/p/%d//" % p)
+    return out
+
+
+_SYNTH_URL_SQL = """
+      'HTTPS://Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM' ||
+      CASE CAST(doc_id % 4 AS INTEGER)
+        WHEN 0 THEN ':443/p/' || CAST(doc_id % 50 AS VARCHAR)
+                    || '/?utm_source=x&b=2&a=1#frag'
+        WHEN 1 THEN ':8080/p/' || CAST(doc_id % 50 AS VARCHAR)
+        WHEN 2 THEN '/p/' || CAST(doc_id % 50 AS VARCHAR)
+                    || '?b=2&utm_campaign=c&a=1&'
+        ELSE '/p/' || CAST(doc_id % 50 AS VARCHAR) || '//'
+      END
+"""
+
+# SQL twin of canonicalize_url_array for authority-form urls
+_CANON_SQL = r"""
+    s AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u0 FROM u),
+    p AS (SELECT doc_id, u0,
+           lower(regexp_extract(u0,
+                 '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+           lower(regexp_extract(u0,
+                 '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS auth0,
+           regexp_extract(u0,
+                 '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?]*)', 1) AS path0,
+           CASE WHEN strpos(u0, '?') > 0
+                THEN substr(u0, strpos(u0, '?') + 1) ELSE NULL END AS q0
+          FROM s),
+    n AS (SELECT doc_id, u0, scheme,
+           CASE WHEN scheme = 'http'
+                THEN regexp_replace(auth0, ':80$', '')
+                WHEN scheme = 'https'
+                THEN regexp_replace(auth0, ':443$', '')
+                ELSE auth0 END AS auth,
+           CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+                ELSE regexp_replace(path0, '/+$', '') END AS path,
+           CASE WHEN q0 IS NULL THEN NULL
+                ELSE array_to_string(list_sort(list_filter(
+                       string_split(q0, '&'),
+                       x -> length(x) > 0 AND NOT regexp_matches(x,
+                         '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref_src)='
+                       ))), '&') END AS q
+          FROM p),
+    canon AS (
+      SELECT doc_id,
+             CASE WHEN scheme = '' OR scheme IS NULL THEN u0
+                  ELSE scheme || '://' || auth || path ||
+                       CASE WHEN q IS NOT NULL AND q <> ''
+                            THEN '?' || q ELSE '' END
+             END AS url_canon,
+             CASE WHEN scheme = '' OR scheme IS NULL THEN ''
+                  ELSE regexp_replace(auth, '^[^@]*@', '') END AS host
+      FROM n)
+"""
+
+
+def canonical_urls_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`canonical_urls` over the synthetic
+    url construction — every rule replicated with RE2 + list
+    lambdas."""
+    return (f"WITH u AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url "
+            f"FROM {table}),"
+            + _CANON_SQL
+            + " SELECT doc_id, url_canon, host FROM canon")
+
+
+def url_host_stats_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`url_host_stats` (same construction)."""
+    return (f"WITH u AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url "
+            f"FROM {table}),"
+            + _CANON_SQL
+            + """ SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(count(DISTINCT url_canon) AS BIGINT) AS n_canonical
+            FROM canon GROUP BY host""")

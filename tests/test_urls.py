@@ -1,0 +1,91 @@
+"""URL canonicalization: rule-by-rule kernel checks, batch-split
+invariance, and DuckDB oracle parity over the synthetic construction."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from apollo_ray.functions.urls import (canonical_urls, canonical_urls_sql,
+                                       canonicalize_url_array,
+                                       synthetic_crawl_urls, url_host_stats,
+                                       url_host_stats_sql)
+
+
+def test_canonicalize_rules():
+    urls = pa.array([
+        "HTTPS://Site.Example.COM:443/p/1/?utm_source=x&b=2&a=1#frag",
+        "http://a.com:80/x//",
+        "http://a.com:8080/x",          # non-default port kept
+        "https://user@B.com/path?z=1&utm_campaign=c&a=2&",
+        "https://c.com",                # empty path -> /
+        "http://d.com/?utm_source=o",   # all params tracking -> no ?
+        "not a url#frag",               # no authority: fragment strip only
+        None,
+    ])
+    canon, host = canonicalize_url_array(urls)
+    assert canon.to_pylist() == [
+        "https://site.example.com/p/1?a=1&b=2",
+        "http://a.com/x",
+        "http://a.com:8080/x",
+        "https://user@b.com/path?a=2&z=1",
+        "https://c.com/",
+        "http://d.com/",
+        "not a url",
+        None,
+    ]
+    assert host.to_pylist() == [
+        "site.example.com", "a.com", "a.com:8080", "b.com", "c.com",
+        "d.com", "", None]
+
+
+def _pages(n=400, parallelism=4):
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "url": pa.array(synthetic_crawl_urls(ids),
+                                  type=pa.string())})
+    return ray.data.from_arrow(t).repartition(parallelism), t
+
+
+def test_canonical_urls_match_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    pages, t = _pages(400)
+    con = duckdb.connect()
+    con.register("documents", t.select(["doc_id"]))
+    got = canonical_urls(pages).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = con.execute(canonical_urls_sql()).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(want)
+    # planted collision: i and i+350 (i % 4 == 0) share a canonical url
+    by_id = got.set_index("doc_id")["url_canon"]
+    assert by_id[0] == by_id[350]
+    assert by_id[1] != by_id[351]       # :8080 spelling stays distinct
+
+
+def test_url_host_stats_match_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    pages, t = _pages(400, parallelism=8)
+    con = duckdb.connect()
+    con.register("documents", t.select(["doc_id"]))
+    got = url_host_stats(pages).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    want = con.execute(url_host_stats_sql()).df() \
+        .sort_values("host").reset_index(drop=True)
+    assert got["host"].tolist() == want["host"].tolist()
+    assert got["n_urls"].tolist() == [int(x) for x in want["n_urls"]]
+    assert got["n_canonical"].tolist() == [
+        int(x) for x in want["n_canonical"]]
+    # dedup actually found something
+    assert (got["n_canonical"] < got["n_urls"]).any()
+
+
+def test_canonical_batch_split_invariant(ray_session):
+    a, _ = _pages(300, parallelism=2)
+    b, _ = _pages(300, parallelism=16)
+    ga = canonical_urls(a).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    gb = canonical_urls(b).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert ga.equals(gb)
