@@ -20,15 +20,21 @@ import json
 import sys
 
 
-def _init_ray(num_cpus: int | None) -> bool:
+def _init_ray(num_cpus: int | None, address: str = "local") -> bool:
     """Returns True when this call created the Ray session (and the
-    command should shut it down on exit)."""
+    command should shut it down on exit).
+
+    ``address="local"`` starts a throwaway single-node session;
+    ``--address auto`` attaches to the running cluster instead, which
+    is how a ``ray job submit`` driver runs these commands on a
+    fixed-size multi-node cluster (doc/CLUSTER.md) — there the
+    cluster, not the flag, decides the CPU count."""
     import ray
     created = False
     if not ray.is_initialized():
-        kwargs = {"address": "local", "include_dashboard": False,
+        kwargs = {"address": address, "include_dashboard": False,
                   "logging_level": "ERROR"}
-        if num_cpus:
+        if num_cpus and address == "local":
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
         created = True
@@ -55,7 +61,7 @@ def cmd_run(args) -> int:
     import ray
     from apollo_ray.pipelines.dedup import run_dedup
     from apollo_ray.sources.io import read_pages
-    owns = _init_ray(args.num_cpus)
+    owns = _init_ray(args.num_cpus, getattr(args, "address", "local"))
     cfg = _cfg_from_args(args)
     pages = read_pages(args.input, lang_filter=args.lang.split(",") if args.lang else None)
     out = run_dedup(pages, cfg, ckpt_root=args.ckpt,
@@ -75,7 +81,7 @@ def cmd_append(args) -> int:
     import ray
     from apollo_ray.pipelines.dedup import append_dedup
     from apollo_ray.sources.io import read_pages
-    owns = _init_ray(args.num_cpus)
+    owns = _init_ray(args.num_cpus, getattr(args, "address", "local"))
     cfg = _cfg_from_args(args)
     pages = read_pages(args.input, lang_filter=args.lang.split(",")
                        if args.lang else None)
@@ -96,7 +102,7 @@ def cmd_curate(args) -> int:
     import ray
     from apollo_ray.pipelines.curate import CurateConfig, curate_corpus
     from apollo_ray.sources.io import read_pages
-    owns = _init_ray(args.num_cpus)
+    owns = _init_ray(args.num_cpus, getattr(args, "address", "local"))
     cfg = _cfg_from_args(args)
     ccfg = CurateConfig(
         clean_lines=not args.no_clean,
@@ -140,7 +146,7 @@ def cmd_export(args) -> int:
     import ray
     import ray.data
     from apollo_ray.pipelines.export import export_shards
-    owns = _init_ray(args.num_cpus)
+    owns = _init_ray(args.num_cpus, getattr(args, "address", "local"))
     docs = ray.data.read_parquet(args.input)
     if args.sample_alpha is not None:
         from apollo_ray.functions.sampling import temperature_sample
@@ -176,7 +182,7 @@ def cmd_query(args) -> int:
         print("error: query needs --file, --doc-id or --probes",
               file=sys.stderr)
         return 2
-    owns = _init_ray(args.num_cpus)
+    owns = _init_ray(args.num_cpus, getattr(args, "address", "local"))
     cfg = _cfg_from_args(args)
     from apollo_ray.stages.report import (query_similar,
                                           query_similar_batch,
@@ -217,7 +223,7 @@ def cmd_report(args) -> int:
     import ray
     from apollo_ray.sources.io import read_stage
     from apollo_ray.stages.report import cluster_report, render_markdown
-    owns = _init_ray(args.num_cpus)
+    owns = _init_ray(args.num_cpus, getattr(args, "address", "local"))
     clusters = read_stage(args.ckpt, "clusters")
     docs = read_stage(args.ckpt, "docs")
     rep = cluster_report(clusters, docs).to_pandas()
@@ -239,7 +245,7 @@ def cmd_stats(args) -> int:
                                                 length_quantiles,
                                                 source_dup_stats,
                                                 token_freq_hist)
-    owns = _init_ray(args.num_cpus)
+    owns = _init_ray(args.num_cpus, getattr(args, "address", "local"))
     docs = ray.data.read_parquet(args.input)
     cols = set(docs.schema().names)
     out = {}
@@ -267,6 +273,10 @@ def main(argv=None) -> int:
     def common(sp):
         sp.add_argument("--ckpt", required=True)
         sp.add_argument("--num-cpus", type=int, default=None)
+        sp.add_argument("--address", default="local",
+                        help="local (default: throwaway session) | auto "
+                             "(attach to the running cluster, e.g. under "
+                             "ray job submit) | a ray:// address")
         sp.add_argument("--shingle-k", dest="shingle_k", type=int)
         sp.add_argument("--size", type=int)
         sp.add_argument("--threshold", type=float)
@@ -304,6 +314,10 @@ def main(argv=None) -> int:
     sp.add_argument("--input", required=True)
     sp.add_argument("--output", required=True)
     sp.add_argument("--num-cpus", type=int, default=None)
+    sp.add_argument("--address", default="local",
+                    help="local (default: throwaway session) | auto "
+                         "(attach to the running cluster, e.g. under "
+                         "ray job submit) | a ray:// address")
     sp.add_argument("--lang", default=None)
     sp.add_argument("--no-clean", action="store_true")
     sp.add_argument("--min-tokens", type=int, default=20)
@@ -336,6 +350,10 @@ def main(argv=None) -> int:
     sp.add_argument("--shards", type=int, required=True)
     sp.add_argument("--key", default="doc_id")
     sp.add_argument("--num-cpus", type=int, default=None)
+    sp.add_argument("--address", default="local",
+                    help="local (default: throwaway session) | auto "
+                         "(attach to the running cluster, e.g. under "
+                         "ray job submit) | a ray:// address")
     sp.add_argument("--sample-alpha", type=float, default=None)
     sp.add_argument("--sample-base-permille", type=int, default=1000)
     sp.add_argument("--sample-group-col", default="lang")
@@ -374,6 +392,10 @@ def main(argv=None) -> int:
     sp.add_argument("--input", required=True,
                     help="documents-shaped parquet file or dir")
     sp.add_argument("--num-cpus", type=int, default=None)
+    sp.add_argument("--address", default="local",
+                    help="local (default: throwaway session) | auto "
+                         "(attach to the running cluster, e.g. under "
+                         "ray job submit) | a ray:// address")
     sp.set_defaults(handler=cmd_stats)
 
     args = p.parse_args(argv)
