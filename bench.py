@@ -110,7 +110,8 @@ def bench_once() -> dict:
         "line_dedup", "bigram_score", "regional_revenue",
         "ppl_buckets", "bloom_dedup", "dsir_logweights",
         "jaccard_join", "token_freq_hist",
-        "retention_cohorts", "customer_order_dist")
+        "retention_cohorts", "customer_order_dist",
+        "heavy_hitters", "url_host_stats")
     for name in qnames:
         t0 = time.monotonic()
         res = qs[name](SF_DIR)
