@@ -127,12 +127,14 @@ def _drop_lists_per_doc(drops: "ray.data.Dataset", num_partitions: int
 
 
 def line_dedup(docs: "ray.data.Dataset", min_len: int = 1,
-               num_partitions: int = 64) -> "ray.data.Dataset":
+               num_partitions: int = 64, sep: str = "\n"
+               ) -> "ray.data.Dataset":
     """Cross-document duplicated-line removal (the ccnet / RefinedWeb
     line-dedup step, Wenzek et al. 2020 §3.1): hash every line of every
     document, keep only the corpus-wide FIRST occurrence of each line
     (ordered by ``(doc_id, line index)``), remove the rest, and rebuild
-    each document from its surviving lines.
+    each document from its surviving lines.  ``sep`` picks the
+    granularity: ``"\\n"`` lines (default), ``"\\n\\n"`` paragraphs.
 
     Lines shorter than ``min_len`` codepoints are ineligible and always
     kept (``min_len=1`` exempts empty lines, so blank separators are
@@ -159,7 +161,7 @@ def line_dedup(docs: "ray.data.Dataset", min_len: int = 1,
         text = batch.column("text")
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        lists = pc.split_pattern(text, pattern="\n")
+        lists = pc.split_pattern(text, pattern=sep)
         lens = pc.list_value_length(lists).to_numpy(
             zero_copy_only=False).astype(np.int64)
         flat = lists.flatten()
@@ -225,11 +227,11 @@ def line_dedup(docs: "ray.data.Dataset", min_len: int = 1,
                 out_t.append(t)
                 continue
             di = np.frombuffer(b, dtype=np.int64)
-            parts = t.split("\n")
+            parts = t.split(sep)
             mask = np.ones(len(parts), dtype=bool)
             mask[di] = False
             n_dup[i] = len(di)
-            out_t.append("\n".join(p for p, m in zip(parts, mask) if m))
+            out_t.append(sep.join(p for p, m in zip(parts, mask) if m))
         keep_cols = [c for c in batch.column_names
                      if c not in ("text", "drop_idx")]
         out = {c: batch.column(c) for c in keep_cols}
@@ -277,16 +279,18 @@ def line_dedup(docs: "ray.data.Dataset", min_len: int = 1,
     return joined.map_batches(rebuild, batch_format="pyarrow")
 
 
-def line_dedup_sql(min_len: int = 1) -> str:
+def line_dedup_sql(min_len: int = 1, sep_sql: str = "chr(10)") -> str:
     """DuckDB oracle reproducing :func:`line_dedup` byte-for-byte on
     the ``documents`` table (parallel ``unnest`` zips line with index;
     ``row_number`` over the raw line = first-occurrence rule; docs
-    whose every line was dropped come back via the left join)."""
+    whose every line was dropped come back via the left join).
+    ``sep_sql`` mirrors the engine's ``sep`` — e.g.
+    ``"chr(10)||chr(10)"`` for paragraph granularity."""
     return f"""
         WITH l AS (
           SELECT doc_id,
-                 unnest(split(text, chr(10))) AS line,
-                 unnest(range(len(split(text, chr(10))))) AS idx
+                 unnest(split(text, {sep_sql})) AS line,
+                 unnest(range(len(split(text, {sep_sql})))) AS idx
           FROM documents
         ),
         r AS (
@@ -301,13 +305,13 @@ def line_dedup_sql(min_len: int = 1) -> str:
         ),
         agg AS (
           SELECT doc_id,
-                 string_agg(line, chr(10) ORDER BY idx) AS text,
+                 string_agg(line, {sep_sql} ORDER BY idx) AS text,
                  count(*) AS n_kept
           FROM kept GROUP BY doc_id
         )
         SELECT d.doc_id,
                coalesce(a.text, '') AS text,
-               CAST(len(split(d.text, chr(10))) - coalesce(a.n_kept, 0)
+               CAST(len(split(d.text, {sep_sql})) - coalesce(a.n_kept, 0)
                     AS BIGINT) AS n_dup_lines
         FROM documents d LEFT JOIN agg a USING (doc_id)
     """

@@ -142,7 +142,6 @@ def url_host_stats(pages: "ray.data.Dataset", url_col: str = "url",
             return pa.table({"host": pa.array([], type=pa.string()),
                              "n_urls": pa.array([], type=pa.int64()),
                              "n_canonical": pa.array([], type=pa.int64())})
-        import pyarrow.compute as _pc
         tg = group.group_by("host").aggregate(
             [("url_canon", "count"), ("url_canon", "count_distinct")])
         return pa.table({

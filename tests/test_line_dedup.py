@@ -94,3 +94,28 @@ def test_join_fallback_path(ray_session, monkeypatch):
     assert out.loc[1, "n_dup_lines"] == 2
     assert out.loc[0, "text"] == "a\nb"
     assert out.loc[2, "text"] == "c"
+
+
+def test_paragraph_granularity(ray_session):
+    import duckdb
+    import ray
+    # paragraphs (\n\n) dedup as units; single \n lines inside a
+    # paragraph are NOT touched
+    texts = ["intro here\n\nshared para\nline two\n\nown tail",
+             "other intro\n\nshared para\nline two",
+             "shared para\nline two"]     # whole doc == the dup para
+    out = _run(texts, ray, sep="\n\n")
+    assert out.loc[0, "text"] == texts[0]            # first occurrence
+    assert out.loc[1, "text"] == "other intro"
+    assert out.loc[1, "n_dup_lines"] == 1
+    assert out.loc[2, "text"] == ""
+    from apollo_ray.functions.clean import line_dedup_sql
+    con = duckdb.connect()
+    con.register("documents", _docs(texts).to_pandas())
+    exp = con.execute(line_dedup_sql(
+        min_len=1, sep_sql="chr(10)||chr(10)")).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    got = out.reset_index().sort_values("doc_id").reset_index(drop=True)
+    assert got["text"].tolist() == exp["text"].tolist()
+    assert got["n_dup_lines"].astype(int).tolist() == \
+        exp["n_dup_lines"].astype(int).tolist()
