@@ -165,6 +165,11 @@ def _url_host_stats_sql_entry() -> str:
     return url_host_stats_sql()
 
 
+def _tiered_sql_entry() -> str:
+    from apollo_ray.functions.tiers import tiered_dedup_sql
+    return tiered_dedup_sql()
+
+
 def _dsir_sql_entry() -> str:
     from apollo_ray.functions.dsir import dsir_logweights_sql
     return dsir_logweights_sql(n_buckets=16384, target_mod=97)
@@ -557,6 +562,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from apollo_ray.functions.urls import url_host_stats
         return url_host_stats(_synthetic_pages(sf_dir))
 
+    def q_dedup_tier_rollup(sf_dir):
+        """Cost-ordered dedup cascade (the production tier ordering:
+        cheap exact tiers before signature hashing) — per-tier
+        in/removed/out counts; exact SQL for the exact + canonical-url
+        tiers, -1 sentinels + engine-computed invariant flag for the
+        minhash tier (its strong per-cluster checks live in
+        minhash_dedup_invariants / minhash_cluster_stats)."""
+        import numpy as np
+        import pyarrow as pa
+        from apollo_ray.config import DedupConfig
+        from apollo_ray.functions.tiers import tiered_dedup
+        from apollo_ray.functions.urls import synthetic_crawl_urls
+
+        def add_url(batch):
+            ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+            return batch.append_column(
+                "url", pa.array(synthetic_crawl_urls(ids),
+                                type=pa.string()))
+
+        docs = _docs(sf_dir).map_batches(add_url, batch_format="pyarrow")
+        out = tiered_dedup(docs, DedupConfig(feature_dim_log2=14),
+                           num_partitions=16)
+        return out["stats"]
+
     def q_sliding_window(sf_dir):
         from apollo_ray.functions.asof import sliding_window_stats
         return sliding_window_stats(_events(sf_dir))
@@ -822,6 +851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q_heavy_hitters,
         "canonical_urls": q_canonical_urls,
         "url_host_stats": q_url_host_stats,
+        "dedup_tier_rollup": q_dedup_tier_rollup,
         "leakage_safe_splits": q_leakage_splits,
         "sliding_window_stats": q_sliding_window,
         "pii_stats": q_pii_stats,
@@ -1348,6 +1378,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": _heavy_hitters_sql_entry(),
         "canonical_urls": _canonical_urls_sql_entry(),
         "url_host_stats": _url_host_stats_sql_entry(),
+        "dedup_tier_rollup": _tiered_sql_entry(),
         "leakage_safe_splits": _leakage_sql_entry(),
         "sliding_window_stats": _sliding_sql_entry(),
         "pii_stats": _pii_stats_sql(),

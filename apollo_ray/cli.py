@@ -140,6 +140,28 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_tiers(args) -> int:
+    """Cost-ordered dedup cascade (exact -> canonical-url -> minhash,
+    ``functions/tiers.py``); writes the tier-3 survivor corpus and
+    prints the per-tier rollup."""
+    import ray
+    from apollo_ray.functions.tiers import tiered_dedup
+    from apollo_ray.sources.io import read_pages
+    from apollo_ray.stages.extract import extract_docs
+    owns = _init_ray(args.num_cpus, getattr(args, "address", "local"))
+    cfg = _cfg_from_args(args)
+    pages = read_pages(args.input, lang_filter=args.lang.split(",")
+                       if args.lang else None)
+    docs = extract_docs(pages, cfg)
+    out = tiered_dedup(docs, cfg)
+    out["survivors"].write_parquet(args.output)
+    print(json.dumps({"tiers": out["stats"].to_pylist(),
+                      "metrics": out["metrics"]}, default=str))
+    if owns:
+        ray.shutdown()
+    return 0
+
+
 def cmd_export(args) -> int:
     """Re-shard an existing docs Parquet directory (optionally with
     temperature rebalancing) into training shards."""
@@ -343,6 +365,21 @@ def main(argv=None) -> int:
               ("--feature-dim-log2", "feature_dim_log2", int)):
         sp.add_argument(f[0], dest=f[1], type=f[2])
     sp.set_defaults(handler=cmd_curate)
+
+    sp = sub.add_parser("tiers")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--lang", default=None)
+    sp.add_argument("--num-cpus", type=int, default=None)
+    sp.add_argument("--address", default="local")
+    sp.add_argument("--shingle-k", dest="shingle_k", type=int)
+    sp.add_argument("--size", type=int)
+    sp.add_argument("--threshold", type=float)
+    sp.add_argument("--seed", type=int)
+    sp.add_argument("--feature-dim-log2", dest="feature_dim_log2", type=int)
+    sp.add_argument("--minhash-mode", dest="minhash_mode",
+                    choices=("weighted", "unweighted"), default=None)
+    sp.set_defaults(handler=cmd_tiers)
 
     sp = sub.add_parser("export")
     sp.add_argument("--input", required=True)
