@@ -177,6 +177,11 @@ def run_scaling() -> dict:
         "docs_per_sec_lo": r_lo["docs_per_sec"],
         "docs_per_sec_hi": r_hi["docs_per_sec"],
         "bench_rows": scaling_rows,
+        # per-stage wall split of each leg: a stage whose time does NOT
+        # shrink lo->hi is the serial/barrier floor — keep the evidence
+        # attached to every sample
+        "stage_sec_lo": r_lo.get("stage_sec", {}),
+        "stage_sec_hi": r_hi.get("stage_sec", {}),
     }
 
 

@@ -86,6 +86,8 @@ def main() -> int:
             "value": r["value"], "sec_lo": r["sec_lo"], "sec_hi": r["sec_hi"],
             "docs_per_sec_hi": r["docs_per_sec_hi"],
             "bench_rows": r["bench_rows"],
+            "stage_sec_lo": r.get("stage_sec_lo", {}),
+            "stage_sec_hi": r.get("stage_sec_hi", {}),
             "pre_probe": pre, "post_probe": post,
             "clean": bool(clean),
             "note": "tools/scaling_sampler.py probe-bracketed sample"
