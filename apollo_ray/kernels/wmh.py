@@ -57,22 +57,32 @@ def derive_params(rs: np.ndarray, ln_cs: np.ndarray, betas: np.ndarray
                   ) -> dict[str, np.ndarray]:
     """The hot-path parameter tables, transposed to C-contiguous
     (dim, size) so each present feature gathers one contiguous row:
-    ``r_t`` = r, ``beta_t`` = beta, ``lnc_t`` = ln_c.
+    ``r_t`` = r, ``beta_t`` = beta, ``c2_t`` = ln_c + (beta-1)*r.
 
-    Only the three INDEPENDENT tables are stored: the kernel gather is
-    DRAM-bandwidth-bound (the measured multi-process scaling ceiling),
-    so the derived quantities 1/r and ln_c + (beta-1)*r are recomputed
-    per L2 tile instead of gathered — 25% less gather traffic and a
-    96 MB (not 128 MB) broadcast table at the 2^16 x 128 defaults, for
-    a few extra cheap vector ops on cache-hot tiles.  The in-tile
-    recomputation uses the exact float32 op sequence of the scalar
-    oracle, so signatures stay bit-identical (pinned by tests)."""
+    Still exactly three tables (96 MB broadcast at the 2^16 x 128
+    defaults), but ``c2`` is stored PRECOMPUTED instead of ``ln_c``:
+    for a unit-weight feature (tf=1 under logtf weighting — the
+    overwhelming majority of shingle occurrences in webtext)
+    ``vlog = log(1.0) = +0.0`` exactly, hence ``t = floor(0*(1/r) +
+    beta) = 0`` (beta ∈ [0,1)) and ``ln_a = c2 - 0*r = c2`` — the c2
+    row IS the answer.  The kernel gathers ONE row (512 B) for those
+    occurrences instead of three, and runs the full recurrence only
+    for weights != 1.  The kernel gather is DRAM-bandwidth-bound (the
+    measured multi-process scaling ceiling), so this cuts the
+    dominant traffic ~3x on tf=1-heavy corpora while staying
+    bit-identical to the scalar oracle (IEEE: ``0*r = +0``,
+    ``floor(beta) = 0``, ``c2 - (+0) = c2``; pinned by tests).
+
+    ``c2`` is computed with the scalar oracle's float32 op sequence
+    (``ln_cs + (betas - 1) * rs``) so the bits match exactly."""
+    rs = np.asarray(rs, dtype=np.float32)
+    ln_cs = np.asarray(ln_cs, dtype=np.float32)
+    betas = np.asarray(betas, dtype=np.float32)
+    c2 = (ln_cs + (betas - np.float32(1.0)) * rs).astype(np.float32)
     return {
-        "r_t": np.ascontiguousarray(np.asarray(rs, dtype=np.float32).T),
-        "beta_t": np.ascontiguousarray(np.asarray(betas,
-                                                  dtype=np.float32).T),
-        "lnc_t": np.ascontiguousarray(np.asarray(ln_cs,
-                                                 dtype=np.float32).T),
+        "r_t": np.ascontiguousarray(rs.T),
+        "beta_t": np.ascontiguousarray(betas.T),
+        "c2_t": np.ascontiguousarray(c2.T),
     }
 
 
@@ -115,21 +125,22 @@ def weighted_minhash_batch(indptr: np.ndarray, indices: np.ndarray,
 
 
 def make_work_buffers(size: int, nnz_budget: int = 1 << 16
-                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+                      ) -> tuple[np.ndarray, ...]:
     """Preallocate (and pre-fault) the three kernel work buffers.
 
     The kernel never needs more than one L2 row tile per buffer — the
     argmin is fused into the tile pass (see :func:`wmh_batch_t`) — so
     the buffers are (min(nnz_budget, _ROW_TILE), size), i.e. 256 KB
     each at the defaults, regardless of how large a batch is hashed.
-    Four buffers: t, ln_a, r and the ln_c gather target.
+    Five buffers: the full-tile t and ln_a targets plus three temps
+    (r, beta, t-accumulator) for the non-unit-weight row subset.
 
     First-touch page faults are expensive on virtualized hosts; actors
     allocate these ONCE in ``__init__`` and reuse them every batch.
     """
     rows = max(1, min(int(nnz_budget), _ROW_TILE))
     bufs = tuple(np.empty((rows, size), dtype=np.float32)
-                 for _ in range(4))
+                 for _ in range(5))
     for b in bufs:
         b.fill(0)  # touch every page now, not in the first hot batch
     return bufs
@@ -138,7 +149,7 @@ def make_work_buffers(size: int, nnz_budget: int = 1 << 16
 def wmh_batch_t(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
                 dparams: dict[str, np.ndarray],
                 nnz_budget: int = 1 << 16,
-                work_bufs: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+                work_bufs: tuple[np.ndarray, ...] | None = None
                 ) -> np.ndarray:
     """Vectorized signatures for a CSR batch of weighted bags.
 
@@ -147,18 +158,20 @@ def wmh_batch_t(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
     (sorted order makes the sparse argmin tie-break identically to the
     dense ``nanargmin`` of the scalar oracle).
 
-    The recurrence runs in three preallocated L2-sized row-tile buffers
+    The recurrence runs in preallocated L2-sized row-tile buffers
     (``min(nnz_budget, _ROW_TILE)`` x size float32, 256 KB each at the
     defaults) and the per-doc argmin is FUSED into the tile pass: each
     tile's ln_a values are reduced into the per-doc running minimum
     while still hot in L2, so no (m x size) intermediate ever streams
-    through DRAM.  The only DRAM traffic left is the 4 gathered
-    parameter rows per present feature (512 B each, read from the
-    (dim x size) tables, which fit this host's L3) and the (size, 2)
-    output per doc.  An earlier version materialized full-chunk
-    t/ln_a buffers (2 x 32 MB at the 2^16 budget) and re-read them in
-    a second argmin pass; that streaming traffic was the measured
-    single-host 8->32-proc scaling ceiling.
+    through DRAM.  Unit-weight occurrences (tf=1 under logtf — the
+    overwhelming majority in webtext) gather ONE precomputed ``c2``
+    row (512 B) which IS their ln_a (t = 0); only non-unit rows gather
+    r and beta and run the full recurrence.  The remaining DRAM
+    traffic is therefore ~1 parameter row per present feature plus
+    the (size, 2) output per doc.  An earlier version materialized
+    full-chunk t/ln_a buffers (2 x 32 MB at the 2^16 budget) and
+    re-read them in a second argmin pass; that streaming traffic was
+    the measured single-host 8->32-proc scaling ceiling.
 
     Tie-breaking is identical to a whole-doc ``argmin``: within a tile
     ``np.argmin`` keeps the first minimal row, and the cross-tile merge
@@ -169,7 +182,7 @@ def wmh_batch_t(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
     """
     beta_t = dparams["beta_t"]
     r_t = dparams["r_t"]
-    lnc_t = dparams["lnc_t"]
+    c2_t = dparams["c2_t"]
     size = r_t.shape[1]
     n_docs = len(indptr) - 1
     out = np.empty((n_docs, size, 2), dtype=np.uint32)
@@ -180,11 +193,22 @@ def wmh_batch_t(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
         raise ValueError("empty bag at row %d"
                          % int(np.flatnonzero(row_nnz == 0)[0]))
     data = np.asarray(data, dtype=np.float32)
-    vlog_all = np.log(data)[:, None]
+    # unit-weight occurrences (tf=1 under logtf — the vast majority in
+    # webtext) have vlog = +0.0 exactly, so t = floor(beta) = 0 and
+    # ln_a = c2: the precomputed c2 row is the whole answer and only
+    # the rows below take the full recurrence
+    heavy_mask = data != np.float32(1.0)
+    vlog_all = np.zeros((len(data), 1), dtype=np.float32)
+    np.log(data, where=heavy_mask, out=vlog_all[:, 0])
     sample_idx = np.arange(size)
-    if work_bufs is None or len(work_bufs) < 4:
+    if work_bufs is None or len(work_bufs) < 5:
         work_bufs = make_work_buffers(size, nnz_budget)
-    buf_t, buf_a, buf_g, buf_l = work_bufs
+    buf_t, buf_a, buf_g, buf_l, buf_x = work_bufs
+    buf_t.fill(0.0)          # t rows default to 0 (unit-weight value);
+    # non-unit rows scatter their t in and restore zeros after each
+    # tile; fully-dense tiles defer the restore until a tile with
+    # unit rows actually needs it
+    tt_full_dirty = False
     tile = max(1, min(int(nnz_budget), _ROW_TILE, buf_t.shape[0]))
     one = np.float32(1.0)
 
@@ -204,22 +228,49 @@ def wmh_batch_t(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
         it = indices[ts:te]
         tt = buf_t[:n]
         at = buf_a[:n]
-        gt = buf_g[:n]
-        lt = buf_l[:n]
-        # three gathers (r, beta, ln_c); 1/r and c2 recomputed in-tile
-        # with the scalar oracle's exact float32 op sequence
-        np.take(r_t, it, axis=0, out=gt)         # r
-        np.divide(one, gt, out=tt)               # 1/r
-        np.multiply(tt, vlog_all[ts:te], out=tt)
-        np.take(beta_t, it, axis=0, out=at)      # beta
-        np.add(tt, at, out=tt)
-        np.floor(tt, out=tt)                     # t
-        np.subtract(at, one, out=at)             # beta - 1
-        np.multiply(at, gt, out=at)              # (beta-1) * r
-        np.take(lnc_t, it, axis=0, out=lt)       # ln_c
-        np.add(lt, at, out=at)                   # c2 = ln_c + (beta-1)*r
-        np.multiply(tt, gt, out=gt)              # t * r
-        np.subtract(at, gt, out=at)              # ln_a
+        # ONE gather per row: the c2 row IS ln_a for unit weights
+        # (and their t rows are already 0 in the pre-zeroed buffer)
+        np.take(c2_t, it, axis=0, out=at)
+        nz = np.flatnonzero(heavy_mask[ts:te])
+        if tt_full_dirty and len(nz) < n:
+            # a previous fully-dense tile overwrote every t row and
+            # deferred its cleanup; unit rows need zeros again
+            buf_t.fill(0.0)
+            tt_full_dirty = False
+        if len(nz) == n:
+            # whole tile non-unit (tf-weighted corpora): dense path,
+            # no fancy-index copies — same cost as the pre-c2 kernel
+            tt_full_dirty = True
+            g = buf_g[:n]
+            b = buf_l[:n]
+            x = buf_x[:n]
+            np.take(r_t, it, axis=0, out=g)       # r
+            np.divide(one, g, out=x)              # 1/r
+            np.multiply(x, vlog_all[ts:te], out=x)
+            np.take(beta_t, it, axis=0, out=b)    # beta
+            np.add(x, b, out=x)
+            np.floor(x, out=x)                    # t
+            np.copyto(tt, x)
+            np.multiply(x, g, out=g)              # t * r
+            np.subtract(at, g, out=at)            # ln_a = c2 - t*r
+        elif len(nz):
+            # full recurrence for the (rare) non-unit-weight rows,
+            # same float32 op sequence as the scalar oracle
+            m_nz = len(nz)
+            itnz = it[nz]
+            g = buf_g[:m_nz]
+            b = buf_l[:m_nz]
+            x = buf_x[:m_nz]
+            np.take(r_t, itnz, axis=0, out=g)     # r
+            np.divide(one, g, out=x)              # 1/r
+            np.multiply(x, vlog_all[ts:te][nz], out=x)
+            np.take(beta_t, itnz, axis=0, out=b)  # beta
+            np.add(x, b, out=x)
+            np.floor(x, out=x)                    # t
+            tt[nz] = x
+            np.multiply(x, g, out=g)              # t * r
+            np.subtract(at[nz], g, out=g)         # ln_a = c2 - t*r
+            at[nz] = g
 
         # reduce each doc segment inside [ts, te) while hot in L2
         while doc < n_docs and int(indptr[doc]) < te:
@@ -254,4 +305,6 @@ def wmh_batch_t(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
                 doc += 1
             else:
                 break  # doc continues into the next tile
+        if 0 < len(nz) < n:
+            tt[nz] = 0.0     # restore the unit-weight t default
     return out

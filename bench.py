@@ -111,7 +111,7 @@ def bench_once() -> dict:
         "ppl_buckets", "bloom_dedup", "dsir_logweights",
         "jaccard_join", "token_freq_hist",
         "retention_cohorts", "customer_order_dist",
-        "heavy_hitters", "url_host_stats")
+        "heavy_hitters", "url_host_stats", "dedup_tier_rollup")
     for name in qnames:
         t0 = time.monotonic()
         res = qs[name](SF_DIR)
