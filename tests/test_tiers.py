@@ -86,6 +86,17 @@ def test_tiered_rollup_matches_oracle_shape(ray_session):
     assert o.loc["minhash", "n_out"] == -1
 
 
+def test_tiered_dedup_forced_hashjoin(ray_session):
+    """rep_broadcast_max=0 forces the above-cap survivor chaining
+    (pkey hash join instead of id broadcast) — same result."""
+    out = tiered_dedup(_mk_docs(), DedupConfig(feature_dim_log2=12),
+                       num_partitions=4, rep_broadcast_max=0)
+    surv = sorted(out["survivors"].to_pandas()["doc_id"].tolist())
+    assert surv == [0, 2, 4, 6, 7]
+    st = out["stats"].to_pandas().set_index("tier")
+    assert st.loc["url", "n_out"] == 6 and (st["ok"] == 1).all()
+
+
 def test_tiered_dedup_no_dups(ray_session):
     docs = ray.data.from_arrow(pa.table({
         "doc_id": pa.array([10, 20], type=pa.int64()),
