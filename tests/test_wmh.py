@@ -68,6 +68,33 @@ def test_batch_chunking_invariant(params):
     np.testing.assert_array_equal(a, b)
 
 
+def test_unit_weight_mixes_equal_scalar(params):
+    """The unit-weight (tf=1) fast path must stay bit-identical to
+    the scalar oracle across mixes and tile boundaries: per-mix bags
+    where a given fraction of weights is exactly 1.0, hashed with a
+    tiny nnz budget so docs straddle tiles in every branch combo
+    (all-unit, mixed, all-heavy tiles)."""
+    rng = np.random.default_rng(23)
+    for frac in (0.0, 0.3, 0.9, 1.0):
+        dense = random_bags(24, DIM, seed=int(frac * 100) + 5)
+        mask = dense > 0
+        ones = mask & (rng.random(dense.shape) < frac)
+        dense[ones] = np.float32(1.0)
+        indptr, indices, data = to_csr(dense)
+        for budget in (7, 64, 1 << 16):
+            batch = weighted_minhash_batch(indptr, indices, data,
+                                           params["rs"], params["ln_cs"],
+                                           params["betas"],
+                                           nnz_budget=budget)
+            for i in range(len(dense)):
+                scalar = weighted_minhash_scalar(
+                    dense[i].copy(), params["rs"], params["ln_cs"],
+                    params["betas"])
+                np.testing.assert_array_equal(
+                    batch[i], scalar,
+                    err_msg="frac=%s budget=%d doc=%d" % (frac, budget, i))
+
+
 def test_ioffe_collision_property():
     # E[collisions]/size ~= weighted Jaccard (Ioffe's guarantee)
     dim, size = 500, 1024
