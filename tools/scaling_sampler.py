@@ -12,13 +12,15 @@ no-Ray kernel probes.  This tool loops:
 
 Usage: python tools/scaling_sampler.py [max_samples] [max_minutes] [levels]
 
-``levels`` is "8,32" (default) or "2,8"; samples append to
+``levels`` is "8,32" (default), "2,8", or "auto"; samples append to
 BENCH/SCALING_{lo}_{hi}.json r3_samples.  Clean gates per level pair
 come from the recorded clean ranges: the 8->32 pair needs the 32-proc
 kernel regime healthy (eff >= 0.75, agg32 >= 70k docs/s); the 2->8
 pair only needs the <=8-way regime healthy (1->8 eff >= 0.80,
 single-proc >= 3,000 docs/s) — 32-way contention does not touch it
-(BENCH/SCALING_2_8.json r3 note).
+(BENCH/SCALING_2_8.json r3 note).  ``auto`` probes once per cycle and
+samples whichever pair's gate is clean (8->32 preferred), so a host
+mood that only permits the node-model pair still yields evidence.
 """
 from __future__ import annotations
 
@@ -62,8 +64,7 @@ def main() -> int:
     max_samples = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     max_minutes = float(sys.argv[2]) if len(sys.argv) > 2 else 60
     levels_s = sys.argv[3] if len(sys.argv) > 3 else "8,32"
-    lo, hi = (int(x) for x in levels_s.split(","))
-    rec = os.path.join(ROOT, "BENCH", "SCALING_%d_%d.json" % (lo, hi))
+    auto = levels_s == "auto"
     t_end = time.time() + max_minutes * 60
     taken = 0
     while taken < max_samples and time.time() < t_end:
@@ -71,6 +72,17 @@ def main() -> int:
         print("probe: 1->8 %.3f 8->32 %.3f agg1 %.0f agg32 %.0f"
               % (pre["eff_1_8"], pre["eff_8_32"], pre["agg1"], pre["agg32"]),
               flush=True)
+        if auto:
+            if is_clean(pre, (8, 32)):
+                levels_s = "8,32"
+            elif is_clean(pre, (2, 8)):
+                levels_s = "2,8"
+            else:
+                time.sleep(240)
+                continue
+            print("auto: sampling %s" % levels_s, flush=True)
+        lo, hi = (int(x) for x in levels_s.split(","))
+        rec = os.path.join(ROOT, "BENCH", "SCALING_%d_%d.json" % (lo, hi))
         if not is_clean(pre, (lo, hi)):
             time.sleep(240)
             continue
