@@ -261,9 +261,11 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
     edges, edges_hit = stage("edges", build_edges, bands_hit)
 
     def build_clusters():
+        t0 = time.monotonic()
         final_edges = connected_components(edges,
                                            num_partitions=num_partitions,
                                            max_rounds=cfg.cc_max_rounds)
+        metrics["cc_sec"] = round(time.monotonic() - t0, 3)
         # fold-extract path: the doc-id universe comes from the tiny
         # materialized metadata table, not a third extraction pass
         id_src = meta if meta is not None else docs
