@@ -94,6 +94,15 @@ def main() -> int:
         r = json.loads(out.stdout.strip().splitlines()[-1])
         post = probe()
         clean = is_clean(post, (lo, hi), post=True)
+        # bracket probes cannot catch a MID-LEG transient (seen: a
+        # 0.421 sample with clean pre+post probes whose hi leg ran
+        # its map-only docs stage SLOWER at 32 CPUs than at 8) — so
+        # also require the legs' own stage splits to be physically
+        # sane: a map stage must not anti-scale lo -> hi
+        docs_lo = r.get("stage_sec_lo", {}).get("docs_sec")
+        docs_hi = r.get("stage_sec_hi", {}).get("docs_sec")
+        if docs_lo and docs_hi and docs_hi > docs_lo * 1.2:
+            clean = False
         sample = {
             "value": r["value"], "sec_lo": r["sec_lo"], "sec_hi": r["sec_hi"],
             "docs_per_sec_hi": r["docs_per_sec_hi"],
@@ -103,7 +112,9 @@ def main() -> int:
             "pre_probe": pre, "post_probe": post,
             "clean": bool(clean),
             "note": "tools/scaling_sampler.py probe-bracketed sample"
-                    + ("" if clean else " - post-probe degraded, EXCLUDED"),
+                    + ("" if clean else
+                       " - post-probe degraded or leg stage-split"
+                       " anomaly, EXCLUDED"),
         }
         d = json.load(open(rec))
         d.setdefault("r3_samples", []).append(sample)
