@@ -52,12 +52,18 @@ def probe() -> dict:
 
 
 def is_clean(p: dict, levels: tuple[int, int], post: bool = False) -> bool:
+    # absolute throughput gates are scaled by 0.94: the probe's
+    # default all-heavy workload runs the round-3 unit-weight kernel's
+    # dense branch at 0.94x the old kernel (BENCH/BASELINE.md round-3
+    # session 3), so a genuinely clean host reads 0.94x the historical
+    # clean numbers the original gates were calibrated against;
+    # efficiency-ratio gates are unit-free and stay as calibrated
     slack = 0.95 if post else 1.0      # post-probe gets mild tolerance
     if levels == (2, 8):
         return (p["eff_1_8"] >= 0.80 * slack
-                and p["agg1"] >= 3000 * slack)
+                and p["agg1"] >= 2850 * slack)
     return (p["eff_8_32"] >= 0.75 * slack
-            and p["agg32"] >= 70_000 * (0.9 if post else 1.0))
+            and p["agg32"] >= 66_000 * (0.9 if post else 1.0))
 
 
 def main() -> int:
