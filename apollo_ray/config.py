@@ -48,7 +48,15 @@ class DedupConfig:
     recall_target: float = 0.99   # per-pair catch floor for band_mode="recall"
 
     # --- skew / shuffle handling (no analog in the reference; SURVEY §4) ---
-    bucket_salt: int = 8          # sub-buckets for the two-level salted bucket groupby
+    # 1 = single-level bucket groupby (one exchange; per-partition
+    # memory is N/P + the largest single bucket).  Set >= 8 for corpora
+    # with boilerplate mega-buckets (a band value shared by ~10M+ docs):
+    # the two-level salted scheme splits each bucket across `salt`
+    # partitions and links the local minima in a second pass — capped
+    # memory, but the rep-link exchange adds ~n_buckets rows, measured
+    # ~2x the whole edges stage on skew-free webtext
+    # (tools/exchange_microbench.py: 8.2s vs 5.0s at 2M rows/8 CPUs).
+    bucket_salt: int = 1          # sub-buckets for the two-level salted bucket groupby
     max_bucket_pairs: int = 4096  # cap on pairwise verification work per bucket
 
     # --- verification (apollo query --precise, apollo/query.py:45-66) ---

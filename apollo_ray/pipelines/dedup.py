@@ -178,11 +178,18 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
                 # fold-extract path: elect representatives from the
                 # tiny materialized metadata table (16 B/row), then
                 # filter the LAZY docs — the broadcast filter + the
-                # re-extraction fuse into the fused hash pass below
+                # re-extraction fuse into the fused hash pass below.
+                # Below the driver cap the election is a driver-side
+                # lexsort (no exchange: the shuffle's data volume is
+                # trivial at this row width but its fixed cost is not)
                 from apollo_ray.stages.bags import (
-                    _collapse_exact_shuffle, exact_membership,
+                    DRIVER_MEMBERSHIP_MAX_ROWS, _collapse_exact_shuffle,
+                    exact_membership, exact_membership_driver,
                     rep_filter_from_membership)
-                m = exact_membership(meta).materialize()
+                if meta.count() <= DRIVER_MEMBERSHIP_MAX_ROWS:
+                    m = exact_membership_driver(meta)
+                else:
+                    m = exact_membership(meta).materialize()
                 r = rep_filter_from_membership(docs_lean, m)
                 if r is None:     # above the broadcast cap: full-
                     # payload shuffle fallback (same as collapse_exact)

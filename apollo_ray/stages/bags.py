@@ -76,6 +76,39 @@ def exact_membership(docs: "ray.data.Dataset",
         .groupby("pkey").map_groups(members_part, batch_format="pyarrow")
 
 
+# Below this many metadata rows the representative election runs on the
+# driver (16 B/row -> ~800 MB at the cap) instead of paying a shuffle
+# whose data volume is trivial but whose fixed task/exchange cost is
+# not (measured ~1.6 s at 8 CPUs for a 40 MB exchange).  Above it, the
+# distributed ``exact_membership`` groupby is the path.
+DRIVER_MEMBERSHIP_MAX_ROWS = 50_000_000
+
+
+def exact_membership_driver(meta: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Driver-side (rep_id, member_id) election over a MATERIALIZED
+    metadata table of (doc_id, text_hash) — one lexsort + segment cut,
+    no exchange.  Caller gates on ``DRIVER_MEMBERSHIP_MAX_ROWS``."""
+    import ray.data as rd
+
+    df = meta.to_pandas()
+    th = df["text_hash"].to_numpy(dtype=np.int64)
+    ids = df["doc_id"].to_numpy(dtype=np.int64)
+    if len(th) == 0:
+        return rd.from_arrow(pa.table({
+            "rep_id": pa.array([], type=pa.int64()),
+            "member_id": pa.array([], type=pa.int64())}))
+    order = np.lexsort((ids, th))
+    th_s, ids_s = th[order], ids[order]
+    first = np.empty(len(th_s), dtype=bool)
+    first[0] = True
+    first[1:] = th_s[1:] != th_s[:-1]
+    seg_id = np.cumsum(first) - 1
+    reps = ids_s[first]
+    return rd.from_arrow(pa.table({
+        "rep_id": pa.array(reps[seg_id[~first]], type=pa.int64()),
+        "member_id": pa.array(ids_s[~first], type=pa.int64())}))
+
+
 # Above this many duplicate docs the dup-id broadcast no longer fits a
 # worker heap (8 B/id -> ~1.6 GB at the cap) and the collapse falls
 # back to the full-payload shuffle; on a real cluster the next step up

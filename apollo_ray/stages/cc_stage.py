@@ -184,8 +184,15 @@ def connected_components(edges: "ray.data.Dataset",
     runs as driver-side union-find; above it, the alternating star
     rounds run fully distributed (tests force this path with
     ``driver_max_edges=0``).
+
+    The input is consumed RAW — no pre-orientation pass: the driver
+    union-find is direction-agnostic and ignores self-loops, and the
+    first large-star round symmetrizes anyway (a self-loop row (x, x)
+    fails the ``y > x`` emit filter and cannot change ``min(N(x) ∪
+    {x})``), so an orientation sweep before counting would be a pure
+    extra pass + materialize over the edge table.
     """
-    cur = edges.map_batches(_orient_high_low, batch_format="pyarrow").materialize()
+    cur = edges.materialize()
     n_edges = cur.count()
     if n_edges == 0:
         return cur

@@ -91,14 +91,21 @@ def bucket_star_edges(bands: "ray.data.Dataset", cfg: DedupConfig,
                       pre_keyed: bool = False) -> "ray.data.Dataset":
     """bands (band_id, bucket, doc_id) -> candidate edges (u, v).
 
-    Two-level salted grouping (SURVEY §4 skew design): level 1 groups
-    by ``(bucket, doc_id % S)`` so a mega-bucket (a boilerplate band
-    value shared by millions of docs) is split across S partitions,
-    each emitting stars to its LOCAL minimum plus one representative
-    row; level 2 groups only the representatives (<= S rows per bucket)
-    by bucket and links the local minima.  Connectivity is preserved
-    exactly (star-of-stars = star); per-partition peak memory is capped
-    at |bucket|/S ids regardless of skew.
+    ``cfg.bucket_salt == 1`` (default): single hash-partitioned
+    grouping — every bucket lands whole in one partition, one exchange,
+    fully lazy.  Per-partition memory is N/P plus the largest single
+    bucket, which is fine until a corpus has boilerplate mega-buckets.
+
+    ``cfg.bucket_salt == S > 1``: two-level salted grouping (SURVEY §4
+    skew design): level 1 groups by ``(bucket, doc_id % S)`` so a
+    mega-bucket (a band value shared by millions of docs) is split
+    across S partitions, each emitting stars to its LOCAL minimum plus
+    one representative row; level 2 groups only the representatives
+    (<= S rows per bucket) by bucket and links the local minima.
+    Connectivity is preserved exactly (star-of-stars = star);
+    per-partition peak memory is capped at |bucket|/S ids regardless of
+    skew — at the measured price of a second ~n_buckets-row exchange
+    (~2x stage cost on skew-free webtext, exchange_microbench.py).
     """
     salt = max(1, cfg.bucket_salt)
     if pre_keyed:
@@ -112,15 +119,21 @@ def bucket_star_edges(bands: "ray.data.Dataset", cfg: DedupConfig,
                                              "salt": salt})
     level1 = keyed.groupby("pkey").map_groups(
         _star_edges_in_partition, batch_format="pyarrow",
-        fn_kwargs={"emit_reps": salt > 1}).materialize()
+        fn_kwargs={"emit_reps": salt > 1})
+    if salt <= 1:
+        # single-level: complete buckets per partition, no rep rows —
+        # stay lazy (column projection fuses with the groupby output)
+        return level1.map_batches(lambda t: t.select(["u", "v"]),
+                                  batch_format="pyarrow")
+    # two-level: the rep rows feed a second grouping, so the level-1
+    # output is consumed twice — pin it
+    level1 = level1.materialize()
 
     def just_edges(batch: pa.Table) -> pa.Table:
         mask = pc.equal(batch.column("rep_bucket"), -1)
         return batch.filter(mask).select(["u", "v"])
 
     edges1 = level1.map_batches(just_edges, batch_format="pyarrow")
-    if salt <= 1:
-        return edges1
 
     def reps_as_bands(batch: pa.Table) -> pa.Table:
         mask = pc.not_equal(batch.column("rep_bucket"), -1)

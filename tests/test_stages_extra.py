@@ -341,3 +341,26 @@ def test_read_pages_jsonl(tmp_path, ray_session):
 
     only_en = read_pages_jsonl(str(p), lang_filter=["en"]).to_pandas()
     assert len(only_en) == 2 and (only_en["lang"] == "en").all()
+
+
+def test_salted_bucket_edges_connectivity_equivalent(ray_session):
+    """bucket_salt=8 (two-level salted exchange) must produce the same
+    final clustering as the default single-level salt=1 path — the salt
+    changes partitioning and intermediate edge shape only (star-of-
+    stars = star), never connectivity.  Keeps the mega-bucket skew path
+    exercised now that salt=1 is the default."""
+    import ray.data as rd
+    from apollo_ray.config import DedupConfig
+    from apollo_ray.fixtures import generate_pages
+    from apollo_ray.pipelines.dedup import run_dedup
+
+    pages_t, _ = generate_pages(400)
+    base = DedupConfig(feature_dim_log2=12)
+    assert base.bucket_salt == 1
+    flat = run_dedup(rd.from_arrow(pages_t), base)
+    salted = run_dedup(rd.from_arrow(pages_t),
+                       base.with_(bucket_salt=8))
+    a = flat["clusters"].to_pandas().sort_values("doc_id")
+    b = salted["clusters"].to_pandas().sort_values("doc_id")
+    assert (a["doc_id"].to_numpy() == b["doc_id"].to_numpy()).all()
+    assert (a["cc_id"].to_numpy() == b["cc_id"].to_numpy()).all()
