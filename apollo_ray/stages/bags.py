@@ -90,13 +90,15 @@ def exact_membership_driver(meta: "ray.data.Dataset") -> "ray.data.Dataset":
     no exchange.  Caller gates on ``DRIVER_MEMBERSHIP_MAX_ROWS``."""
     import ray.data as rd
 
-    df = meta.to_pandas()
-    th = df["text_hash"].to_numpy(dtype=np.int64)
-    ids = df["doc_id"].to_numpy(dtype=np.int64)
-    if len(th) == 0:
+    # an empty Dataset's to_pandas() drops columns (NOTES_r3) — return
+    # the typed empty table without touching pandas
+    if meta.count() == 0:
         return rd.from_arrow(pa.table({
             "rep_id": pa.array([], type=pa.int64()),
             "member_id": pa.array([], type=pa.int64())}))
+    df = meta.to_pandas()
+    th = df["text_hash"].to_numpy(dtype=np.int64)
+    ids = df["doc_id"].to_numpy(dtype=np.int64)
     order = np.lexsort((ids, th))
     th_s, ids_s = th[order], ids[order]
     first = np.empty(len(th_s), dtype=bool)
