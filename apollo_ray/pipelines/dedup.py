@@ -63,6 +63,7 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
     metrics: dict[str, Any] = {}
     t_start = time.monotonic()
     pending_writes: list = []
+    fold_side: dict[str, Any] = {}   # driver-resident fold-path arrays
 
     def stage(name: str, build, *deps_ok, fork: bool = True):
         """Build-or-load one checkpointed stage.
@@ -182,12 +183,25 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
                 # Below the driver cap the election is a driver-side
                 # lexsort (no exchange: the shuffle's data volume is
                 # trivial at this row width but its fixed cost is not)
+                import ray.data as rd
                 from apollo_ray.stages.bags import (
                     DRIVER_MEMBERSHIP_MAX_ROWS, _collapse_exact_shuffle,
-                    exact_membership, exact_membership_driver,
+                    exact_membership, exact_membership_arrays,
                     rep_filter_from_membership)
-                if meta.count() <= DRIVER_MEMBERSHIP_MAX_ROWS:
-                    m = exact_membership_driver(meta)
+                n_meta = meta.count()
+                if 0 < n_meta <= DRIVER_MEMBERSHIP_MAX_ROWS:
+                    # one driver pull serves BOTH the election here and
+                    # the cluster-label universe later (build_clusters)
+                    mdf = meta.to_pandas()
+                    ids = mdf["doc_id"].to_numpy(dtype="int64")
+                    fold_side["meta_ids"] = ids
+                    m = rd.from_arrow(exact_membership_arrays(
+                        mdf["text_hash"].to_numpy(dtype="int64"), ids))
+                elif n_meta == 0:
+                    import numpy as np
+                    m = rd.from_arrow(exact_membership_arrays(
+                        np.empty(0, dtype="int64"),
+                        np.empty(0, dtype="int64")))
                 else:
                     m = exact_membership(meta).materialize()
                 r = rep_filter_from_membership(docs_lean, m)
@@ -274,7 +288,15 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
                                            max_rounds=cfg.cc_max_rounds)
         metrics["cc_sec"] = round(time.monotonic() - t0, 3)
         # fold-extract path: the doc-id universe comes from the tiny
-        # materialized metadata table, not a third extraction pass
+        # materialized metadata table, not a third extraction pass;
+        # when the membership election already pulled it to the driver,
+        # label it there too (one searchsorted, no distributed map)
+        meta_ids = fold_side.get("meta_ids")
+        if meta_ids is not None:
+            from apollo_ray.stages.cc_stage import assign_clusters_driver
+            cl = assign_clusters_driver(meta_ids, final_edges)
+            if cl is not None:
+                return cl
         id_src = meta if meta is not None else docs
         return assign_clusters(id_src.select_columns(["doc_id"]), final_edges)
 

@@ -84,6 +84,24 @@ def exact_membership(docs: "ray.data.Dataset",
 DRIVER_MEMBERSHIP_MAX_ROWS = 50_000_000
 
 
+def exact_membership_arrays(th: np.ndarray, ids: np.ndarray) -> pa.Table:
+    """The membership election core over driver-resident arrays: one
+    lexsort + segment cut -> (rep_id, member_id) table."""
+    if len(th) == 0:
+        return pa.table({"rep_id": pa.array([], type=pa.int64()),
+                         "member_id": pa.array([], type=pa.int64())})
+    order = np.lexsort((ids, th))
+    th_s, ids_s = th[order], ids[order]
+    first = np.empty(len(th_s), dtype=bool)
+    first[0] = True
+    first[1:] = th_s[1:] != th_s[:-1]
+    seg_id = np.cumsum(first) - 1
+    reps = ids_s[first]
+    return pa.table({
+        "rep_id": pa.array(reps[seg_id[~first]], type=pa.int64()),
+        "member_id": pa.array(ids_s[~first], type=pa.int64())})
+
+
 def exact_membership_driver(meta: "ray.data.Dataset") -> "ray.data.Dataset":
     """Driver-side (rep_id, member_id) election over a MATERIALIZED
     metadata table of (doc_id, text_hash) — one lexsort + segment cut,
@@ -93,22 +111,12 @@ def exact_membership_driver(meta: "ray.data.Dataset") -> "ray.data.Dataset":
     # an empty Dataset's to_pandas() drops columns (NOTES_r3) — return
     # the typed empty table without touching pandas
     if meta.count() == 0:
-        return rd.from_arrow(pa.table({
-            "rep_id": pa.array([], type=pa.int64()),
-            "member_id": pa.array([], type=pa.int64())}))
+        return rd.from_arrow(exact_membership_arrays(
+            np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)))
     df = meta.to_pandas()
-    th = df["text_hash"].to_numpy(dtype=np.int64)
-    ids = df["doc_id"].to_numpy(dtype=np.int64)
-    order = np.lexsort((ids, th))
-    th_s, ids_s = th[order], ids[order]
-    first = np.empty(len(th_s), dtype=bool)
-    first[0] = True
-    first[1:] = th_s[1:] != th_s[:-1]
-    seg_id = np.cumsum(first) - 1
-    reps = ids_s[first]
-    return rd.from_arrow(pa.table({
-        "rep_id": pa.array(reps[seg_id[~first]], type=pa.int64()),
-        "member_id": pa.array(ids_s[~first], type=pa.int64())}))
+    return rd.from_arrow(exact_membership_arrays(
+        df["text_hash"].to_numpy(dtype=np.int64),
+        df["doc_id"].to_numpy(dtype=np.int64)))
 
 
 # Above this many duplicate docs the dup-id broadcast no longer fits a

@@ -222,6 +222,44 @@ def connected_components(edges: "ray.data.Dataset",
     return cur
 
 
+def assign_clusters_driver(doc_ids: np.ndarray,
+                           final_edges: "ray.data.Dataset",
+                           max_labels: int = 5_000_000
+                           ) -> "ray.data.Dataset | None":
+    """Cluster assignment when the doc-id universe is ALREADY
+    driver-resident (the fold-extract pipeline pulls the metadata pass
+    for the membership election — re-shipping a distributed label map
+    over it would be a pure fixed cost): one vectorized searchsorted
+    over the node->root star edges.  Returns None above ``max_labels``
+    star edges (callers fall back to :func:`assign_clusters`; at real
+    scale both the label map and the id universe exceed driver RAM and
+    the distributed path runs).  Output is chunked into ~1M-row blocks
+    so downstream stays parallel."""
+    import ray.data as rd
+
+    n = final_edges.count()
+    if n > max_labels:
+        return None
+    cc = doc_ids.copy()
+    if n:
+        df = final_edges.to_pandas()
+        keys = df["u"].to_numpy(dtype=np.int64)
+        vals = df["v"].to_numpy(dtype=np.int64)
+        order = np.argsort(keys, kind="stable")
+        k_sorted, v_sorted = keys[order], vals[order]
+        pos = np.searchsorted(k_sorted, doc_ids)
+        hit = (pos < len(k_sorted)) & \
+            (k_sorted[np.minimum(pos, len(k_sorted) - 1)] == doc_ids)
+        cc[hit] = v_sorted[pos[hit]]
+    t = pa.table({"doc_id": pa.array(doc_ids, type=pa.int64()),
+                  "cc_id": pa.array(cc, type=pa.int64())})
+    chunk = 1_000_000
+    if t.num_rows <= chunk:
+        return rd.from_arrow(t)
+    return rd.from_arrow([t.slice(i, chunk)
+                          for i in range(0, t.num_rows, chunk)])
+
+
 def assign_clusters(all_docs: "ray.data.Dataset",
                     final_edges: "ray.data.Dataset") -> "ray.data.Dataset":
     """(doc_id) x star edges -> clusters (doc_id, cc_id).
