@@ -69,3 +69,28 @@ def test_driver_fastpath_matches_distributed(ray_session):
     fast = run_cc(edges, ray_session, driver_max_edges=10 ** 6)
     nodes = sorted({x for e in edges for x in e})
     assert to_partition(dist, nodes) == to_partition(fast, nodes)
+
+
+def test_assign_clusters_driver_parity_and_cap(ray_session):
+    """assign_clusters_driver == the distributed assign_clusters on
+    the same universe; above max_labels it returns None (callers fall
+    back to the distributed path)."""
+    import ray.data as rd
+    from apollo_ray.stages.cc_stage import (assign_clusters,
+                                            assign_clusters_driver)
+    ids = np.arange(100, dtype=np.int64) + 7
+    star = pa.table({"u": pa.array([8, 9, 57], type=pa.int64()),
+                     "v": pa.array([7, 7, 50], type=pa.int64())})
+    edges = rd.from_arrow(star)
+    drv = assign_clusters_driver(ids, edges).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array(ids,
+                                                      type=pa.int64())}))
+    dist = assign_clusters(docs, edges).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (drv["doc_id"].to_numpy() == dist["doc_id"].to_numpy()).all()
+    assert (drv["cc_id"].to_numpy() == dist["cc_id"].to_numpy()).all()
+    assert drv.loc[drv.doc_id == 8, "cc_id"].item() == 7
+    assert drv.loc[drv.doc_id == 57, "cc_id"].item() == 50
+    assert drv.loc[drv.doc_id == 20, "cc_id"].item() == 20
+    assert assign_clusters_driver(ids, edges, max_labels=2) is None
