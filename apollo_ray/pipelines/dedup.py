@@ -191,12 +191,19 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
                 n_meta = meta.count()
                 if 0 < n_meta <= DRIVER_MEMBERSHIP_MAX_ROWS:
                     # one driver pull serves BOTH the election here and
-                    # the cluster-label universe later (build_clusters)
-                    mdf = meta.to_pandas()
-                    ids = mdf["doc_id"].to_numpy(dtype="int64")
+                    # the cluster-label universe later (build_clusters);
+                    # arrow-refs concat, not to_pandas: int64 columns
+                    # come out as one memcpy each, no pandas conversion
+                    import numpy as np
+                    import pyarrow as pa
+                    import ray as _ray
+                    mt = pa.concat_tables(_ray.get(meta.to_arrow_refs()))
+                    ids = np.asarray(mt.column("doc_id").combine_chunks(),
+                                     dtype=np.int64)
                     fold_side["meta_ids"] = ids
                     m = rd.from_arrow(exact_membership_arrays(
-                        mdf["text_hash"].to_numpy(dtype="int64"), ids))
+                        np.asarray(mt.column("text_hash").combine_chunks(),
+                                   dtype=np.int64), ids))
                 elif n_meta == 0:
                     import numpy as np
                     m = rd.from_arrow(exact_membership_arrays(
