@@ -109,6 +109,15 @@ def main() -> int:
         docs_hi = r.get("stage_sec_hi", {}).get("docs_sec")
         if docs_lo and docs_hi and docs_hi > docs_lo * 1.2:
             clean = False
+        # ...and a kernel-bound map stage cannot scale SUPER-linearly:
+        # bands per-stage efficiency above ~1.0 means the lo leg ran
+        # degraded and the ratio is inflated (caught once at 0.838:
+        # lo bands 61.6s vs the 40-48s clean range, "efficiency" 1.08)
+        bands_lo = r.get("stage_sec_lo", {}).get("bands_sec")
+        bands_hi = r.get("stage_sec_hi", {}).get("bands_sec")
+        if bands_lo and bands_hi and \
+                (bands_lo / bands_hi) / (hi / lo) > 1.02:
+            clean = False
         sample = {
             "value": r["value"], "sec_lo": r["sec_lo"], "sec_hi": r["sec_hi"],
             "docs_per_sec_hi": r["docs_per_sec_hi"],
