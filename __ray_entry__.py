@@ -165,6 +165,11 @@ def _url_host_stats_sql_entry() -> str:
     return url_host_stats_sql()
 
 
+def _per_host_topk_sql_entry() -> str:
+    from apollo_ray.functions.urls import per_host_topk_sql
+    return per_host_topk_sql(k=10)
+
+
 def _tiered_sql_entry() -> str:
     from apollo_ray.functions.tiers import tiered_dedup_sql
     return tiered_dedup_sql()
@@ -562,6 +567,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from apollo_ray.functions.urls import url_host_stats
         return url_host_stats(_synthetic_pages(sf_dir))
 
+    def q_per_host_topk(sf_dir):
+        """Domain quota: top-10 docs per host by text length (the
+        per-host cap step of web-corpus curation)."""
+        import numpy as np
+        import pyarrow as pa
+        from apollo_ray.functions.urls import (per_host_topk,
+                                               synthetic_crawl_urls)
+
+        def add_url(batch):
+            ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+            return batch.append_column(
+                "url", pa.array(synthetic_crawl_urls(ids),
+                                type=pa.string()))
+
+        pages = _docs(sf_dir).map_batches(add_url, batch_format="pyarrow")
+        return per_host_topk(pages, k=10, num_partitions=16)
+
     def q_dedup_tier_rollup(sf_dir):
         """Cost-ordered dedup cascade (the production tier ordering:
         cheap exact tiers before signature hashing) — per-tier
@@ -851,6 +873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q_heavy_hitters,
         "canonical_urls": q_canonical_urls,
         "url_host_stats": q_url_host_stats,
+        "per_host_topk": q_per_host_topk,
         "dedup_tier_rollup": q_dedup_tier_rollup,
         "leakage_safe_splits": q_leakage_splits,
         "sliding_window_stats": q_sliding_window,
@@ -1378,6 +1401,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": _heavy_hitters_sql_entry(),
         "canonical_urls": _canonical_urls_sql_entry(),
         "url_host_stats": _url_host_stats_sql_entry(),
+        "per_host_topk": _per_host_topk_sql_entry(),
         "dedup_tier_rollup": _tiered_sql_entry(),
         "leakage_safe_splits": _leakage_sql_entry(),
         "sliding_window_stats": _sliding_sql_entry(),

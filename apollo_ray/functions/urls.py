@@ -154,6 +154,107 @@ def url_host_stats(pages: "ray.data.Dataset", url_col: str = "url",
         .groupby("pkey").map_groups(per_host, batch_format="pyarrow")
 
 
+def _topk_per_host(group: pa.Table, k: int) -> pa.Table:
+    """Vectorized per-host top-k of (host, doc_id, score) rows.
+
+    Sort by (host, -score, doc_id), mark each row's position inside
+    its host run, keep positions < k.  Deterministic: doc_id is the
+    unique tiebreak.  Returns host, doc_id, score, host_rank (1-based).
+    """
+    if group.num_rows == 0:
+        return pa.table({"host": pa.array([], type=pa.string()),
+                         "doc_id": pa.array([], type=pa.int64()),
+                         "score": pa.array([], type=pa.int64()),
+                         "host_rank": pa.array([], type=pa.int64())})
+    host = group.column("host")
+    if isinstance(host, pa.ChunkedArray):
+        host = host.combine_chunks()
+    codes = pc.dictionary_encode(host).indices.to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    ids = np.asarray(group.column("doc_id"), dtype=np.int64)
+    score = np.asarray(group.column("score"), dtype=np.int64)
+    order = np.lexsort((ids, -score, codes))
+    c_s, i_s, s_s = codes[order], ids[order], score[order]
+    # position of each row within its host run
+    new_run = np.empty(len(c_s), dtype=bool)
+    new_run[0] = True
+    new_run[1:] = c_s[1:] != c_s[:-1]
+    run_start = np.flatnonzero(new_run)
+    pos = np.arange(len(c_s)) - np.repeat(
+        run_start, np.diff(np.append(run_start, len(c_s))))
+    keep = pos < k
+    sel = pa.array(order[keep])
+    return pa.table({
+        "host": host.take(sel),
+        "doc_id": pa.array(i_s[keep], type=pa.int64()),
+        "score": pa.array(s_s[keep], type=pa.int64()),
+        "host_rank": pa.array(pos[keep] + 1, type=pa.int64())})
+
+
+def per_host_topk(pages: "ray.data.Dataset", k: int = 10,
+                  url_col: str = "url", id_col: str = "doc_id",
+                  text_col: str = "text", num_partitions: int = 64
+                  ) -> "ray.data.Dataset":
+    """Per-host quality quota: keep the top-``k`` docs of every host by
+    score (descending; ``doc_id`` breaks ties), score = character
+    length of ``text_col`` — the domain-cap step of web-corpus
+    curation (a handful of boilerplate-heavy hosts otherwise dominate
+    a crawl; cf. the per-repo grouping the reference's bags stage
+    keys on, /root/reference/apollo/bags.py:36-37).
+
+    Scale shape: the map side extracts (host, doc_id, score) — the
+    payload never moves — and pre-filters each BATCH to its own
+    per-host top-k, so the host-keyed exchange carries at most
+    k rows per (host, input block): the final top-k of a host is a
+    subset of the union of per-batch top-ks.  One pkey shuffle;
+    each host lands in exactly one partition, where the final rank
+    is assigned.  Output: (host, doc_id, score, host_rank).
+    """
+    from apollo_ray.hashing import hash_utf8, mix_to_partition
+
+    def meta(batch: pa.Table) -> pa.Table:
+        _, host = canonicalize_url_array(batch.column(url_col))
+        host = host.fill_null("")
+        score = pc.utf8_length(batch.column(text_col)).cast(
+            pa.int64()).fill_null(0)
+        t = pa.table({"host": host,
+                      "doc_id": batch.column(id_col).cast(pa.int64()),
+                      "score": score})
+        t = _topk_per_host(t, k).drop_columns(["host_rank"])
+        hs = t.column("host").to_pylist()
+        h = np.fromiter((hash_utf8(x or "") for x in hs), dtype=np.int64,
+                        count=len(hs))
+        return t.append_column(
+            "pkey", pa.array(mix_to_partition(h, num_partitions),
+                             type=pa.int32()))
+
+    def per_host(group: pa.Table) -> pa.Table:
+        return _topk_per_host(group, k)
+
+    return pages.map_batches(meta, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(per_host, batch_format="pyarrow")
+
+
+def per_host_topk_sql(k: int = 10, table: str = "documents") -> str:
+    """DuckDB oracle for :func:`per_host_topk` over the synthetic url
+    construction (host from the same canonicalization CTE; score =
+    character length of text; row_number for the rank)."""
+    return (f"WITH u AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url "
+            f"FROM {table}),"
+            + _CANON_SQL
+            + f""",
+    scored AS (
+      SELECT c.host, d.doc_id,
+             CAST(length(d.text) AS BIGINT) AS score
+      FROM canon c JOIN {table} d USING (doc_id))
+    SELECT host, doc_id, score,
+           CAST(row_number() OVER (
+             PARTITION BY host ORDER BY score DESC, doc_id
+           ) AS BIGINT) AS host_rank
+    FROM scored
+    QUALIFY host_rank <= {k}""")
+
+
 def synthetic_crawl_urls(doc_id: np.ndarray) -> list[str]:
     """Deterministic messy-URL test vectors keyed by doc id (the
     driver's tables carry no url column, so oracle queries derive one

@@ -8,6 +8,7 @@ import pytest
 import ray.data
 
 from apollo_ray.functions.urls import (canonical_urls, canonical_urls_sql,
+                                       per_host_topk, per_host_topk_sql,
                                        canonicalize_url_array,
                                        synthetic_crawl_urls, url_host_stats,
                                        url_host_stats_sql)
@@ -88,4 +89,62 @@ def test_canonical_batch_split_invariant(ray_session):
         .reset_index(drop=True)
     gb = canonical_urls(b).to_pandas().sort_values("doc_id") \
         .reset_index(drop=True)
+    assert ga.equals(gb)
+
+
+def _scored_pages(n=400, parallelism=4):
+    """Pages with doc_id, url, text whose char length varies and ties
+    across docs of the same host (exercises the doc_id tiebreak); a
+    multibyte char checks utf8_length vs DuckDB length() parity."""
+    ids = np.arange(n, dtype=np.int64)
+    text = [("é" * (int(i) % 3)) + "x" * ((int(i) * 37) % 50)
+            for i in ids]
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "url": pa.array(synthetic_crawl_urls(ids),
+                                  type=pa.string()),
+                  "text": pa.array(text, type=pa.string())})
+    return ray.data.from_arrow(t).repartition(parallelism), t
+
+
+def test_per_host_topk_matches_bruteforce(ray_session):
+    import pandas as pd
+    pages, t = _scored_pages(400, parallelism=8)
+    got = per_host_topk(pages, k=5, num_partitions=8).to_pandas() \
+        .sort_values(["host", "host_rank"]).reset_index(drop=True)
+    canon, host = canonicalize_url_array(t.column("url"))
+    df = pd.DataFrame({"host": host.to_pylist(),
+                       "doc_id": t.column("doc_id").to_pylist(),
+                       "score": [len(s) for s in t.column(
+                           "text").to_pylist()]})
+    df = df.sort_values(["host", "score", "doc_id"],
+                        ascending=[True, False, True])
+    df["host_rank"] = df.groupby("host").cumcount() + 1
+    want = df[df["host_rank"] <= 5].reset_index(drop=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["score"].tolist() == want["score"].tolist()
+    assert got["host_rank"].tolist() == want["host_rank"].tolist()
+    # quota actually binds: every host had > 5 docs
+    assert len(got) == got["host"].nunique() * 5
+
+
+def test_per_host_topk_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    pages, t = _scored_pages(400, parallelism=8)
+    con = duckdb.connect()
+    con.register("documents", t.select(["doc_id", "text"]))
+    got = per_host_topk(pages, k=10, num_partitions=8).to_pandas() \
+        .sort_values(["host", "host_rank"]).reset_index(drop=True)
+    want = con.execute(per_host_topk_sql(k=10)).df() \
+        .sort_values(["host", "host_rank"]).reset_index(drop=True)
+    for c in ("host", "doc_id", "score", "host_rank"):
+        assert got[c].tolist() == want[c].tolist(), c
+
+
+def test_per_host_topk_split_invariant(ray_session):
+    a, _ = _scored_pages(300, parallelism=1)
+    b, _ = _scored_pages(300, parallelism=16)
+    ga = per_host_topk(a, k=3, num_partitions=4).to_pandas() \
+        .sort_values(["host", "host_rank"]).reset_index(drop=True)
+    gb = per_host_topk(b, k=3, num_partitions=16).to_pandas() \
+        .sort_values(["host", "host_rank"]).reset_index(drop=True)
     assert ga.equals(gb)
