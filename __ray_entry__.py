@@ -170,6 +170,11 @@ def _per_host_topk_sql_entry() -> str:
     return per_host_topk_sql(k=10)
 
 
+def _shingle_novelty_sql_entry() -> str:
+    from apollo_ray.functions.dedup_extras import shingle_novelty_sql
+    return shingle_novelty_sql(k=3)
+
+
 def _tiered_sql_entry() -> str:
     from apollo_ray.functions.tiers import tiered_dedup_sql
     return tiered_dedup_sql()
@@ -323,6 +328,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_shingles(sf_dir):
         return dedup_extras.shingle_counts(_docs(sf_dir), k=3)
+
+    def q_shingle_novelty(sf_dir):
+        """Per-doc fingerprint novelty: fraction of the doc's distinct
+        3-shingles with corpus document-frequency 1, integer ppm."""
+        return dedup_extras.shingle_novelty(_docs(sf_dir), k=3,
+                                            num_partitions=16)
 
     def q_ngram_pairs(sf_dir):
         return dedup_extras.ngram_jaccard_pairs(_docs(sf_dir), k=3,
@@ -842,6 +853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docfreq": q_docfreq,
         "docfreq_min5": q_docfreq_min5,
         "shingle_counts": q_shingles,
+        "shingle_novelty": q_shingle_novelty,
         "ngram_jaccard_pairs": q_ngram_pairs,
         "user_last_event": q_user_last_event,
         "events_hourly": q_events_hourly,
@@ -1133,6 +1145,7 @@ def oracle_sql() -> dict[str, str]:
                    LATERAL (SELECT unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i)
               GROUP BY doc_id) s ON s.doc_id = t.doc_id
         """,
+        "shingle_novelty": _shingle_novelty_sql_entry(),
         "ngram_jaccard_pairs": r"""
             WITH tok AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

@@ -189,6 +189,135 @@ def _explode_shingles_per_doc(batch: pa.Table, k: int,
                      "n_sh": pa.array(np.concatenate(n_out), type=pa.int64())})
 
 
+_NOVELTY_EMPTY = pa.table({
+    "doc_id": pa.array([], type=pa.int64()),
+    "n_sh_part": pa.array([], type=pa.int64()),
+    "n_uni_part": pa.array([], type=pa.int64()),
+    "dkey": pa.array([], type=pa.int32())})
+
+
+def shingle_novelty(docs: "ray.data.Dataset", k: int = 3, seed: int = 42,
+                    num_partitions: int = 64) -> "ray.data.Dataset":
+    """(doc_id, n_shingles, n_unique, novelty_ppm) — per-doc novelty:
+    the fraction of the doc's DISTINCT k-shingles that occur in NO
+    other document (corpus document-frequency 1), in integer ppm
+    (round-half-up).  A document-fingerprinting curation signal: low
+    novelty flags boilerplate/templated pages that near-dedup's
+    threshold may still keep; high novelty marks content worth
+    protecting from aggressive filtering.
+
+    Scale shape: two metadata exchanges, the payload never moves.
+    (1) per-doc-distinct (shingle, doc_id) rows partition by shingle
+    hash — each shingle lands whole in one partition, so its corpus
+    df is complete there and the partition folds to per-(partition,
+    doc) partial sums (<= n_docs x num_partitions rows); (2) the
+    partials union a zero row per doc (docs with < k tokens must
+    still report 0) and fold per doc.  Both sides of the ppm are
+    integer arithmetic so the DuckDB oracle is value-exact."""
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = _explode_shingles(batch, k, seed)
+        sh = np.asarray(t.column("shingle"), dtype=np.int64)
+        return pa.table({
+            "shingle": t.column("shingle"),
+            "doc_id": t.column("doc_id"),
+            "pkey": pa.array(mix_to_partition(sh, num_partitions),
+                             type=pa.int32())})
+
+    def per_shingle_part(group: pa.Table) -> pa.Table:
+        sh = np.asarray(group.column("shingle"), dtype=np.int64)
+        d = np.asarray(group.column("doc_id"), dtype=np.int64)
+        if len(sh) == 0:
+            return _NOVELTY_EMPTY
+        order = np.lexsort((d, sh))
+        sh_s, d_s = sh[order], d[order]
+        first = np.empty(len(sh_s), dtype=bool)
+        first[0] = True
+        first[1:] = sh_s[1:] != sh_s[:-1]
+        starts = np.flatnonzero(first)
+        df = np.repeat(np.diff(np.append(starts, len(sh_s))),
+                       np.diff(np.append(starts, len(sh_s))))
+        docs_u, inv = np.unique(d_s, return_inverse=True)
+        n_pairs = np.bincount(inv).astype(np.int64)
+        n_unique = np.bincount(inv, weights=(df == 1)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(docs_u, type=pa.int64()),
+            "n_sh_part": pa.array(n_pairs, type=pa.int64()),
+            "n_uni_part": pa.array(n_unique, type=pa.int64()),
+            "dkey": pa.array(mix_to_partition(docs_u, num_partitions),
+                             type=pa.int32())})
+
+    def doc_zero(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        z = np.zeros(len(d), dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(d, type=pa.int64()),
+            "n_sh_part": pa.array(z), "n_uni_part": pa.array(z),
+            "dkey": pa.array(mix_to_partition(d, num_partitions),
+                             type=pa.int32())})
+
+    def fold(group: pa.Table) -> pa.Table:
+        d = np.asarray(group.column("doc_id"), dtype=np.int64)
+        if len(d) == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "n_shingles": pa.array([], type=pa.int64()),
+                             "n_unique": pa.array([], type=pa.int64()),
+                             "novelty_ppm": pa.array([], type=pa.int64())})
+        docs_u, inv = np.unique(d, return_inverse=True)
+        ns = np.bincount(inv, weights=np.asarray(
+            group.column("n_sh_part"), dtype=np.int64)).astype(np.int64)
+        nu = np.bincount(inv, weights=np.asarray(
+            group.column("n_uni_part"), dtype=np.int64)).astype(np.int64)
+        ppm = np.zeros(len(ns), dtype=np.int64)
+        nz = ns > 0
+        # round-half-up in pure integers: floor((2e6*nu + ns) / (2*ns))
+        ppm[nz] = (2_000_000 * nu[nz] + ns[nz]) // (2 * ns[nz])
+        return pa.table({"doc_id": pa.array(docs_u, type=pa.int64()),
+                         "n_shingles": pa.array(ns),
+                         "n_unique": pa.array(nu),
+                         "novelty_ppm": pa.array(ppm)})
+
+    partials = docs.map_batches(pairs, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(per_shingle_part,
+                                    batch_format="pyarrow")
+    base = docs.select_columns(["doc_id"]).map_batches(
+        doc_zero, batch_format="pyarrow")
+    return partials.union(base) \
+        .groupby("dkey").map_groups(fold, batch_format="pyarrow")
+
+
+def shingle_novelty_sql(k: int = 3, table: str = "documents") -> str:
+    """DuckDB oracle for :func:`shingle_novelty` — same whitespace
+    tokenization / k-window construction as the ``shingle_counts``
+    oracle, string-distinct df standing in for the engine's 64-bit
+    hash-distinct (collision-free at test scale), integer-exact ppm."""
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\\s+')
+                 END AS toks
+          FROM {table}),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(toks[i:i+{k - 1}], ' ') AS s
+          FROM tok,
+               LATERAL (SELECT unnest(range(1,
+                 greatest(len(toks) - {k - 1}, 0) + 1)) AS i)),
+        df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+        agg AS (
+          SELECT sh.doc_id, count(*) AS ns,
+                 sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS nu
+          FROM sh JOIN df USING (s) GROUP BY sh.doc_id)
+        SELECT t.doc_id,
+               CAST(coalesce(a.ns, 0) AS BIGINT) AS n_shingles,
+               CAST(coalesce(a.nu, 0) AS BIGINT) AS n_unique,
+               CAST(CASE WHEN coalesce(a.ns, 0) = 0 THEN 0
+                    ELSE (2000000 * a.nu + a.ns) // (2 * a.ns)
+               END AS BIGINT) AS novelty_ppm
+        FROM tok t LEFT JOIN agg a ON a.doc_id = t.doc_id
+    """
+
+
 def ngram_jaccard_pairs(docs: "ray.data.Dataset", k: int = 3,
                         threshold: float = 0.5, seed: int = 42,
                         num_partitions: int | None = None,

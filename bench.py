@@ -111,7 +111,8 @@ def bench_once() -> dict:
         "ppl_buckets", "bloom_dedup", "dsir_logweights",
         "jaccard_join", "token_freq_hist",
         "retention_cohorts", "customer_order_dist",
-        "heavy_hitters", "url_host_stats", "dedup_tier_rollup")
+        "heavy_hitters", "url_host_stats", "dedup_tier_rollup",
+        "per_host_topk", "shingle_novelty")
     for name in qnames:
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

@@ -413,3 +413,42 @@ def test_range_window_stats_vs_brute(ray_session):
         assert df.loc[i, "n_win_events"] == len(in_win), i
         expect = max((v for _, v in in_win), default=-1.0)
         assert df.loc[i, "max_value"] == expect, i
+
+
+def test_shingle_novelty(docs_ds):
+    """Hand-checkable novelty on the 5-doc fixture + brute-force parity."""
+    from apollo_ray.functions.dedup_extras import shingle_novelty
+    df = shingle_novelty(docs_ds, k=3, num_partitions=4).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert len(df) == 5                       # empty doc still reported
+    # docs 1 and 2 are exact dups: every shingle has df >= 2 -> novelty 0
+    assert df.loc[1, "novelty_ppm"] == 0 and df.loc[2, "novelty_ppm"] == 0
+    assert df.loc[1, "n_shingles"] == 4 and df.loc[1, "n_unique"] == 0
+    # doc 3 shares no 3-shingle with anyone -> fully novel
+    assert df.loc[3, "novelty_ppm"] == 1_000_000
+    assert df.loc[3, "n_unique"] == df.loc[3, "n_shingles"] == 5
+    # doc 4 (near dup): "the cat sat" / "cat sat on" also occur in
+    # docs 1-2; "sat on the" occurs in 1-2 as well; the 2 shingles
+    # through "red" are unique -> 2/5
+    assert df.loc[4, "n_shingles"] == 5 and df.loc[4, "n_unique"] == 2
+    assert df.loc[4, "novelty_ppm"] == 400_000
+    # empty doc: all zero
+    assert df.loc[5, "n_shingles"] == 0 and df.loc[5, "novelty_ppm"] == 0
+
+
+def test_shingle_novelty_split_invariant(ray_session):
+    import ray.data as rd
+    from apollo_ray.functions.dedup_extras import shingle_novelty
+    rng = np.random.default_rng(7)
+    words = ["w%d" % i for i in range(30)]
+    texts = [" ".join(rng.choice(words, size=int(rng.integers(0, 12))))
+             for _ in range(200)]
+    t = pa.table({"doc_id": pa.array(np.arange(200), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    a = shingle_novelty(rd.from_arrow(t).repartition(1),
+                        num_partitions=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = shingle_novelty(rd.from_arrow(t).repartition(16),
+                        num_partitions=16).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
