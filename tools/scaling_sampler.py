@@ -133,8 +133,19 @@ def main() -> int:
         }
         d = json.load(open(rec))
         d.setdefault("r3_samples", []).append(sample)
-        d["r3_clean_samples"] = [s["value"] for s in d["r3_samples"]
-                                 if s.get("clean")]
+        # clean lists are per input size: a 4M-row sample must not
+        # enter the 2M-row median (the protocol's canonical size);
+        # non-2M sizes get their own suffixed list
+        d["r3_clean_samples"] = [
+            s["value"] for s in d["r3_samples"]
+            if s.get("clean") and s.get("bench_rows") == 2_000_000]
+        other_rows = sorted({s.get("bench_rows") for s in d["r3_samples"]
+                             if s.get("clean")
+                             and s.get("bench_rows") != 2_000_000})
+        for rows in other_rows:
+            d["r3_clean_samples_%dk" % (rows // 1000)] = [
+                s["value"] for s in d["r3_samples"]
+                if s.get("clean") and s.get("bench_rows") == rows]
         json.dump(d, open(rec, "w"), indent=1)
         print("sample: %.3f (clean=%s); r3 clean list: %s"
               % (r["value"], clean, d["r3_clean_samples"]), flush=True)
