@@ -114,7 +114,8 @@ def cmd_curate(args) -> int:
         line_dedup_min_len=args.line_dedup_min_len,
         cut_substrings_min_len=args.cut_substrings_min_len,
         cut_winnow_w=args.winnow_w,
-        redact_pii=args.redact_pii)
+        redact_pii=args.redact_pii,
+        keep_rule=args.keep_rule)
     pages = read_pages(args.input)
     out = curate_corpus(pages, cfg, ccfg)
     curated = out["curated"]
@@ -351,6 +352,9 @@ def main(argv=None) -> int:
     sp.add_argument("--redact-pii", action="store_true",
                     help="scrub PII placeholders into the curated "
                          "output (after dedup)")
+    sp.add_argument("--keep-rule", default="min_id",
+                    choices=("min_id", "longest"),
+                    help="representative election per near-dup cluster")
     sp.add_argument("--cut-substrings-min-len", type=int, default=0,
                     help="cut cross-doc duplicated substrings >= this length")
     sp.add_argument("--winnow-w", type=int, default=None)

@@ -67,6 +67,11 @@ class CurateConfig:
     # publish-time PII scrubbing of the curated output (AFTER dedup,
     # so redaction never perturbs the duplicate clustering).
     redact_pii: bool = False
+    # representative election per near-dup cluster: "min_id" (the
+    # reference's deterministic choice) or "longest" (keep the doc
+    # with the most characters — the usual production keep rule, so a
+    # truncated mirror never shadows the full page; doc_id ties).
+    keep_rule: str = "min_id"
 
 
 def clean_filter_docs(docs: "ray.data.Dataset", ccfg: CurateConfig
@@ -119,9 +124,21 @@ def clean_filter_docs(docs: "ray.data.Dataset", ccfg: CurateConfig
 
 
 def cluster_representatives(clusters: "ray.data.Dataset",
-                            num_partitions: int = 64
+                            num_partitions: int = 64,
+                            scores: "ray.data.Dataset | None" = None
                             ) -> "ray.data.Dataset":
-    """(doc_id,) — the minimum doc_id of each cc (pkey pattern)."""
+    """(doc_id,) — one representative per cc (pkey pattern).
+
+    Default election: minimum doc_id.  With ``scores`` (a
+    (doc_id:int64, score:int64) metadata Dataset), election becomes
+    max score, min doc_id on ties — the production "keep the best
+    version of a near-dup cluster" rule.  The score attach is a
+    metadata-only hash join (16 B/row each side, the payload never
+    moves), then the same one-lexsort first-row-per-segment election.
+    """
+    if scores is not None:
+        clusters = hash_join(clusters, scores, on=("doc_id",),
+                             num_partitions=num_partitions)
 
     def add_pkey(batch: pa.Table) -> pa.Table:
         cc = np.asarray(batch.column("cc_id"), dtype=np.int64)
@@ -134,7 +151,11 @@ def cluster_representatives(clusters: "ray.data.Dataset",
         if len(cc) == 0:
             return pa.table({"doc_id": pa.array([], type=pa.int64())})
         d = np.asarray(group.column("doc_id"), dtype=np.int64)
-        order = np.lexsort((d, cc))
+        if "score" in group.column_names:
+            s = np.asarray(group.column("score"), dtype=np.int64)
+            order = np.lexsort((d, -s, cc))
+        else:
+            order = np.lexsort((d, cc))
         cc_s, d_s = cc[order], d[order]
         first = np.empty(len(cc_s), dtype=bool)
         first[0] = True
@@ -189,7 +210,19 @@ def curate_corpus(pages: "ray.data.Dataset", cfg: DedupConfig,
         return {"curated": kept, "clusters": empty_clusters,
                 "kept_docs": kept, "metrics": {"empty_after_filter": True}}
     res = run_dedup(None, cfg, docs_ds=kept, num_partitions=num_partitions)
-    reps = cluster_representatives(res["clusters"], num_partitions)
+    scores = None
+    if ccfg.keep_rule == "longest":
+        def score_of(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "score": pc.utf8_length(batch.column("text")).cast(
+                    pa.int64()).fill_null(0)})
+        scores = kept.map_batches(score_of, batch_format="pyarrow")
+    elif ccfg.keep_rule != "min_id":
+        raise ValueError("keep_rule must be 'min_id' or 'longest', got %r"
+                         % (ccfg.keep_rule,))
+    reps = cluster_representatives(res["clusters"], num_partitions,
+                                   scores=scores)
     n_reps = reps.count()
     if n_reps <= REP_BROADCAST_MAX:
         # broadcast the rep-id array (8 B/row; 400 MB at the 50M cap)

@@ -167,3 +167,45 @@ def test_curate_redact_pii(ray_session):
     joined = " ".join(cur["text"])
     assert "alice@example.com" not in joined
     assert "<EMAIL>" in joined or "EMAIL" in joined
+
+
+def test_cluster_representatives_scored(ray_session):
+    import ray.data as rd
+    clusters = rd.from_arrow(pa.table({
+        "doc_id": pa.array([5, 3, 9, 7, 1], type=pa.int64()),
+        "cc_id": pa.array([1, 1, 2, 2, 3], type=pa.int64()),
+    }))
+    scores = rd.from_arrow(pa.table({
+        "doc_id": pa.array([5, 3, 9, 7, 1], type=pa.int64()),
+        "score": pa.array([10, 2, 4, 4, 1], type=pa.int64()),
+    }))
+    reps = cluster_representatives(clusters, num_partitions=2,
+                                   scores=scores).to_pandas()
+    # cc 1: doc 5 wins on score; cc 2: 4 == 4, min doc_id 7; cc 3: 1
+    assert sorted(reps["doc_id"]) == [1, 5, 7]
+
+
+def test_curate_keep_longest(ray_session, corpus):
+    from apollo_ray.hashing import hash_utf8
+    texts = list(corpus)
+    # make the near-dup strictly longer than its cluster-mate
+    texts[1] = texts[1] + "\nomega omega beta gamma delta epsilon zeta."
+    cfg = DedupConfig(feature_dim_log2=12, threshold=0.5)
+    out = curate_corpus(_pages(texts), cfg,
+                        CurateConfig(keep_rule="longest"),
+                        num_partitions=4)
+    cur = out["curated"].to_pandas()
+    clusters = out["clusters"].to_pandas()
+    cc = clusters.set_index("doc_id")["cc_id"]
+    assert cc[hash_utf8("http://x/0")] == cc[hash_utf8("http://x/1")]
+    # the LONGER member of the 0/1 near-dup cluster is the keeper
+    assert "http://x/1" in set(cur["url"])
+    assert "http://x/0" not in set(cur["url"])
+    assert "http://x/4" in set(cur["url"])
+
+
+def test_curate_keep_rule_validation(ray_session, corpus):
+    cfg = DedupConfig(feature_dim_log2=12, threshold=0.7)
+    with pytest.raises(ValueError, match="keep_rule"):
+        curate_corpus(_pages(corpus), cfg,
+                      CurateConfig(keep_rule="bogus"), num_partitions=4)
