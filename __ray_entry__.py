@@ -213,6 +213,19 @@ def _line_dedup_sql_entry() -> str:
     return line_dedup_sql(min_len=1)
 
 
+def _strip_boilerplate_sql_entry() -> str:
+    from apollo_ray.functions.clean import strip_boilerplate_sql
+    return strip_boilerplate_sql(
+        min_df=2, scope_sql="source",
+        table="(SELECT doc_id, source, "
+              "replace(text, ' a ', chr(10)) AS text FROM documents)")
+
+
+def _soft_dedup_sql_entry() -> str:
+    from apollo_ray.functions.sampling import soft_dedup_weights_sql
+    return soft_dedup_weights_sql()
+
+
 def _tfidf_sql_entry() -> str:
     from apollo_ray.functions.lm import tfidf_top_terms_sql
     return tfidf_top_terms_sql(k=5)
@@ -494,6 +507,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from apollo_ray.functions.clean import line_dedup
         return line_dedup(_docs(sf_dir)) \
             .select_columns(["doc_id", "text", "n_dup_lines"])
+
+    def q_strip_boilerplate(sf_dir):
+        """Per-source frequent-line (boilerplate) removal.  The fixture
+        docs are single-line, so a multi-line corpus is derived
+        deterministically on BOTH sides: ' a ' -> newline (DuckDB
+        replace() and pc.replace_substring share the non-overlapping
+        left-to-right rule)."""
+        import pyarrow as pa
+        import pyarrow.compute as _pc
+        from apollo_ray.functions.clean import strip_boilerplate
+
+        def add_nl(batch):
+            t = batch.column("text")
+            if isinstance(t, pa.ChunkedArray):
+                t = t.combine_chunks()
+            return batch.set_column(
+                batch.schema.get_field_index("text"), "text",
+                _pc.replace_substring(t, " a ", "\n"))
+
+        mdocs = _docs(sf_dir).map_batches(add_nl, batch_format="pyarrow")
+        return strip_boilerplate(mdocs, min_df=2, scope_col="source",
+                                 num_partitions=16) \
+            .select_columns(["doc_id", "text", "n_boiler_lines"])
+
+    def q_soft_dedup_weights(sf_dir):
+        from apollo_ray.functions.sampling import soft_dedup_weights
+        return soft_dedup_weights(_docs(sf_dir), num_partitions=16)
 
     def q_bpe_token_counts(sf_dir):
         return textstats.token_counts(_docs(sf_dir), mode="bpe_ish")
@@ -872,6 +912,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q_repetition_stats,
         "c4_clean": q_c4_clean,
         "line_dedup": q_line_dedup,
+        "strip_boilerplate": q_strip_boilerplate,
+        "soft_dedup_weights": q_soft_dedup_weights,
         "bpe_token_counts": q_bpe_token_counts,
         "asof_purchase": q_asof_purchase,
         "purchase_window": q_purchase_window,
@@ -1276,6 +1318,8 @@ def oracle_sql() -> dict[str, str]:
             FROM l
         """,
         "line_dedup": _line_dedup_sql_entry(),
+        "strip_boilerplate": _strip_boilerplate_sql_entry(),
+        "soft_dedup_weights": _soft_dedup_sql_entry(),
         "repetition_stats": r"""
             WITH l AS (
               SELECT doc_id, unnest(string_split(text, chr(10))) AS line

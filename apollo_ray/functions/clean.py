@@ -126,6 +126,70 @@ def _drop_lists_per_doc(drops: "ray.data.Dataset", num_partitions: int
         .groupby("pkey").map_groups(pack, batch_format="pyarrow")
 
 
+def _line_occurrences(batch: pa.Table, sep: str, min_len: int,
+                      num_partitions: int, scope_col: str | None = None
+                      ) -> pa.Table:
+    """Explode a docs batch into per-line occurrence rows ``(lh,
+    doc_id, idx, pkey)``.  ``lh`` is the 63-bit line hash — mixed with
+    the row's ``scope_col`` value hash when given, so equal lines in
+    different scopes get distinct keys.  Lines shorter than ``min_len``
+    codepoints are ineligible and not emitted (always kept).  Per-batch
+    hashing touches only batch-DISTINCT lines via
+    ``dictionary_encode``; all columns leave as fixed-width ints (line
+    TEXT never enters the shuffle)."""
+    from apollo_ray.hashing import hash_utf8, mix_to_partition, pair_mix
+
+    empty = pa.table({"lh": pa.array([], type=pa.int64()),
+                      "doc_id": pa.array([], type=pa.int64()),
+                      "idx": pa.array([], type=pa.int64()),
+                      "pkey": pa.array([], type=pa.int32())})
+    if batch.num_rows == 0:
+        return empty
+    text = batch.column("text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    lists = pc.split_pattern(text, pattern=sep)
+    lens = pc.list_value_length(lists).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = lists.flatten()
+    if len(flat) == 0:
+        return empty
+    enc = flat.dictionary_encode()
+    dict_lines = enc.dictionary.to_pylist()
+    dict_h = np.fromiter((hash_utf8(s) for s in dict_lines),
+                         dtype=np.int64, count=len(dict_lines))
+    dict_elig = pc.utf8_length(enc.dictionary).to_numpy(
+        zero_copy_only=False).astype(np.int64) >= min_len
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    lh = dict_h[codes]
+    elig = dict_elig[codes]
+    ids = np.asarray(batch.column("doc_id").cast(pa.int64()))
+    doc = np.repeat(ids, lens)
+    starts = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    idx = np.arange(len(lh), dtype=np.int64) - np.repeat(starts[:-1], lens)
+    if scope_col is not None:
+        senc = batch.column(scope_col)
+        if isinstance(senc, pa.ChunkedArray):
+            senc = senc.combine_chunks()
+        senc = senc.dictionary_encode()
+        sdict_h = np.fromiter((hash_utf8(s) for s in
+                               senc.dictionary.to_pylist()),
+                              dtype=np.int64, count=len(senc.dictionary))
+        sh = sdict_h[senc.indices.to_numpy(zero_copy_only=False)
+                     .astype(np.int64)]
+        lh = (pair_mix(np.repeat(sh, lens), lh)
+              & np.uint64((1 << 63) - 1)).astype(np.int64)
+    lh, doc, idx = lh[elig], doc[elig], idx[elig]
+    return pa.table({
+        "lh": pa.array(lh, type=pa.int64()),
+        "doc_id": pa.array(doc, type=pa.int64()),
+        "idx": pa.array(idx, type=pa.int64()),
+        "pkey": pa.array(mix_to_partition(lh, num_partitions),
+                         type=pa.int32()),
+    })
+
+
 def line_dedup(docs: "ray.data.Dataset", min_len: int = 1,
                num_partitions: int = 64, sep: str = "\n"
                ) -> "ray.data.Dataset":
@@ -148,47 +212,8 @@ def line_dedup(docs: "ray.data.Dataset", min_len: int = 1,
     ``dictionary_encode``.  Returns the ``docs`` schema with ``text``
     rewritten plus ``n_dup_lines``.
     """
-    from apollo_ray.hashing import hash_utf8, mix_to_partition
-    from apollo_ray.util import hash_join
-
     def occurrences(batch: pa.Table) -> pa.Table:
-        empty = pa.table({"lh": pa.array([], type=pa.int64()),
-                          "doc_id": pa.array([], type=pa.int64()),
-                          "idx": pa.array([], type=pa.int64()),
-                          "pkey": pa.array([], type=pa.int32())})
-        if batch.num_rows == 0:
-            return empty
-        text = batch.column("text")
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        lists = pc.split_pattern(text, pattern=sep)
-        lens = pc.list_value_length(lists).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        flat = lists.flatten()
-        if len(flat) == 0:
-            return empty
-        enc = flat.dictionary_encode()
-        dict_lines = enc.dictionary.to_pylist()
-        dict_h = np.fromiter((hash_utf8(s) for s in dict_lines),
-                             dtype=np.int64, count=len(dict_lines))
-        dict_elig = pc.utf8_length(enc.dictionary).to_numpy(
-            zero_copy_only=False).astype(np.int64) >= min_len
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        lh = dict_h[codes]
-        elig = dict_elig[codes]
-        ids = np.asarray(batch.column("doc_id").cast(pa.int64()))
-        doc = np.repeat(ids, lens)
-        starts = np.zeros(len(lens) + 1, dtype=np.int64)
-        np.cumsum(lens, out=starts[1:])
-        idx = np.arange(len(lh), dtype=np.int64) - np.repeat(starts[:-1], lens)
-        lh, doc, idx = lh[elig], doc[elig], idx[elig]
-        return pa.table({
-            "lh": pa.array(lh, type=pa.int64()),
-            "doc_id": pa.array(doc, type=pa.int64()),
-            "idx": pa.array(idx, type=pa.int64()),
-            "pkey": pa.array(mix_to_partition(lh, num_partitions),
-                             type=pa.int32()),
-        })
+        return _line_occurrences(batch, sep, min_len, num_partitions)
 
     def dup_occurrences(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -207,14 +232,29 @@ def line_dedup(docs: "ray.data.Dataset", min_len: int = 1,
 
     drops = docs.map_batches(occurrences, batch_format="pyarrow") \
         .groupby("pkey").map_groups(dup_occurrences, batch_format="pyarrow")
-    # metadata-only side (one row per doc WITH dups, text never here);
+    return _apply_drop_lists(docs, drops, sep, "n_dup_lines",
+                             num_partitions)
+
+
+def _apply_drop_lists(docs: "ray.data.Dataset", drops: "ray.data.Dataset",
+                      sep: str, count_col: str, num_partitions: int
+                      ) -> "ray.data.Dataset":
+    """Rebuild every document's ``text`` with the dropped ``(doc_id,
+    idx)`` line occurrences removed, appending ``count_col`` (dropped
+    lines per doc).  Shared tail of :func:`line_dedup` and
+    :func:`strip_boilerplate`: the packed per-doc drop lists broadcast
+    below ``DROP_LISTS_BROADCAST_MAX`` dropped docs, else a left-outer
+    hash join — document text moves at most once either way."""
+    from apollo_ray.util import hash_join
+
+    # metadata-only side (one row per doc WITH drops, text never here);
     # materialize to count — fully-empty shuffle blocks lose their
     # schema through Acero joins (the curate/reps precedent)
     drop_lists = _drop_lists_per_doc(drops, num_partitions).materialize()
     if drop_lists.count() == 0:
         def passthrough(batch: pa.Table) -> pa.Table:
             return batch.append_column(
-                "n_dup_lines",
+                count_col,
                 pa.array(np.zeros(batch.num_rows, dtype=np.int64),
                          type=pa.int64()))
         return docs.map_batches(passthrough, batch_format="pyarrow")
@@ -236,7 +276,7 @@ def line_dedup(docs: "ray.data.Dataset", min_len: int = 1,
                      if c not in ("text", "drop_idx")]
         out = {c: batch.column(c) for c in keep_cols}
         out["text"] = pa.array(out_t, type=pa.string())
-        out["n_dup_lines"] = pa.array(n_dup, type=pa.int64())
+        out[count_col] = pa.array(n_dup, type=pa.int64())
         return pa.table(out)
 
     n_dropped_docs = drop_lists.count()
@@ -314,4 +354,95 @@ def line_dedup_sql(min_len: int = 1, sep_sql: str = "chr(10)") -> str:
                CAST(len(split(d.text, {sep_sql})) - coalesce(a.n_kept, 0)
                     AS BIGINT) AS n_dup_lines
         FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+def strip_boilerplate(docs: "ray.data.Dataset", min_df: int = 2,
+                      scope_col: str | None = None, min_len: int = 1,
+                      num_partitions: int = 64, sep: str = "\n"
+                      ) -> "ray.data.Dataset":
+    """Frequent-line (boilerplate) removal — the ccnet / RefinedWeb
+    companion to :func:`line_dedup` with the OPPOSITE drop rule: a line
+    whose occurrence count within ``scope_col`` (e.g. the source/host
+    column; ``None`` = corpus-global) reaches ``min_df`` is boilerplate
+    (nav bars, footers, cookie banners repeat on every page of a site)
+    and EVERY occurrence is removed — including the first, which
+    ``line_dedup`` would keep.  Documents are rebuilt from their
+    surviving lines; lines shorter than ``min_len`` codepoints are
+    exempt (always kept).
+
+    Scale shape (identical to ``line_dedup``): one shuffle keyed on
+    the 63-bit (scope, line) hash — 24-byte occurrence rows, line text
+    never moves — one tiny per-doc drop-list shuffle, then a broadcast
+    (or, above ``DROP_LISTS_BROADCAST_MAX``, one hash join) rebuild
+    pass where document text moves at most once.  Per-scope frequency
+    is exact because all occurrences of a (scope, line) key land in
+    one partition.  Returns the ``docs`` schema with ``text``
+    rewritten plus ``n_boiler_lines``.
+    """
+    def occurrences(batch: pa.Table) -> pa.Table:
+        return _line_occurrences(batch, sep, min_len, num_partitions,
+                                 scope_col=scope_col)
+
+    def frequent_occurrences(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "idx": pa.array([], type=pa.int64())})
+        lh = np.asarray(group.column("lh"), dtype=np.int64)
+        d = np.asarray(group.column("doc_id"), dtype=np.int64)
+        ix = np.asarray(group.column("idx"), dtype=np.int64)
+        order = np.argsort(lh, kind="stable")
+        lh_s = lh[order]
+        first = np.empty(len(lh_s), dtype=bool)
+        first[0] = True
+        first[1:] = lh_s[1:] != lh_s[:-1]
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, len(lh_s)))
+        boiler = np.repeat(counts >= min_df, counts)
+        keep = order[boiler]
+        return pa.table({"doc_id": pa.array(d[keep], type=pa.int64()),
+                         "idx": pa.array(ix[keep], type=pa.int64())})
+
+    drops = docs.map_batches(occurrences, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(frequent_occurrences,
+                                    batch_format="pyarrow")
+    return _apply_drop_lists(docs, drops, sep, "n_boiler_lines",
+                             num_partitions)
+
+
+def strip_boilerplate_sql(min_df: int = 2, scope_sql: str = "source",
+                          min_len: int = 1, sep_sql: str = "chr(10)",
+                          table: str = "documents") -> str:
+    """DuckDB oracle reproducing :func:`strip_boilerplate`
+    byte-for-byte on a ``documents``-shaped table (``scope_sql`` is a
+    SQL expression for the scope key, e.g. a column name or ``"''"``
+    for corpus-global)."""
+    return f"""
+        WITH l AS (
+          SELECT doc_id, {scope_sql} AS scope,
+                 unnest(split(text, {sep_sql})) AS line,
+                 unnest(range(len(split(text, {sep_sql})))) AS idx
+          FROM {table}
+        ),
+        c AS (
+          SELECT scope, line, count(*) AS df
+          FROM l WHERE length(line) >= {min_len}
+          GROUP BY scope, line
+        ),
+        kept AS (
+          SELECT l.doc_id, l.idx, l.line
+          FROM l LEFT JOIN c ON l.scope = c.scope AND l.line = c.line
+          WHERE length(l.line) < {min_len} OR coalesce(c.df, 0) < {min_df}
+        ),
+        agg AS (
+          SELECT doc_id,
+                 string_agg(line, {sep_sql} ORDER BY idx) AS text,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.text, '') AS text,
+               CAST(len(split(d.text, {sep_sql})) - coalesce(a.n_kept, 0)
+                    AS BIGINT) AS n_boiler_lines
+        FROM {table} d LEFT JOIN agg a USING (doc_id)
     """

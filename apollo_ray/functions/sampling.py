@@ -220,3 +220,71 @@ def leakage_safe_splits_sql(cuts_permille: tuple[int, int] = (800, 900)
                 ELSE 'test' END AS split
     FROM g
 """
+
+
+def soft_dedup_weights(docs: "ray.data.Dataset", num_partitions: int = 64
+                       ) -> "ray.data.Dataset":
+    """Duplication-aware per-doc sampling weight (soft dedup): instead
+    of DELETING duplicates, downweight every copy so each distinct
+    text contributes unit total mass to the training mixture —
+    ``weight_ppm = round_half_up(1e6 / n_copies)`` where ``n_copies``
+    counts the docs sharing this doc's exact text.  The
+    frequency-downweighting alternative to hard dedup discussed in the
+    data-curation line (e.g. SlimPajama/DataComp-LM ablations); unlike
+    ``exact_dedup_groups`` it returns one row PER DOC, ready to join
+    onto a sampler.
+
+    Scale shape: one 16-byte/row metadata shuffle on the 63-bit
+    content hash (text never moves), per-partition group sizes via one
+    ``np.unique`` — exact because all rows of a hash land in one
+    partition.  Integer-ppm arithmetic keeps the result bit-equal to
+    the SQL oracle.
+    """
+    from apollo_ray.functions.dedup_extras import add_text_hash
+    from apollo_ray.hashing import mix_to_partition
+
+    hashed = add_text_hash(docs)
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        th = np.asarray(batch.column("text_hash"), dtype=np.int64)
+        return batch.append_column(
+            "pkey", pa.array(mix_to_partition(th, num_partitions),
+                             type=pa.int32()))
+
+    def weigh(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "n_copies": pa.array([], type=pa.int64()),
+                             "weight_ppm": pa.array([], type=pa.int64())})
+        th = np.asarray(group.column("text_hash"), dtype=np.int64)
+        d = np.asarray(group.column("doc_id"), dtype=np.int64)
+        order = np.argsort(th, kind="stable")
+        th_s = th[order]
+        first = np.empty(len(th_s), dtype=bool)
+        first[0] = True
+        first[1:] = th_s[1:] != th_s[:-1]
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, len(th_s)))
+        n = np.repeat(counts, counts)          # group size per member
+        w = (2_000_000 + n) // (2 * n)         # round-half-up 1e6 / n
+        return pa.table({
+            "doc_id": pa.array(d[order], type=pa.int64()),
+            "n_copies": pa.array(n, type=pa.int64()),
+            "weight_ppm": pa.array(w, type=pa.int64()),
+        })
+
+    return hashed.map_batches(add_pkey, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(weigh, batch_format="pyarrow")
+
+
+def soft_dedup_weights_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`soft_dedup_weights` (group by text —
+    the engine groups by the 63-bit content hash; same integer
+    round-half-up ppm arithmetic)."""
+    return f"""
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_copies,
+           CAST((2000000 + n) // (2 * n) AS BIGINT) AS weight_ppm
+    FROM (SELECT doc_id, count(*) OVER (PARTITION BY text) AS n
+          FROM {table})
+"""
