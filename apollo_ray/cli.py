@@ -112,6 +112,9 @@ def cmd_curate(args) -> int:
         max_dup_3gram_frac=args.max_dup_3gram_frac,
         dedup_lines=args.dedup_lines,
         line_dedup_min_len=args.line_dedup_min_len,
+        strip_boiler_min_df=args.strip_boilerplate,
+        boiler_scope=args.boiler_scope,
+        boiler_min_len=args.boiler_min_len,
         cut_substrings_min_len=args.cut_substrings_min_len,
         cut_winnow_w=args.winnow_w,
         redact_pii=args.redact_pii,
@@ -349,6 +352,15 @@ def main(argv=None) -> int:
     sp.add_argument("--dedup-lines", action="store_true",
                     help="ccnet-style cross-doc line dedup before near-dedup")
     sp.add_argument("--line-dedup-min-len", type=int, default=1)
+    sp.add_argument("--strip-boilerplate", type=int, default=0,
+                    metavar="MIN_DF",
+                    help="drop every line repeating >= MIN_DF times "
+                         "within its scope before the quality filters "
+                         "(0 disables)")
+    sp.add_argument("--boiler-scope", default="host",
+                    help="boilerplate frequency scope: host (from url), "
+                         "global, or a docs column name")
+    sp.add_argument("--boiler-min-len", type=int, default=1)
     sp.add_argument("--redact-pii", action="store_true",
                     help="scrub PII placeholders into the curated "
                          "output (after dedup)")

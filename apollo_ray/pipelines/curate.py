@@ -1,6 +1,7 @@
 """End-to-end corpus curation: the composed LLM-training-data flow
 
     pages ──extract──▶ docs
+      ──[per-site boilerplate strip]──▶ (optional, RefinedWeb-style)
       ──[C4 line clean]──▶ cleaned docs
       ──[quality / repetition / language filters]──▶ kept docs
       ──[cross-doc line dedup]──▶ (optional, ccnet-style)
@@ -64,6 +65,16 @@ class CurateConfig:
     # False disables; line_dedup_min_len sets the eligibility floor.
     dedup_lines: bool = False
     line_dedup_min_len: int = 1
+    # per-site boilerplate stripping (RefinedWeb-style) FIRST, before
+    # the quality filters (boilerplate inflates the repetition stats):
+    # 0 disables; >=2 drops EVERY occurrence of a line whose count
+    # within its scope reaches the threshold (nav bars, footers,
+    # cookie banners repeat on every page of a site).
+    strip_boiler_min_df: int = 0
+    # "host" (derived from the url column), "global", or the name of
+    # an existing docs column to scope line frequencies by.
+    boiler_scope: str = "host"
+    boiler_min_len: int = 1
     # publish-time PII scrubbing of the curated output (AFTER dedup,
     # so redaction never perturbs the duplicate clustering).
     redact_pii: bool = False
@@ -123,6 +134,44 @@ def clean_filter_docs(docs: "ray.data.Dataset", ccfg: CurateConfig
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+def _strip_boiler_docs(docs: "ray.data.Dataset", ccfg: CurateConfig,
+                       num_partitions: int) -> "ray.data.Dataset":
+    """Per-scope frequent-line removal over the extracted docs,
+    restoring the docs schema (``text_hash`` recomputed from the
+    rewritten text, helper columns dropped)."""
+    from apollo_ray.functions.clean import strip_boilerplate
+
+    scope_col: str | None
+    drop_scope = False
+    if ccfg.boiler_scope == "global":
+        scope_col = None
+    elif ccfg.boiler_scope == "host":
+        from apollo_ray.functions.urls import canonicalize_url_array
+
+        def add_host(batch: pa.Table) -> pa.Table:
+            _, host = canonicalize_url_array(batch.column("url"))
+            return batch.append_column("host", host.fill_null(""))
+
+        docs = docs.map_batches(add_host, batch_format="pyarrow")
+        scope_col, drop_scope = "host", True
+    else:
+        scope_col = ccfg.boiler_scope
+    stripped = strip_boilerplate(docs, min_df=ccfg.strip_boiler_min_df,
+                                 scope_col=scope_col,
+                                 min_len=ccfg.boiler_min_len,
+                                 num_partitions=num_partitions)
+
+    def rehash(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        th = pa.array([hash_utf8(t) for t in texts], type=pa.int64())
+        out = batch.set_column(batch.column_names.index("text_hash"),
+                               "text_hash", th)
+        drop = ["n_boiler_lines"] + (["host"] if drop_scope else [])
+        return out.drop_columns(drop)
+
+    return stripped.map_batches(rehash, batch_format="pyarrow")
+
+
 def cluster_representatives(clusters: "ray.data.Dataset",
                             num_partitions: int = 64,
                             scores: "ray.data.Dataset | None" = None
@@ -177,6 +226,8 @@ def curate_corpus(pages: "ray.data.Dataset", cfg: DedupConfig,
     from apollo_ray.pipelines.dedup import run_dedup
     ccfg = ccfg or CurateConfig()
     docs = extract_docs(pages, cfg)
+    if ccfg.strip_boiler_min_df > 0:
+        docs = _strip_boiler_docs(docs, ccfg, num_partitions)
     kept = clean_filter_docs(docs, ccfg).materialize()
     if ccfg.dedup_lines and kept.count() > 0:
         from apollo_ray.functions.clean import line_dedup

@@ -209,3 +209,40 @@ def test_curate_keep_rule_validation(ray_session, corpus):
     with pytest.raises(ValueError, match="keep_rule"):
         curate_corpus(_pages(corpus), cfg,
                       CurateConfig(keep_rule="bogus"), num_partitions=4)
+
+
+def test_curate_strip_boilerplate_host_scope(ray_session):
+    # two siteA pages share a nav line (df=2 within host -> stripped
+    # from BOTH); siteB's single copy of the same line survives
+    import ray.data as rd
+    from apollo_ray.hashing import hash_utf8
+    rng = np.random.default_rng(7)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "theta", "iota", "kappa", "lam"]
+
+    def sent(n):
+        return " ".join(rng.choice(words, n)) + "."
+
+    nav = "Home | About | Contact"
+    bodies = ["\n".join(sent(12) for _ in range(4)) for _ in range(3)]
+    pages = rd.from_arrow(pa.table({
+        "url": pa.array(["http://siteA/p0", "http://siteA/p1",
+                         "http://siteB/p0"]),
+        "lang": pa.array(["en"] * 3),
+        "text": pa.array([f"{nav}\n{bodies[0]}", f"{nav}\n{bodies[1]}",
+                          f"{nav}\n{bodies[2]}"]),
+    }))
+    cfg = DedupConfig(feature_dim_log2=12, threshold=0.9)
+    out = curate_corpus(pages, cfg,
+                        CurateConfig(clean_lines=False, min_tokens=1,
+                                     strip_boiler_min_df=2),
+                        num_partitions=4)
+    cur = out["curated"].to_pandas().set_index("url")
+    assert len(cur) == 3
+    assert nav not in cur.loc["http://siteA/p0", "text"]
+    assert nav not in cur.loc["http://siteA/p1", "text"]
+    assert cur.loc["http://siteB/p0", "text"].startswith(nav)
+    # helper columns dropped, text_hash refreshed after the rewrite
+    assert "host" not in cur.columns and "n_boiler_lines" not in cur.columns
+    for u, r in cur.iterrows():
+        assert r["text_hash"] == hash_utf8(r["text"])
