@@ -423,6 +423,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
                      >= int(eh["n_members"].max()))], type=pa.int64()),
         })
 
+    def q_soft_near_dedup_invariants(sf_dir):
+        """Invariant bundle for the soft near-dedup weights (the LSH
+        cluster labels are not SQL-expressible; the SQL-checkable
+        facts are): exactly one weight row per corpus doc, every
+        cluster's total mass n*w within the round-half-up bound of
+        1e6 (2*|n*w - 1e6| <= n), and weights in [1, 1e6]."""
+        import numpy as np
+        import pyarrow as pa
+        from apollo_ray.functions.sampling import cluster_soft_weights
+        w = cluster_soft_weights(_clusters(sf_dir), num_partitions=16)
+        n_docs, mass_ok, bounds_ok = 0, 1, 1
+        for b in w.iter_batches(batch_format="numpy"):
+            n = b["n_members"].astype(np.int64)
+            wt = b["weight_ppm"].astype(np.int64)
+            n_docs += len(wt)
+            if not (2 * np.abs(n * wt - 1_000_000) <= n).all():
+                mass_ok = 0
+            if not ((wt >= 1) & (wt <= 1_000_000)).all():
+                bounds_ok = 0
+        return pa.table({
+            "n_docs": pa.array([n_docs], type=pa.int64()),
+            "mass_ok": pa.array([mass_ok], type=pa.int64()),
+            "bounds_ok": pa.array([bounds_ok], type=pa.int64()),
+        })
+
     def q_minhash_invariants(sf_dir):
         """End-to-end pipeline invariant, SQL-checkable: every member
         of an exact-duplicate text group must land in the SAME
@@ -904,6 +929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_clusters": q_minhash_clusters,
         "minhash_dedup_invariants": q_minhash_invariants,
         "minhash_cluster_stats": q_minhash_cluster_stats,
+        "soft_near_dedup_invariants": q_soft_near_dedup_invariants,
         "simhash_pairs": q_simhash_pairs,
         "minhash_signatures": q_minhash_signatures,
         "lang_id_fingerprint": q_lang_id,
@@ -1406,6 +1432,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(1 AS BIGINT) AS clusters_le_distinct_texts,
                    CAST(1 AS BIGINT) AS max_cc_ge_max_exact
+            FROM documents
+        """,
+        "soft_near_dedup_invariants": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(1 AS BIGINT) AS mass_ok,
+                   CAST(1 AS BIGINT) AS bounds_ok
             FROM documents
         """,
         "decontam_overlap": r"""

@@ -158,8 +158,17 @@ def cmd_tiers(args) -> int:
                        if args.lang else None)
     docs = extract_docs(pages, cfg)
     out = tiered_dedup(docs, cfg)
-    out["survivors"].write_parquet(args.output)
+    if args.soft:
+        # soft LSH tier: exact/url dups still drop hard (they carry no
+        # information), but near-dup clusters are DOWNWEIGHTED, not
+        # cut — write (doc_id, cc_id, n_members, weight_ppm) per
+        # tier-2 survivor for the training sampler
+        from apollo_ray.functions.sampling import cluster_soft_weights
+        cluster_soft_weights(out["clusters"]).write_parquet(args.output)
+    else:
+        out["survivors"].write_parquet(args.output)
     print(json.dumps({"tiers": out["stats"].to_pylist(),
+                      "soft": bool(args.soft),
                       "metrics": out["metrics"]}, default=str))
     if owns:
         ray.shutdown()
@@ -385,6 +394,11 @@ def main(argv=None) -> int:
     sp = sub.add_parser("tiers")
     sp.add_argument("--input", required=True)
     sp.add_argument("--output", required=True)
+    sp.add_argument("--soft", action="store_true",
+                    help="downweight near-dup clusters instead of "
+                         "cutting them: write per-doc sampling weights "
+                         "(doc_id, cc_id, n_members, weight_ppm) over "
+                         "the tier-2 survivors")
     sp.add_argument("--lang", default=None)
     sp.add_argument("--num-cpus", type=int, default=None)
     sp.add_argument("--address", default="local")

@@ -288,3 +288,57 @@ def soft_dedup_weights_sql(table: str = "documents") -> str:
     FROM (SELECT doc_id, count(*) OVER (PARTITION BY text) AS n
           FROM {table})
 """
+
+
+def cluster_soft_weights(clusters: "ray.data.Dataset",
+                         num_partitions: int = 64) -> "ray.data.Dataset":
+    """Soft NEAR-dedup: per-doc sampling weight from the MinHash-LSH
+    cluster labels (the ``(doc_id, cc_id)`` output of the flagship
+    pipeline) — ``weight_ppm = round_half_up(1e6 / cc_size)``, so each
+    near-dup cluster contributes unit total mass to the training
+    mixture instead of being cut to one representative.  The LSH-tier
+    counterpart of :func:`soft_dedup_weights` (which downweights exact
+    copies only); together with ``tiered_dedup`` this gives the soft
+    alternative at every tier.
+
+    Scale shape: pure metadata — one 16-byte/row shuffle on
+    ``hash(cc_id)`` (every member of a cluster lands in one
+    partition, so sizes are exact), one segment-count pass per
+    partition, integer-ppm weights.  Returns
+    ``(doc_id, cc_id, n_members, weight_ppm)``, one row per input row.
+    """
+    from apollo_ray.hashing import mix_to_partition
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        cc = np.asarray(batch.column("cc_id"), dtype=np.int64)
+        return batch.append_column(
+            "pkey", pa.array(mix_to_partition(cc, num_partitions),
+                             type=pa.int32()))
+
+    def weigh(group: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "cc_id": pa.array([], type=pa.int64()),
+                          "n_members": pa.array([], type=pa.int64()),
+                          "weight_ppm": pa.array([], type=pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        cc = np.asarray(group.column("cc_id"), dtype=np.int64)
+        d = np.asarray(group.column("doc_id"), dtype=np.int64)
+        order = np.argsort(cc, kind="stable")
+        cc_s = cc[order]
+        first = np.empty(len(cc_s), dtype=bool)
+        first[0] = True
+        first[1:] = cc_s[1:] != cc_s[:-1]
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, len(cc_s)))
+        n = np.repeat(counts, counts)
+        w = (2_000_000 + n) // (2 * n)        # round-half-up 1e6 / n
+        return pa.table({
+            "doc_id": pa.array(d[order], type=pa.int64()),
+            "cc_id": pa.array(cc_s, type=pa.int64()),
+            "n_members": pa.array(n, type=pa.int64()),
+            "weight_ppm": pa.array(w, type=pa.int64()),
+        })
+
+    return clusters.map_batches(add_pkey, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(weigh, batch_format="pyarrow")

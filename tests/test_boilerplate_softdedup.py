@@ -130,3 +130,23 @@ def test_soft_dedup_weights_oracle_parity(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     for c in ("doc_id", "n_copies", "weight_ppm"):
         assert (eng[c].values == ora[c].values).all(), c
+
+
+def test_cluster_soft_weights(ray_session):
+    import ray.data as rd
+    from apollo_ray.functions.sampling import cluster_soft_weights
+    clusters = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "cc_id": pa.array([10, 10, 10, 20, 30], type=pa.int64()),
+    }))
+    out = cluster_soft_weights(clusters, num_partitions=2) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert len(out) == 5
+    assert (out.loc[[1, 2, 3], "n_members"] == 3).all()
+    assert (out.loc[[1, 2, 3], "weight_ppm"] == 333333).all()
+    assert out.loc[4, "weight_ppm"] == 1_000_000
+    assert out.loc[5, "weight_ppm"] == 1_000_000
+    # per-cluster mass within the round-half-up bound
+    g = out.groupby("cc_id").agg(n=("n_members", "first"),
+                                 mass=("weight_ppm", "sum"))
+    assert (2 * (g["mass"] - 1_000_000).abs() <= g["n"]).all()
