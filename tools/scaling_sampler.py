@@ -109,6 +109,18 @@ def main() -> int:
         docs_hi = r.get("stage_sec_hi", {}).get("docs_sec")
         if docs_lo and docs_hi and docs_hi > docs_lo * 1.2:
             clean = False
+        # ...and NO stage may take materially longer in absolute wall
+        # time with 4x the CPUs: exchange stages are fixed-cost-bound
+        # (ratio near 1 is normal) but hi > 1.35x lo means the hi leg
+        # ran inside a transient the probes missed (caught once at a
+        # 4M 0.424 sample: reps 2.2s->4.9s, cc 2.8s->5.0s at 8->32
+        # while the post-probe squeaked past the softened gate)
+        for k in ("reps_sec", "bands_sec", "edges_sec", "cc_sec",
+                  "clusters_sec"):
+            lo_v = r.get("stage_sec_lo", {}).get(k)
+            hi_v = r.get("stage_sec_hi", {}).get(k)
+            if lo_v and hi_v and hi_v > lo_v * 1.35:
+                clean = False
         # ...and a kernel-bound map stage cannot scale SUPER-linearly:
         # bands per-stage efficiency above ~1.0 means the lo leg ran
         # degraded and the ratio is inflated (caught once at 0.838:
