@@ -23,6 +23,19 @@ _STOPWORD_SQL_LIST = ("'the','a','an','and','or','of','to','in','is','are',"
                       "'was','were','be','been','it','this','that','for',"
                       "'on','with','as','at','by'")
 
+# normalize_text driver query: the messy splice injected for ' the '
+# on both sides (decomposed e-acute, CRLF, tab, BEL) — the SQL string
+# builds the identical characters with chr()
+_MESSY_SPLICE = " é \r\n\tX\x07 "
+_MESSY_SPLICE_SQL = ("' e' || chr(769) || ' ' || chr(13) || chr(10) || "
+                     "chr(9) || 'X' || chr(7) || ' '")
+
+# hostlist_filter driver query: exact 3-label hosts from the synthetic
+# crawl construction (site{0..6}.example.com) plus a never-matching
+# domain; the :8080 urls exercise the port-strip path
+_BLOCKLIST_DOMAINS = ["site2.example.com", "site5.example.com",
+                      "example.org"]
+
 def _marker_score_sql(markers: tuple) -> str:
     """Non-overlapping substring counts — same greedy left-to-right
     semantics as Python ``str.count`` / ``str.replace``."""
@@ -108,6 +121,22 @@ def _redact_pii_sql() -> str:
     sql += ("\n            SELECT doc_id, t%d AS clean_text,"
             " c%d AS n_redacted FROM s%d" % (n, n, n))
     return sql
+
+
+def _normalize_text_sql_entry() -> str:
+    from apollo_ray.functions.clean import normalize_text_sql
+    return normalize_text_sql(
+        text_sql="replace(text, ' the ', %s)" % _MESSY_SPLICE_SQL)
+
+
+def _hostlist_filter_sql_entry() -> str:
+    from apollo_ray.functions.urls import hostlist_filter_sql
+    return hostlist_filter_sql(_BLOCKLIST_DOMAINS)
+
+
+def _nb_classify_sql_entry(cap: int | None) -> str:
+    from apollo_ray.functions.classify import nb_classify_sql
+    return nb_classify_sql("source", cap)
 
 
 def _bpe_train_sql_entry() -> str:
@@ -896,7 +925,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup_extras.jaccard_join(left, right, k=3, threshold=0.6,
                                          metric="containment")
 
+    def q_normalize_text(sf_dir):
+        """Unicode/whitespace canonicalization.  The fixture text is
+        clean ASCII, so a messy variant is derived deterministically on
+        BOTH sides: every ' the ' becomes a splice of a decomposed
+        e-acute, CRLF, a tab run and a BEL control char
+        (_MESSY_SPLICE; the oracle builds the identical string with
+        chr())."""
+        import pyarrow as pa
+        import pyarrow.compute as _pc
+        from apollo_ray.functions.clean import normalize_text
+
+        def mess(batch):
+            t = batch.column("text")
+            if isinstance(t, pa.ChunkedArray):
+                t = t.combine_chunks()
+            return batch.set_column(
+                batch.schema.get_field_index("text"), "text",
+                _pc.replace_substring(t, " the ", _MESSY_SPLICE))
+
+        return normalize_text(
+            _docs(sf_dir).map_batches(mess, batch_format="pyarrow"))
+
+    def q_hostlist_filter(sf_dir):
+        """Domain blocklist over the synthetic crawl urls: exact-host
+        entries plus the port-strip path (the c==1 urls keep :8080 in
+        the canonical host)."""
+        from apollo_ray.functions.urls import hostlist_filter
+        return hostlist_filter(_synthetic_pages(sf_dir),
+                               _BLOCKLIST_DOMAINS)
+
+    def q_nb_classify(sf_dir):
+        from apollo_ray.functions.classify import nb_classify
+        return nb_classify(_docs(sf_dir), label_col="source",
+                           num_partitions=16)
+
+    def q_nb_classify_cap64(sf_dir):
+        from apollo_ray.functions.classify import nb_classify
+        return nb_classify(_docs(sf_dir), label_col="source",
+                           vocab_cap=64, num_partitions=16)
+
     return {
+        "normalize_text": q_normalize_text,
+        "hostlist_filter": q_hostlist_filter,
+        "nb_classify": q_nb_classify,
+        "nb_classify_cap64": q_nb_classify_cap64,
         "exact_dedup_groups": q_exact_dedup,
         "jaccard_join": q_jaccard_join,
         "dup_size_hist": q_dup_size_hist,
@@ -983,6 +1056,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "normalize_text": _normalize_text_sql_entry(),
+        "hostlist_filter": _hostlist_filter_sql_entry(),
+        "nb_classify": _nb_classify_sql_entry(None),
+        "nb_classify_cap64": _nb_classify_sql_entry(64),
         "exact_dedup_groups": """
             SELECT min(doc_id) AS rep_id, count(*) AS n_members
             FROM documents GROUP BY text

@@ -446,3 +446,90 @@ def strip_boilerplate_sql(min_df: int = 2, scope_sql: str = "source",
                     AS BIGINT) AS n_boiler_lines
         FROM {table} d LEFT JOIN agg a USING (doc_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# normalize_text: Unicode/whitespace canonicalization (the fix-encoding
+# step that precedes hashing in every web-corpus pipeline; the reference
+# normalizes keys the same spirit-wise in apollo/bags.py before hashing)
+
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+_SPACE_RUN_RE = r"[ \t]+"
+_OUTER_WS_RE = r"^\s+|\s+$"
+
+
+def normalize_text_array(text: pa.Array) -> pa.Array:
+    """Deterministic text canonicalization, in order:
+
+    1. Unicode NFC composition (skipped vectorized-cheaply for pure-
+       ASCII rows: ``binary_length == utf8_length`` iff ASCII);
+    2. line endings: ``\\r\\n`` / lone ``\\r`` -> ``\\n``;
+    3. strip C0 control chars except ``\\t``/``\\n`` (and DEL);
+    4. collapse space/tab runs to one space;
+    5. trim outer whitespace.
+
+    Steps 2-5 are single RE2 passes over the whole batch; step 1 runs
+    per-row Python ``unicodedata.normalize`` only on the non-ASCII
+    minority.  Byte-for-byte reproducible in DuckDB
+    (:func:`normalize_text_sql`): ``nfc_normalize`` is utf8proc NFC,
+    identical to CPython's UCD on composition-stable sequences, and the
+    regex passes share RE2 on both sides.
+    """
+    import unicodedata
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    non_ascii = pc.not_equal(pc.binary_length(text), pc.utf8_length(text))
+    idx = np.flatnonzero(non_ascii.fill_null(False).to_numpy(
+        zero_copy_only=False))
+    if len(idx):
+        rows = text.take(pa.array(idx)).to_pylist()
+        fixed = [unicodedata.normalize("NFC", s) if s is not None else None
+                 for s in rows]
+        buf = np.asarray(text.to_pylist(), dtype=object)
+        buf[idx] = fixed
+        text = pa.array(buf.tolist(), type=pa.string())
+    t = pc.replace_substring_regex(text, r"\r\n?", "\n")
+    t = pc.replace_substring_regex(t, _CTRL_RE, "")
+    t = pc.replace_substring_regex(t, _SPACE_RUN_RE, " ")
+    t = pc.replace_substring_regex(t, _OUTER_WS_RE, "")
+    return t
+
+
+def normalize_text(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, norm_text, changed) — canonicalized text plus a
+    did-anything-change flag.  Pure map pass: streams, no shuffle, no
+    state; NFC runs per-row only on non-ASCII rows."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        norm = normalize_text_array(text)
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "norm_text": norm,
+            "changed": pc.not_equal(norm, text),
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def normalize_text_sql(table: str = "documents",
+                       text_sql: str = "text") -> str:
+    """DuckDB oracle reproducing :func:`normalize_text`
+    byte-for-byte (``text_sql`` is a SQL expression for the raw text
+    column, so drivers can inject messy test strings on both sides)."""
+    return f"""
+        WITH raw AS (SELECT doc_id, {text_sql} AS t0 FROM {table}),
+        n AS (
+          SELECT doc_id, t0,
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(nfc_normalize(t0), '\\r\\n?', chr(10), 'g'),
+                  '{_CTRL_RE}', '', 'g'),
+                '{_SPACE_RUN_RE}', ' ', 'g'),
+              '{_OUTER_WS_RE}', '', 'g') AS norm_text
+          FROM raw)
+        SELECT doc_id, norm_text, norm_text <> t0 AS changed FROM n
+    """

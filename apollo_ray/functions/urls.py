@@ -349,3 +349,87 @@ def url_host_stats_sql(table: str = "documents") -> str:
             + """ SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
                    CAST(count(DISTINCT url_canon) AS BIGINT) AS n_canonical
             FROM canon GROUP BY host""")
+
+
+# ---------------------------------------------------------------------------
+# hostlist_filter: domain blocklist/allowlist matching (the UT1-style
+# domain-filter step of web-corpus curation)
+
+def _suffix_masks(hostname: pa.Array, by_labels: dict[int, list[str]]
+                  ) -> np.ndarray:
+    """Blocked mask: hostname's last-k-label suffix is in the k-label
+    entry set, for each label count k present in the list.  One RE2
+    extract + one ``is_in`` per k — fully vectorized; the leftmost
+    RE2 match of ``(?:[^.]+\\.){k-1}[^.]+$`` is the maximal (hence
+    label-aligned) k-label suffix."""
+    blocked = np.zeros(len(hostname), dtype=bool)
+    for k, entries in by_labels.items():
+        if k == 1:
+            sfx = pc.extract_regex(hostname, r"(?P<s>[^.]+)$")
+        else:
+            sfx = pc.extract_regex(
+                hostname, r"(?P<s>(?:[^.]+\.){%d}[^.]+)$" % (k - 1))
+        s = pc.struct_field(sfx, "s")
+        hit = pc.is_in(s, value_set=pa.array(entries, type=pa.string()))
+        blocked |= hit.fill_null(False).to_numpy(zero_copy_only=False)
+    return blocked
+
+
+def hostlist_filter(pages: "ray.data.Dataset", domains: list[str],
+                    url_col: str = "url", id_col: str = "doc_id",
+                    ) -> "ray.data.Dataset":
+    """(id, host, blocked) — canonical-host blocklist matching: a page
+    is blocked iff its port-stripped canonical hostname equals a
+    blocklist domain or is a subdomain of one (hostname ends with
+    ``'.' + domain``).
+
+    Scale shape: pure map, no shuffle.  The domain list (UT1-class
+    lists are ~1M short strings) is grouped by label count on the
+    driver and broadcast ONCE via ``ray.put``; every batch does
+    ``<= max_label_count`` vectorized regex-suffix + ``is_in`` passes.
+    Matching semantics are exactly SQL's
+    ``hostname = d OR ends_with(hostname, '.' || d)``
+    (:func:`hostlist_filter_sql`), because the extracted suffix is
+    label-aligned.
+    """
+    import ray
+
+    by_labels: dict[int, list[str]] = {}
+    for d in sorted({d.lower().strip(".") for d in domains if d.strip(".")}):
+        by_labels.setdefault(d.count(".") + 1, []).append(d)
+    bl_ref = ray.put(by_labels)
+
+    def f(batch: pa.Table) -> pa.Table:
+        bl = ray.get(bl_ref)
+        _, host = canonicalize_url_array(batch.column(url_col))
+        hostname = pc.replace_substring_regex(host, r":[0-9]+$", "")
+        blocked = _suffix_masks(hostname, bl)
+        return pa.table({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "host": host,
+            "blocked": pa.array(blocked, type=pa.bool_()),
+        })
+
+    return pages.map_batches(f, batch_format="pyarrow")
+
+
+def hostlist_filter_sql(domains: list[str], table: str = "documents"
+                        ) -> str:
+    """DuckDB oracle for :func:`hostlist_filter` over the synthetic
+    url construction: same canonicalization CTE, blocklist matching
+    via exact-or-dotted-suffix on the port-stripped hostname."""
+    norm = sorted({d.lower().strip(".") for d in domains if d.strip(".")})
+    values = ", ".join("('%s')" % d.replace("'", "''") for d in norm)
+    return (f"WITH u AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url "
+            f"FROM {table}),"
+            + _CANON_SQL
+            + f""",
+    hn AS (SELECT doc_id, host,
+                  regexp_replace(host, ':[0-9]+$', '') AS hostname
+           FROM canon),
+    bl(d) AS (VALUES {values})
+    SELECT doc_id, host,
+           EXISTS (SELECT 1 FROM bl
+                   WHERE hn.hostname = bl.d
+                      OR ends_with(hn.hostname, '.' || bl.d)) AS blocked
+    FROM hn""")
