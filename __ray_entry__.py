@@ -204,9 +204,9 @@ def _shingle_novelty_sql_entry() -> str:
     return shingle_novelty_sql(k=3)
 
 
-def _tiered_sql_entry() -> str:
+def _tiered_sql_entry(semantic: bool = False) -> str:
     from apollo_ray.functions.tiers import tiered_dedup_sql
-    return tiered_dedup_sql()
+    return tiered_dedup_sql(semantic=semantic)
 
 
 def _dsir_sql_entry() -> str:
@@ -713,6 +713,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            num_partitions=16)
         return out["stats"]
 
+    def q_dedup_tier_rollup_sem(sf_dir):
+        """Four-tier cascade: exact -> url -> minhash -> semantic
+        (SemDeDup over the survivors' embeddings).  Same sentinel
+        discipline as the 3-tier rollup; the semantic tier's strong
+        value checks live in the oracled `semdedup` query."""
+        import numpy as np
+        import pyarrow as pa
+        from apollo_ray.config import DedupConfig
+        from apollo_ray.functions.tiers import tiered_dedup
+        from apollo_ray.functions.urls import synthetic_crawl_urls
+
+        def add_url(batch):
+            ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+            return batch.append_column(
+                "url", pa.array(synthetic_crawl_urls(ids),
+                                type=pa.string()))
+
+        docs = _docs(sf_dir).map_batches(add_url, batch_format="pyarrow")
+        out = tiered_dedup(docs, DedupConfig(feature_dim_log2=14),
+                           num_partitions=16,
+                           embeddings=_embeddings(sf_dir),
+                           semantic_k=8, semantic_threshold=0.3)
+        return out["stats"]
+
     def q_sliding_window(sf_dir):
         from apollo_ray.functions.asof import sliding_window_stats
         return sliding_window_stats(_events(sf_dir))
@@ -1028,6 +1052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_host_stats": q_url_host_stats,
         "per_host_topk": q_per_host_topk,
         "dedup_tier_rollup": q_dedup_tier_rollup,
+        "dedup_tier_rollup_sem": q_dedup_tier_rollup_sem,
         "leakage_safe_splits": q_leakage_splits,
         "sliding_window_stats": q_sliding_window,
         "pii_stats": q_pii_stats,
@@ -1569,6 +1594,7 @@ def oracle_sql() -> dict[str, str]:
         "url_host_stats": _url_host_stats_sql_entry(),
         "per_host_topk": _per_host_topk_sql_entry(),
         "dedup_tier_rollup": _tiered_sql_entry(),
+        "dedup_tier_rollup_sem": _tiered_sql_entry(semantic=True),
         "leakage_safe_splits": _leakage_sql_entry(),
         "sliding_window_stats": _sliding_sql_entry(),
         "pii_stats": _pii_stats_sql(),

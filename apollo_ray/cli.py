@@ -157,7 +157,14 @@ def cmd_tiers(args) -> int:
     pages = read_pages(args.input, lang_filter=args.lang.split(",")
                        if args.lang else None)
     docs = extract_docs(pages, cfg)
-    out = tiered_dedup(docs, cfg)
+    emb = None
+    if getattr(args, "embeddings", None):
+        import ray.data
+        emb = ray.data.read_parquet(args.embeddings)
+    out = tiered_dedup(docs, cfg, embeddings=emb,
+                       semantic_threshold=getattr(
+                           args, "semantic_threshold", 0.95),
+                       semantic_k=getattr(args, "semantic_k", 8))
     if args.soft:
         # soft LSH tier: exact/url dups still drop hard (they carry no
         # information), but near-dup clusters are DOWNWEIGHTED, not
@@ -409,6 +416,13 @@ def main(argv=None) -> int:
     sp.add_argument("--feature-dim-log2", dest="feature_dim_log2", type=int)
     sp.add_argument("--minhash-mode", dest="minhash_mode",
                     choices=("weighted", "unweighted"), default=None)
+    sp.add_argument("--embeddings", default=None,
+                    help="parquet dir/file with (vec_id, embedding) "
+                         "rows keyed by doc id; enables the semantic "
+                         "SemDeDup tier over the tier-3 survivors")
+    sp.add_argument("--semantic-threshold", dest="semantic_threshold",
+                    type=float, default=0.95)
+    sp.add_argument("--semantic-k", dest="semantic_k", type=int, default=8)
     sp.set_defaults(handler=cmd_tiers)
 
     sp = sub.add_parser("export")

@@ -90,9 +90,15 @@ def kmeans_fit(embeddings: "ray.data.Dataset", k: int, iters: int = 2,
             col: batch.column(col).take(pa.array(order)),
         })
 
-    cand = pa.concat_tables(
-        ray.get(r) for r in embeddings.map_batches(
-            pick_init, batch_format="pyarrow").to_arrow_refs())
+    # skip zero-row candidate tables: Ray emits schema-LESS empty
+    # blocks for filtered-out input blocks (they would fail the concat)
+    tabs = [t for t in (ray.get(r) for r in embeddings.map_batches(
+        pick_init, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows > 0]
+    if not tabs:
+        raise ValueError("kmeans_fit: corpus has fewer than k=%d vectors"
+                         % k)
+    cand = pa.concat_tables(tabs)
     ids = np.asarray(cand.column(id_col), dtype=np.int64)
     rank = np.asarray(cand.column("rank"), dtype=np.int64)
     order = np.lexsort((ids, rank))[:k]
@@ -120,8 +126,9 @@ def kmeans_fit(embeddings: "ray.data.Dataset", k: int, iters: int = 2,
             })
 
         parts = pa.concat_tables(
-            ray.get(r) for r in embeddings.map_batches(
+            t for t in (ray.get(r) for r in embeddings.map_batches(
                 partial, batch_format="pyarrow").to_arrow_refs())
+            if t.num_rows > 0)          # schema-less empty blocks
         d = centroids.shape[1]
         sums = np.asarray(parts.column("s").combine_chunks().flatten(),
                           dtype=np.float64).reshape(-1, k, d).sum(axis=0)

@@ -13,7 +13,14 @@ thinned corpus:
     tier 3 ``minhash`` — near-duplicate clusters among tier-2
                          survivors (the flagship MinHash-LSH pipeline,
                          ``pipelines/dedup.py``), keeping one
-                         representative (min doc_id) per cluster.
+                         representative (min doc_id) per cluster;
+    tier 4 ``semantic`` — OPTIONAL (pass ``embeddings=``): SemDeDup
+                         k-means + within-cluster cosine drop rule
+                         over the tier-3 survivors' embeddings
+                         (``functions/semdedup.py``), catching
+                         paraphrase-level duplicates the text tiers
+                         cannot see.  Docs without an embedding pass
+                         through unjudged.
 
 Scale shape (doc/SCALE.md conventions): tiers 1–2 shuffle ONLY
 metadata rows ``(doc_id:int64, text_hash:int64, url_canon:string)`` —
@@ -118,23 +125,57 @@ def _filter_to_ids(docs: "ray.data.Dataset", ids: "ray.data.Dataset",
     return docs.map_batches(keep, batch_format="pyarrow")
 
 
+def _drop_ids(docs: "ray.data.Dataset", ids: np.ndarray
+              ) -> "ray.data.Dataset":
+    """Drop ``docs`` rows whose doc_id is in the (sorted, broadcast)
+    id array — the anti-join twin of :func:`_filter_to_ids`, used when
+    the DROPPED side is the small one (semantic tier: only judged-and-
+    rejected ids move, docs without an embedding pass through)."""
+    import ray
+    ref = ray.put(np.sort(np.asarray(ids, dtype=np.int64)))
+
+    def keep(batch: pa.Table, ref=ref) -> pa.Table:
+        import ray as _ray
+        arr = _ray.get(ref)
+        d = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        i = np.searchsorted(arr, d)
+        hit = i < len(arr)
+        hit[hit] &= arr[i[hit]] == d[hit]
+        return batch.filter(pa.array(~hit))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
 def tiered_dedup(docs: "ray.data.Dataset", cfg=None,
                  url_col: str = "url", text_col: str = "text",
                  num_partitions: int = 16,
-                 rep_broadcast_max: int = REP_BROADCAST_MAX
-                 ) -> dict[str, Any]:
-    """Run the exact → url → minhash cascade over ``docs``.
+                 rep_broadcast_max: int = REP_BROADCAST_MAX,
+                 embeddings: "ray.data.Dataset | None" = None,
+                 emb_id_col: str = "vec_id", emb_col: str = "embedding",
+                 semantic_k: int = 8, semantic_threshold: float = 0.95,
+                 semantic_iters: int = 2) -> dict[str, Any]:
+    """Run the exact → url → minhash (→ semantic) cascade over
+    ``docs``.
 
     ``docs`` needs (doc_id:int64, ``url_col``:string, ``text_col``:
     string); extra columns pass through to the survivor output.
 
+    With ``embeddings`` (an (``emb_id_col``:int64, ``emb_col``:
+    list<float>) table keyed by doc id), a fourth SemDeDup tier runs
+    over the tier-3 survivors: k-means + within-cluster cosine drop
+    rule (``functions/semdedup.py`` — Abbas et al. 2023), catching the
+    semantic near-duplicates the text tiers cannot see.  Docs without
+    an embedding row pass through unjudged; only the judged-and-
+    rejected ids are broadcast for the anti-filter (the dropped side
+    is the small one).
+
     Returns ``{"stats": pa.Table, "survivors": Dataset,
     "clusters": Dataset, "metrics": dict}``: ``stats`` is the per-tier
     rollup (tier_ord, tier, n_in, n_removed, n_out, ok) where the two
-    SQL-expressible tiers carry exact counts and the minhash tier
-    carries ``-1`` sentinels plus an engine-computed invariant flag
-    (real counts live in ``metrics``); ``survivors`` is the curated
-    payload table (one representative per near-dup cluster);
+    SQL-expressible tiers carry exact counts and the minhash/semantic
+    tiers carry ``-1`` sentinels plus an engine-computed invariant
+    flag (real counts live in ``metrics``); ``survivors`` is the
+    curated payload table (one representative per near-dup cluster);
     ``clusters`` the (doc_id, cc_id) labels over tier-2 survivors.
     """
     from apollo_ray.config import DedupConfig
@@ -179,21 +220,57 @@ def tiered_dedup(docs: "ray.data.Dataset", cfg=None,
                                rep_broadcast_max)
 
     ok3 = int(n_labeled == n2 and 1 <= n3 <= n2) if n2 else int(n3 == 0)
+    tiers = [(1, "exact", n0, n0 - n1, n1, int(n1 <= n0)),
+             (2, "url", n1, n1 - n2, n2, int(n2 <= n1)),
+             (3, "minhash", n2, -1, -1, ok3)]
+    metrics = {"n_docs": n0, "n_exact": n1, "n_url": n2, "n_minhash": n3}
+
+    if embeddings is not None:
+        from apollo_ray.functions.semdedup import semdedup
+        emb = embeddings
+        if emb_id_col != "doc_id":
+            emb = emb.map_batches(
+                lambda b: b.rename_columns(
+                    ["doc_id" if c == emb_id_col else c
+                     for c in b.column_names]),
+                batch_format="pyarrow")
+        emb3 = _filter_to_ids(emb, reps, num_partitions,
+                              rep_broadcast_max)
+        verdicts = semdedup(emb3, k=semantic_k,
+                            threshold=semantic_threshold,
+                            iters=semantic_iters, id_col="doc_id",
+                            col=emb_col, num_partitions=num_partitions)
+        import pyarrow.compute as pc
+        dropped_chunks = [
+            np.asarray(b.filter(pc.invert(b.column("keep")))
+                       .column("doc_id"), dtype=np.int64)
+            for b in verdicts.select_columns(["doc_id", "keep"])
+            .iter_batches(batch_format="pyarrow")]
+        dropped = (np.concatenate(dropped_chunks) if dropped_chunks
+                   else np.empty(0, dtype=np.int64))
+        n4 = n3 - len(dropped)
+        survivors = _drop_ids(survivors, dropped)
+        ok4 = int(0 <= len(dropped) <= n3 and (n4 >= 1 or n3 == 0))
+        # -1 sentinels like the minhash tier: the real n3/n4 counts are
+        # not SQL-derivable (they live in metrics); ok carries the
+        # engine-verified invariant
+        tiers.append((4, "semantic", -1, -1, -1, ok4))
+        metrics["n_semantic"] = n4
+
     stats = pa.table({
-        "tier_ord": pa.array([1, 2, 3], type=pa.int64()),
-        "tier": pa.array(["exact", "url", "minhash"], type=pa.string()),
-        "n_in": pa.array([n0, n1, n2], type=pa.int64()),
-        "n_removed": pa.array([n0 - n1, n1 - n2, -1], type=pa.int64()),
-        "n_out": pa.array([n1, n2, -1], type=pa.int64()),
-        "ok": pa.array([int(n1 <= n0), int(n2 <= n1), ok3],
-                       type=pa.int64()),
+        "tier_ord": pa.array([t[0] for t in tiers], type=pa.int64()),
+        "tier": pa.array([t[1] for t in tiers], type=pa.string()),
+        "n_in": pa.array([t[2] for t in tiers], type=pa.int64()),
+        "n_removed": pa.array([t[3] for t in tiers], type=pa.int64()),
+        "n_out": pa.array([t[4] for t in tiers], type=pa.int64()),
+        "ok": pa.array([t[5] for t in tiers], type=pa.int64()),
     })
     return {"stats": stats, "survivors": survivors, "clusters": clusters,
-            "metrics": {"n_docs": n0, "n_exact": n1, "n_url": n2,
-                        "n_minhash": n3}}
+            "metrics": metrics}
 
 
-def tiered_dedup_sql(table: str = "documents") -> str:
+def tiered_dedup_sql(table: str = "documents",
+                     semantic: bool = False) -> str:
     """DuckDB oracle for the per-tier rollup over the synthetic crawl
     urls (``functions/urls.synthetic_crawl_urls``, derived identically
     on both sides because the driver tables carry no url column).
@@ -204,6 +281,10 @@ def tiered_dedup_sql(table: str = "documents") -> str:
     its real clustering (``minhash_dedup_invariants`` /
     ``minhash_cluster_stats`` carry the strong per-cluster checks)."""
     from apollo_ray.functions.urls import _CANON_SQL, _SYNTH_URL_SQL
+    sem = ("""
+          UNION ALL
+          SELECT 4, 'semantic', CAST(-1 AS BIGINT), -1, -1, 1 FROM c2"""
+           if semantic else "")
     return (
         f"WITH u AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM {table}),"
         + _CANON_SQL + f""",
@@ -223,5 +304,5 @@ def tiered_dedup_sql(table: str = "documents") -> str:
           UNION ALL
           SELECT 2, 'url', c1.n, c1.n - c2.n, c2.n, 1 FROM c1, c2
           UNION ALL
-          SELECT 3, 'minhash', c2.n, -1, -1, 1 FROM c2)
+          SELECT 3, 'minhash', c2.n, -1, -1, 1 FROM c2{sem})
         """)

@@ -112,7 +112,8 @@ def bench_once() -> dict:
         "jaccard_join", "token_freq_hist",
         "retention_cohorts", "customer_order_dist",
         "heavy_hitters", "url_host_stats", "dedup_tier_rollup",
-        "per_host_topk", "shingle_novelty")
+        "per_host_topk", "shingle_novelty", "normalize_text",
+        "hostlist_filter", "nb_classify_cap64")
     for name in qnames:
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

@@ -110,3 +110,41 @@ def test_tiered_dedup_no_dups(ray_session):
     assert (st[st.tier != "minhash"]["n_removed"] == 0).all()
     assert out["metrics"]["n_minhash"] == 2
     assert sorted(out["survivors"].to_pandas()["doc_id"]) == [10, 20]
+
+
+def test_tiered_dedup_semantic_tier(ray_session):
+    """Tier 4: SemDeDup over the tier-3 survivors' embeddings.
+    Docs 6 and 7 (both tier-3 survivors) get IDENTICAL embeddings ->
+    cos 1.0 >= threshold, the higher-id one drops; doc 4 has no
+    embedding row and passes through unjudged."""
+    emb = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([0, 2, 6, 7], type=pa.int64()),
+        "embedding": pa.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0],
+                               [0.0, 0.0, 1.0], [0.0, 0.0, 1.0]],
+                              type=pa.list_(pa.float32())),
+    }))
+    out = tiered_dedup(_mk_docs(), DedupConfig(feature_dim_log2=12),
+                       num_partitions=4, embeddings=emb,
+                       semantic_k=1, semantic_threshold=0.95)
+    st = out["stats"].to_pandas().set_index("tier")
+    assert list(st.index) == ["exact", "url", "minhash", "semantic"]
+    assert st.loc["semantic", "n_in"] == -1          # sentinel
+    assert (st["ok"] == 1).all()
+    assert out["metrics"]["n_minhash"] == 5
+    assert out["metrics"]["n_semantic"] == 4
+    surv = sorted(out["survivors"].to_pandas()["doc_id"].tolist())
+    assert surv == [0, 2, 4, 6]
+
+
+def test_tiered_semantic_oracle_shape(ray_session):
+    import duckdb
+    con = duckdb.connect()
+    con.register("documents", pa.table({
+        "doc_id": pa.array(list(range(4)), type=pa.int64()),
+        "text": pa.array(["a b c", "a b c", "d e f", "g h i"],
+                         type=pa.string())}))
+    orc = con.execute(tiered_dedup_sql(semantic=True)).fetchdf()
+    o = orc.set_index("tier")
+    assert list(o.index) == ["exact", "url", "minhash", "semantic"]
+    assert o.loc["semantic", "n_in"] == -1
+    assert (o["ok"] == 1).all()
