@@ -113,7 +113,7 @@ def bench_once() -> dict:
         "retention_cohorts", "customer_order_dist",
         "heavy_hitters", "url_host_stats", "dedup_tier_rollup",
         "per_host_topk", "shingle_novelty", "normalize_text",
-        "hostlist_filter", "nb_classify_cap64")
+        "hostlist_filter", "nb_classify_cap64", "dedup_tier_rollup_sem")
     for name in qnames:
         t0 = time.monotonic()
         res = qs[name](SF_DIR)
