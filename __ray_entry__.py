@@ -139,6 +139,16 @@ def _nb_classify_sql_entry(cap: int | None) -> str:
     return nb_classify_sql("source", cap)
 
 
+def _char_entropy_sql_entry() -> str:
+    from apollo_ray.functions.textstats import char_entropy_sql
+    return char_entropy_sql()
+
+
+def _token_budget_sql_entry() -> str:
+    from apollo_ray.functions.sampling import token_budget_sample_sql
+    return token_budget_sample_sql(600)
+
+
 def _bpe_train_sql_entry() -> str:
     from apollo_ray.functions.bpe import bpe_train_sql
     return bpe_train_sql(num_merges=6)
@@ -989,11 +999,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return nb_classify(_docs(sf_dir), label_col="source",
                            vocab_cap=64, num_partitions=16)
 
+    def q_char_entropy(sf_dir):
+        from apollo_ray.functions.textstats import char_entropy
+        return char_entropy(_docs(sf_dir))
+
+    def q_token_budget_sample(sf_dir):
+        """Per-source token-budget mixing: 600 tokens per source cuts
+        roughly half of each source's ~25 fixture docs."""
+        from apollo_ray.functions.sampling import token_budget_sample
+        return token_budget_sample(_docs(sf_dir), 600,
+                                   num_partitions=16)
+
     return {
         "normalize_text": q_normalize_text,
         "hostlist_filter": q_hostlist_filter,
         "nb_classify": q_nb_classify,
         "nb_classify_cap64": q_nb_classify_cap64,
+        "char_entropy": q_char_entropy,
+        "token_budget_sample": q_token_budget_sample,
         "exact_dedup_groups": q_exact_dedup,
         "jaccard_join": q_jaccard_join,
         "dup_size_hist": q_dup_size_hist,
@@ -1085,6 +1108,8 @@ def oracle_sql() -> dict[str, str]:
         "hostlist_filter": _hostlist_filter_sql_entry(),
         "nb_classify": _nb_classify_sql_entry(None),
         "nb_classify_cap64": _nb_classify_sql_entry(64),
+        "char_entropy": _char_entropy_sql_entry(),
+        "token_budget_sample": _token_budget_sql_entry(),
         "exact_dedup_groups": """
             SELECT min(doc_id) AS rep_id, count(*) AS n_members
             FROM documents GROUP BY text

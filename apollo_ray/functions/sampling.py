@@ -342,3 +342,118 @@ def cluster_soft_weights(clusters: "ray.data.Dataset",
 
     return clusters.map_batches(add_pkey, batch_format="pyarrow") \
         .groupby("pkey").map_groups(weigh, batch_format="pyarrow")
+
+
+def token_budget_sample(docs: "ray.data.Dataset", budget_tokens: int,
+                        group_col: str = "source",
+                        num_partitions: int = 64) -> "ray.data.Dataset":
+    """(doc_id, group, n_tokens, cum_tokens, keep) — token-budget
+    corpus mixing: per group, take documents in md5-rank order until
+    the group's cumulative whitespace-token count reaches
+    ``budget_tokens`` (``keep`` iff the doc's own cumulative total
+    still fits).  The md5 order makes the selection a uniform random
+    sample that is machine-independent and extends monotonically when
+    the budget grows — the deterministic analog of "sample X tokens
+    per source".
+
+    Scale shape: one metadata shuffle of (doc_id, group, n_tokens,
+    rank) rows — 3 ints + the group key per doc, never the payload.
+    ``pkey = hash(group)`` co-locates each group so the ordered
+    prefix-sum completes in ONE vectorized pass per partition (sort +
+    segmented cumsum); groups are sources/languages (thousands at
+    most), far fewer than partitions at web scale, and no group's
+    metadata exceeds worker memory (16 B/row ~ 16 GB per 10^9-doc
+    source; shard the group key by rank-range if one ever does).
+    """
+    import pyarrow.compute as pc
+
+    from apollo_ray.functions.textstats import _split_tokens
+    from apollo_ray.hashing import hash_utf8, mix_to_partition
+
+    mask = (1 << 63) - 1
+
+    def meta(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_tok = pc.list_value_length(_split_tokens(text)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        rank = np.fromiter(
+            ((_md5_u64(str(int(i))) & mask) for i in ids),
+            dtype=np.int64, count=len(ids))
+        groups = batch.column(group_col)
+        gh = np.fromiter(
+            (hash_utf8(g or "") for g in groups.to_pylist()),
+            dtype=np.int64, count=len(ids))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "grp": groups,
+            "n_tokens": pa.array(n_tok, type=pa.int64()),
+            "rank": pa.array(rank, type=pa.int64()),
+            "pkey": pa.array(mix_to_partition(gh, num_partitions),
+                             type=pa.int32()),
+        })
+
+    def prefix(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "grp": pa.array([], type=pa.string()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "cum_tokens": pa.array([], type=pa.int64()),
+                "keep": pa.array([], type=pa.bool_())})
+        t = group.sort_by([("grp", "ascending"), ("rank", "ascending"),
+                           ("doc_id", "ascending")])
+        g = t.column("grp").combine_chunks()
+        n = np.asarray(t.column("n_tokens"), dtype=np.int64)
+        cum = np.cumsum(n)
+        # segmented: subtract each group's running total at its start
+        first = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            import pyarrow.compute as _pc
+            first[1:] = np.asarray(_pc.invert(
+                _pc.equal(g.slice(1), g.slice(0, len(g) - 1))))
+        starts = np.flatnonzero(first)
+        base = np.zeros(len(g), dtype=np.int64)
+        base[starts] = cum[starts] - n[starts]
+        np.maximum.accumulate(base, out=base)
+        cum -= base
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "grp": g,
+            "n_tokens": pa.array(n, type=pa.int64()),
+            "cum_tokens": pa.array(cum, type=pa.int64()),
+            "keep": pa.array(cum <= budget_tokens, type=pa.bool_()),
+        })
+
+    return docs.map_batches(meta, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(prefix, batch_format="pyarrow") \
+        .select_columns(["doc_id", "grp", "n_tokens", "cum_tokens",
+                         "keep"])
+
+
+def token_budget_sample_sql(budget_tokens: int,
+                            group_col: str = "source",
+                            table: str = "documents") -> str:
+    """DuckDB oracle for :func:`token_budget_sample` — the same md5
+    rank, window prefix-sum per group."""
+    return rf"""
+        WITH t AS (
+          SELECT doc_id, {group_col} AS grp,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                 END AS n_tokens,
+                 md5_number_lower(CAST(doc_id AS VARCHAR))
+                   & 9223372036854775807::UBIGINT AS rank
+          FROM {table})
+        SELECT doc_id, grp, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(sum(n_tokens) OVER (
+                      PARTITION BY grp
+                      ORDER BY rank, doc_id) AS BIGINT) AS cum_tokens,
+               CAST(sum(n_tokens) OVER (
+                      PARTITION BY grp
+                      ORDER BY rank, doc_id) AS BIGINT)
+                 <= {budget_tokens} AS keep
+        FROM t
+    """

@@ -1058,3 +1058,72 @@ def props_key_stats(events: "ray.data.Dataset", key: str = "k",
 
     return events.map_batches(partials, batch_format="pyarrow") \
         .groupby("pkey").map_groups(fold, batch_format="pyarrow")
+
+
+def char_entropy(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, n_chars, ent_nano) — Shannon entropy (bits) of each
+    document's character-unigram distribution, in integer NANO-bits
+    (the gibberish/low-diversity quality tell: base64 blobs read ~6,
+    natural text ~4-4.5, 'aaaa...' 0).
+
+    Determinism: each (doc, char) term ``p*log2(p)`` is rounded to 9
+    decimals and summed as int64 nano-units — order-free integer
+    arithmetic, value-exact in SQL (same double division, libm log2,
+    round-then-scale on both sides).  Scale shape: pure map, no
+    shuffle; per batch ONE np.unique over a (doc_idx << 21 | codepoint)
+    composite + reduceat — no per-row Python.  Empty docs report 0/0.
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_rows = len(text)
+        lens = pc.utf8_length(text).fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        joined = "".join(t or "" for t in text.to_pylist())
+        cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32) \
+            .astype(np.int64)
+        doc_idx = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+        ent = np.zeros(n_rows, dtype=np.int64)
+        if len(cp):
+            comp = (doc_idx << 21) | cp
+            uniq, counts = np.unique(comp, return_counts=True)
+            u_doc = uniq >> 21
+            p = counts / lens[u_doc].astype(np.float64)
+            nano = np.round(np.round(p * np.log2(p), 9) * 1e9) \
+                .astype(np.int64)
+            starts = np.flatnonzero(np.diff(u_doc, prepend=-1))
+            sums = np.add.reduceat(nano, starts)
+            ent[u_doc[starts]] = -sums
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "n_chars": pa.array(lens, type=pa.int64()),
+            "ent_nano": pa.array(ent, type=pa.int64()),
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def char_entropy_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`char_entropy` (same per-term 9-decimal
+    quantization, integer nano-bit sums)."""
+    return f"""
+        WITH ch AS (
+          SELECT doc_id, unnest(split(text, '')) AS ch
+          FROM {table} WHERE length(text) > 0),
+        cc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+               FROM ch GROUP BY doc_id, ch),
+        n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+              FROM cc GROUP BY doc_id),
+        s AS (SELECT cc.doc_id,
+                     CAST(sum(CAST(round(round((cc.c / n.n)
+                                               * log2(cc.c / n.n), 9)
+                                         * 1000000000) AS BIGINT))
+                          AS BIGINT) AS su
+              FROM cc JOIN n USING (doc_id) GROUP BY cc.doc_id)
+        SELECT d.doc_id,
+               CAST(length(d.text) AS BIGINT) AS n_chars,
+               CAST(coalesce(-s.su, 0) AS BIGINT) AS ent_nano
+        FROM {table} d LEFT JOIN s ON s.doc_id = d.doc_id
+    """
