@@ -149,6 +149,11 @@ def _token_budget_sql_entry() -> str:
     return token_budget_sample_sql(600)
 
 
+def _source_overlap_sql_entry() -> str:
+    from apollo_ray.functions.dedup_extras import source_overlap_sql
+    return source_overlap_sql()
+
+
 def _bpe_train_sql_entry() -> str:
     from apollo_ray.functions.bpe import bpe_train_sql
     return bpe_train_sql(num_merges=6)
@@ -1010,6 +1015,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return token_budget_sample(_docs(sf_dir), 600,
                                    num_partitions=16)
 
+    def q_source_overlap(sf_dir):
+        from apollo_ray.functions.dedup_extras import source_overlap
+        return source_overlap(_docs(sf_dir), num_partitions=16)
+
     return {
         "normalize_text": q_normalize_text,
         "hostlist_filter": q_hostlist_filter,
@@ -1017,6 +1026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_classify_cap64": q_nb_classify_cap64,
         "char_entropy": q_char_entropy,
         "token_budget_sample": q_token_budget_sample,
+        "source_overlap": q_source_overlap,
         "exact_dedup_groups": q_exact_dedup,
         "jaccard_join": q_jaccard_join,
         "dup_size_hist": q_dup_size_hist,
@@ -1110,6 +1120,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_classify_cap64": _nb_classify_sql_entry(64),
         "char_entropy": _char_entropy_sql_entry(),
         "token_budget_sample": _token_budget_sql_entry(),
+        "source_overlap": _source_overlap_sql_entry(),
         "exact_dedup_groups": """
             SELECT min(doc_id) AS rep_id, count(*) AS n_members
             FROM documents GROUP BY text

@@ -903,3 +903,144 @@ def dup_size_hist(docs: "ray.data.Dataset",
 
     return groups.map_batches(partial, batch_format="pyarrow") \
         .groupby("n_members").map_groups(fold, batch_format="pyarrow")
+
+
+def source_overlap(docs: "ray.data.Dataset", k: int = 3, seed: int = 42,
+                   group_col: str = "source", num_partitions: int = 64
+                   ) -> "ray.data.Dataset":
+    """(source_a, source_b, n_shared) — the cross-source contamination
+    matrix: how many DISTINCT k-shingles each pair of sources shares
+    (``source_a <= source_b`` lexicographically; the diagonal rows are
+    each source's own distinct-shingle count, so containment ratios
+    read straight off the output).  High off-diagonal mass flags
+    sources that mirror each other (syndication, re-crawls) before
+    any pairwise doc dedup is attempted.
+
+    Scale shape: one metadata exchange of per-batch-distinct
+    (shingle, source) rows partitioned by shingle hash — each
+    shingle's source set completes in one partition; there, a
+    boolean (n_shingles x S) membership matrix turns the pair count
+    into ONE integer matmul (no per-shingle loop), and only <= S^2
+    (source_a, source_b, n) partial rows leave each partition for the
+    small pair-keyed fold.  S is the group-column cardinality
+    (sources / languages / snapshots — tens to hundreds by
+    construction; the B-matrix is n_shingles x S bools per task).
+    Distinct-by-64-bit-hash stands in for distinct-by-string in the
+    oracle, the same collision-free-at-test-scale bridge as
+    shingle_novelty."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = _explode_shingles(batch, k, seed)
+        empty = pa.table({
+            "shingle": pa.array([], type=pa.int64()),
+            "src": pa.array([], type=pa.string()),
+            "pkey": pa.array([], type=pa.int32())})
+        if t.num_rows == 0:
+            return empty
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        srcs = np.asarray(batch.column(group_col).to_pylist(),
+                          dtype=object)[order]
+        d = np.asarray(t.column("doc_id"), dtype=np.int64)
+        src_per_row = srcs[np.searchsorted(ids[order], d)]
+        sh = np.asarray(t.column("shingle"), dtype=np.int64)
+        # batch-local distinct (shingle, source): cuts exchange
+        # volume.  lexsort + first-mask, NOT an arithmetic composite
+        # (sh * S overflows int64 for 63-bit shingle hashes)
+        names, codes = np.unique(src_per_row, return_inverse=True)
+        order = np.lexsort((codes, sh))
+        sh_s, c_s = sh[order], codes[order]
+        first = np.empty(len(sh_s), dtype=bool)
+        first[0] = True
+        first[1:] = (sh_s[1:] != sh_s[:-1]) | (c_s[1:] != c_s[:-1])
+        sh_k, code_k = sh_s[first], c_s[first]
+        return pa.table({
+            "shingle": pa.array(sh_k, type=pa.int64()),
+            "src": pa.array([names[c] for c in code_k],
+                            type=pa.string()),
+            "pkey": pa.array(mix_to_partition(sh_k, num_partitions),
+                             type=pa.int32())})
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "source_a": pa.array([], type=pa.string()),
+            "source_b": pa.array([], type=pa.string()),
+            "n_part": pa.array([], type=pa.int64()),
+            "qkey": pa.array([], type=pa.int32())})
+        if group.num_rows == 0:
+            return empty
+        sh = np.asarray(group.column("shingle"), dtype=np.int64)
+        names, codes = np.unique(
+            np.asarray(group.column("src").to_pylist(), dtype=object),
+            return_inverse=True)
+        S = len(names)
+        # partition-global distinct (shingle, source): lexsort +
+        # first-mask (no arithmetic composite — overflow, see above)
+        order = np.lexsort((codes, sh))
+        sh_s, c_s = sh[order], codes[order]
+        first = np.empty(len(sh_s), dtype=bool)
+        first[0] = True
+        first[1:] = (sh_s[1:] != sh_s[:-1]) | (c_s[1:] != c_s[:-1])
+        u_sh, u_code = sh_s[first], c_s[first]
+        sh_u, sh_idx = np.unique(u_sh, return_inverse=True)
+        B = np.zeros((len(sh_u), S), dtype=np.int64)
+        B[sh_idx, u_code] = 1
+        counts = B.T @ B                    # shared-shingle matrix
+        iu, iv = np.triu_indices(S, k=0)    # k=0 keeps the diagonal
+        n = counts[iu, iv]
+        nz = n > 0
+        iu, iv, n = iu[nz], iv[nz], n[nz]
+        a = [str(names[i]) for i in iu]
+        b = [str(names[j]) for j in iv]
+        qh = np.fromiter(
+            (hash_utf8(x + "\x00" + y) for x, y in zip(a, b)),
+            dtype=np.int64, count=len(a))
+        return pa.table({
+            "source_a": pa.array(a, type=pa.string()),
+            "source_b": pa.array(b, type=pa.string()),
+            "n_part": pa.array(n, type=pa.int64()),
+            "qkey": pa.array(mix_to_partition(qh, num_partitions),
+                             type=pa.int32())})
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({
+                "source_a": pa.array([], type=pa.string()),
+                "source_b": pa.array([], type=pa.string()),
+                "n_shared": pa.array([], type=pa.int64())})
+        tg = group.group_by(["source_a", "source_b"]).aggregate(
+            [("n_part", "sum")])
+        return pa.table({
+            "source_a": tg.column("source_a"),
+            "source_b": tg.column("source_b"),
+            "n_shared": tg.column("n_part_sum").cast(pa.int64())})
+
+    return docs.map_batches(pairs, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(per_partition,
+                                    batch_format="pyarrow") \
+        .groupby("qkey").map_groups(fold, batch_format="pyarrow")
+
+
+def source_overlap_sql(k: int = 3, group_col: str = "source",
+                       table: str = "documents") -> str:
+    """DuckDB oracle for :func:`source_overlap` — same window
+    construction as the shingle_novelty oracle, self-join on the
+    shingle string with ``a <= b`` keeping the diagonal."""
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, {group_col} AS src,
+                 CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\\s+')
+                 END AS toks
+          FROM {table}),
+        sh AS (
+          SELECT DISTINCT src,
+                 array_to_string(toks[i:i+{k - 1}], ' ') AS s
+          FROM tok,
+               LATERAL (SELECT unnest(range(1,
+                 greatest(len(toks) - {k - 1}, 0) + 1)) AS i))
+        SELECT a.src AS source_a, b.src AS source_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.src <= b.src
+        GROUP BY a.src, b.src
+    """

@@ -91,3 +91,37 @@ def test_token_budget_empty_and_zero_token_docs(ray_session):
     want = {r[0]: (r[3], r[4]) for r in con.execute(
         token_budget_sample_sql(0)).fetchall()}
     assert {k: (r["cum_tokens"], r["keep"]) for k, r in out.items()} == want
+
+
+def test_source_overlap_hand_computed(ray_session):
+    import ray
+    from apollo_ray.functions.dedup_extras import source_overlap
+    # k=3 shingles; 'a b c d' -> {'a b c','b c d'}; sources A and B
+    # share exactly one shingle ('b c d'), C shares nothing
+    t = _docs(["a b c d", "b c d e", "x y z"], ["A", "B", "C"])
+    got = {(r["source_a"], r["source_b"]): r["n_shared"]
+           for r in source_overlap(ray.data.from_arrow(t), k=3,
+                                   num_partitions=4).take_all()}
+    assert got[("A", "A")] == 2 and got[("B", "B")] == 2
+    assert got[("C", "C")] == 1
+    assert got[("A", "B")] == 1
+    assert ("A", "C") not in got and ("B", "C") not in got
+
+
+def test_source_overlap_oracle_parity(ray_session):
+    import ray
+    from apollo_ray.functions.dedup_extras import (source_overlap,
+                                                   source_overlap_sql)
+    texts = ["the cat sat on the mat", "the cat sat on a rug",
+             "dogs bark at the cat sat on", "entirely different words here",
+             "the cat sat on the mat"]        # exact dup across sources
+    srcs = ["s1", "s2", "s1", "s3", "s2"]
+    t = _docs(texts, srcs)
+    got = {(r["source_a"], r["source_b"]): r["n_shared"]
+           for r in source_overlap(ray.data.from_arrow(t), k=3,
+                                   num_partitions=4).take_all()}
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = {(r[0], r[1]): r[2]
+            for r in con.execute(source_overlap_sql(k=3)).fetchall()}
+    assert got == want
