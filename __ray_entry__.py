@@ -36,6 +36,15 @@ _MESSY_SPLICE_SQL = ("' e' || chr(769) || ' ' || chr(13) || chr(10) || "
 _BLOCKLIST_DOMAINS = ["site2.example.com", "site5.example.com",
                       "example.org"]
 
+# encoding_quality driver query: messy splice appended to every 7th
+# doc (U+FFFD, mojibake 'Ã©' and 'â€™', a BEL control char, an nbsp
+# splash) — the SQL builds the identical string with chr()
+_ENC_SPLICE = ("�Ã© â€™"
+               "\x07Â ")
+_ENC_SPLICE_SQL = ("chr(65533) || chr(195) || chr(169) || ' ' || "
+                   "chr(226) || chr(8364) || chr(8482) || chr(7) || "
+                   "chr(194) || chr(160)")
+
 def _marker_score_sql(markers: tuple) -> str:
     """Non-overlapping substring counts — same greedy left-to-right
     semantics as Python ``str.count`` / ``str.replace``."""
@@ -147,6 +156,29 @@ def _char_entropy_sql_entry() -> str:
 def _token_budget_sql_entry() -> str:
     from apollo_ray.functions.sampling import token_budget_sample_sql
     return token_budget_sample_sql(600)
+
+
+def _encoding_quality_sql_entry() -> str:
+    from apollo_ray.functions.textstats import encoding_quality_sql
+    return encoding_quality_sql(
+        table="(SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || "
+              + _ENC_SPLICE_SQL + " ELSE text END AS text "
+              "FROM documents)")
+
+
+def _readability_sql_entry() -> str:
+    from apollo_ray.functions.textstats import readability_sql
+    return readability_sql()
+
+
+def _chunk_documents_sql_entry() -> str:
+    from apollo_ray.functions.clean import chunk_documents_sql
+    return chunk_documents_sql(size=120, overlap=24)
+
+
+def _word_pmi_sql_entry() -> str:
+    from apollo_ray.functions.lm import word_pmi_pairs_sql
+    return word_pmi_pairs_sql(min_count=5, topn=40)
 
 
 def _source_overlap_sql_entry() -> str:
@@ -1019,7 +1051,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from apollo_ray.functions.dedup_extras import source_overlap
         return source_overlap(_docs(sf_dir), num_partitions=16)
 
+    def q_encoding_quality(sf_dir):
+        """Encoding-health counts.  The fixture text is clean ASCII,
+        so every 7th doc gets _ENC_SPLICE appended on BOTH sides
+        (replacement char, two mojibake markers, a BEL, an nbsp)."""
+        import pyarrow as pa
+        import pyarrow.compute as _pc
+        from apollo_ray.functions.textstats import encoding_quality
+
+        def mess(batch):
+            t = batch.column("text")
+            if isinstance(t, pa.ChunkedArray):
+                t = t.combine_chunks()
+            ids = batch.column("doc_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            joined = _pc.binary_join_element_wise(
+                t, pa.array([_ENC_SPLICE] * len(t)), "")
+            spliced = _pc.if_else(pa.array(ids % 7 == 0), joined, t)
+            return batch.set_column(
+                batch.schema.get_field_index("text"), "text", spliced)
+
+        return encoding_quality(
+            _docs(sf_dir).map_batches(mess, batch_format="pyarrow"))
+
+    def q_readability(sf_dir):
+        from apollo_ray.functions.textstats import readability
+        return readability(_docs(sf_dir))
+
+    def q_chunk_documents(sf_dir):
+        """120-char windows with 24 overlap: the 48-553-char fixture
+        docs emit 1-6 chunks each."""
+        from apollo_ray.functions.clean import chunk_documents
+        return chunk_documents(_docs(sf_dir), size=120, overlap=24)
+
+    def q_word_pmi_pairs(sf_dir):
+        from apollo_ray.functions.lm import word_pmi_pairs
+        return word_pmi_pairs(_docs(sf_dir), min_count=5, topn=40,
+                              num_partitions=16)
+
     return {
+        "encoding_quality": q_encoding_quality,
+        "readability": q_readability,
+        "chunk_documents": q_chunk_documents,
+        "word_pmi_pairs": q_word_pmi_pairs,
         "normalize_text": q_normalize_text,
         "hostlist_filter": q_hostlist_filter,
         "nb_classify": q_nb_classify,
@@ -1121,6 +1195,10 @@ def oracle_sql() -> dict[str, str]:
         "char_entropy": _char_entropy_sql_entry(),
         "token_budget_sample": _token_budget_sql_entry(),
         "source_overlap": _source_overlap_sql_entry(),
+        "encoding_quality": _encoding_quality_sql_entry(),
+        "readability": _readability_sql_entry(),
+        "chunk_documents": _chunk_documents_sql_entry(),
+        "word_pmi_pairs": _word_pmi_sql_entry(),
         "exact_dedup_groups": """
             SELECT min(doc_id) AS rep_id, count(*) AS n_members
             FROM documents GROUP BY text

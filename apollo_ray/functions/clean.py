@@ -533,3 +533,84 @@ def normalize_text_sql(table: str = "documents",
           FROM raw)
         SELECT doc_id, norm_text, norm_text <> t0 AS changed FROM n
     """
+
+
+def chunk_documents(docs: "ray.data.Dataset", size: int = 2048,
+                    overlap: int = 0) -> "ray.data.Dataset":
+    """(doc_id, chunk_id, n_chunks, chunk_text) — fixed-size codepoint
+    windows with ``overlap`` (stride = size - overlap): the standard
+    pre-embedding / context-window splitter of a training-data or RAG
+    pipeline.  Chunk i covers ``[i*stride, i*stride + size)``;
+    n_chunks = 1 if len <= size else ceil((len-size)/stride)+1; empty
+    docs emit no rows.
+
+    Scale shape: pure map (flat_map-style inside map_batches), no
+    shuffle; output rows ~ input chars / stride.  The per-doc Python
+    loop is memcpy-bound string slicing (chunking IS O(total chars)
+    copying); offsets are computed vectorized.  Codepoint semantics
+    match DuckDB ``substring`` (1-indexed, codepoints) exactly.
+    """
+    if overlap >= size or size <= 0 or overlap < 0:
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ids = batch.column("doc_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        lens = pc.utf8_length(text).fill_null(0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_chunks = np.where(
+            lens == 0, 0,
+            np.where(lens <= size, 1, (lens - size + stride - 1)
+                     // stride + 1)).astype(np.int64)
+        out_ids = np.repeat(ids, n_chunks)
+        out_n = np.repeat(n_chunks, n_chunks)
+        total = int(n_chunks.sum())
+        starts = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(n_chunks)[:-1])), n_chunks)
+        chunks: list = []
+        texts = text.to_pylist()
+        for t, k in zip(texts, n_chunks):
+            if k:
+                chunks.extend(
+                    (t or "")[i * stride:i * stride + size]
+                    for i in range(int(k)))
+        return pa.table({
+            "doc_id": pa.array(out_ids, type=pa.int64()),
+            "chunk_id": pa.array(starts, type=pa.int64()),
+            "n_chunks": pa.array(out_n, type=pa.int64()),
+            "chunk_text": pa.array(chunks, type=pa.string()),
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def chunk_documents_sql(size: int = 2048, overlap: int = 0,
+                        table: str = "documents") -> str:
+    """DuckDB oracle for :func:`chunk_documents` — lateral
+    ``generate_series`` over the same chunk-count formula;
+    ``substring`` is codepoint-based and 1-indexed like Python
+    slicing."""
+    stride = size - overlap
+    return f"""
+        WITH c AS (
+          SELECT doc_id, text, length(text) AS n,
+                 CASE WHEN length(text) = 0 THEN 0
+                      WHEN length(text) <= {size} THEN 1
+                      ELSE (length(text) - {size} + {stride} - 1)
+                           // {stride} + 1 END AS k
+          FROM {table})
+        , e AS (
+          SELECT doc_id, text, k,
+                 unnest(generate_series(0, CAST(k - 1 AS BIGINT))) AS i
+          FROM c)
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_id,
+               CAST(k AS BIGINT) AS n_chunks,
+               substring(text, CAST(i * {stride} + 1 AS BIGINT),
+                         {size}) AS chunk_text
+        FROM e
+    """

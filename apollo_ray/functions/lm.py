@@ -608,3 +608,137 @@ def char_pair_counts(docs: "ray.data.Dataset", min_count: int = 1,
 
     return docs.map_batches(partial_counts, batch_format="pyarrow") \
         .groupby("pkey").map_groups(sum_part, batch_format="pyarrow")
+
+
+def word_pmi_pairs(docs: "ray.data.Dataset", min_count: int = 5,
+                   topn: int = 50, num_partitions: int = 64,
+                   max_vocab: int = 5_000_000) -> "ray.data.Dataset":
+    """(w1, w2, c12, pmi_micro) — the ``topn`` adjacent word pairs by
+    pointwise mutual information (collocation mining: "los angeles",
+    "et al"), restricted to pairs with corpus count >= ``min_count``.
+
+    PMI = log2(p(w1,w2) / (p(w1) p(w2))) with p(w1,w2) = c12/B over
+    bigram occurrences and p(w) = c/T over token occurrences, in
+    integer MICRO-bits via round-half-up floor(x + 0.5) in the same
+    float64 operand order as the SQL oracle; ties at the top-n
+    boundary break on (w1, w2) codepoint order (== DuckDB binary
+    collation, since UTF-8 byte order preserves codepoint order).
+
+    Scale shape: the two count passes are the map-side pre-aggregated
+    shuffles of :func:`token_term_freqs` / :func:`bigram_counts`
+    (partials are batch-distinct, one pkey exchange each).  Only
+    unigrams with c >= min_count can touch a qualifying bigram
+    (c1 >= c12 >= min_count), so the broadcast side is the frequent
+    vocabulary — guarded by ``max_vocab`` (above it, raise and name
+    the pkey-join alternative).  The bigram side never leaves the
+    cluster: scoring is map-only over the count partitions and each
+    block forwards only its own top-n.
+    """
+    from ray.data.aggregate import Sum
+
+    tf = token_term_freqs(docs, num_partitions)
+    total_row = tf.aggregate(Sum("n"))
+    T = int(total_row["sum(n)"] or 0)
+    _empty = pa.table({"w1": pa.array([], type=pa.string()),
+                       "w2": pa.array([], type=pa.string()),
+                       "c12": pa.array([], type=pa.int64()),
+                       "pmi_micro": pa.array([], type=pa.int64())})
+    if T == 0:
+        return ray.data.from_arrow(_empty)
+    freq = tf.filter(expr=f"n >= {int(min_count)}")
+    n_vocab = freq.count()
+    if n_vocab > max_vocab:
+        raise ValueError(
+            "frequent vocabulary %d exceeds max_vocab=%d — raise "
+            "min_count, or attach unigram counts with two pkey hash "
+            "joins (partition bigrams by hash(w1) then hash(w2)) "
+            "instead of the broadcast" % (n_vocab, max_vocab))
+    uni = {r["token"]: int(r["n"]) for r in freq.take_all()}
+    uni_ref = ray.put(uni)
+
+    bg = bigram_counts(docs, num_partitions)
+    B_row = bg.aggregate(Sum("n"))
+    B = int(B_row["sum(n)"] or 0)
+    if B == 0:
+        return ray.data.from_arrow(_empty)
+
+    Tf, Bf = float(T), float(B)
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty
+        n = np.asarray(batch.column("n"), dtype=np.int64)
+        keep = n >= min_count
+        if not keep.any():
+            return _empty
+        t1 = batch.column("t1").to_pylist()
+        t2 = batch.column("t2").to_pylist()
+        u = ray.get(uni_ref)
+        c12 = n[keep].astype(np.float64)
+        idx = np.flatnonzero(keep)
+        c1 = np.fromiter((u[t1[i]] for i in idx), dtype=np.float64,
+                         count=len(idx))
+        c2 = np.fromiter((u[t2[i]] for i in idx), dtype=np.float64,
+                         count=len(idx))
+        pmi = np.floor(1e6 * np.log2((c12 * Tf * Tf)
+                                     / ((Bf * c1) * c2)) + 0.5) \
+            .astype(np.int64)
+        rows = sorted(
+            ((int(pmi[j]), t1[i], t2[i], int(n[i]))
+             for j, i in enumerate(idx)),
+            key=lambda r: (-r[0], r[1], r[2]))[:topn]
+        return pa.table({
+            "w1": pa.array([r[1] for r in rows], type=pa.string()),
+            "w2": pa.array([r[2] for r in rows], type=pa.string()),
+            "c12": pa.array([r[3] for r in rows], type=pa.int64()),
+            "pmi_micro": pa.array([r[0] for r in rows], type=pa.int64()),
+        })
+
+    # each count partition forwards <= topn rows; final fold on <= 
+    # num_partitions x topn rows
+    cand = bg.map_batches(score, batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: (-r["pmi_micro"], r["w1"], r["w2"]))
+    cand = cand[:topn]
+    return ray.data.from_arrow(pa.table({
+        "w1": pa.array([r["w1"] for r in cand], type=pa.string()),
+        "w2": pa.array([r["w2"] for r in cand], type=pa.string()),
+        "c12": pa.array([r["c12"] for r in cand], type=pa.int64()),
+        "pmi_micro": pa.array([r["pmi_micro"] for r in cand],
+                              type=pa.int64()),
+    }))
+
+
+def word_pmi_pairs_sql(min_count: int = 5, topn: int = 50,
+                       table: str = "documents") -> str:
+    """DuckDB oracle for :func:`word_pmi_pairs` — same tok CTE as
+    :func:`bigram_score_sql`, identical float64 PMI expression and
+    round-half-up floor."""
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS t,
+             unnest(range(len(regexp_split_to_array(trim(text), '\s+'))))
+                 AS idx
+      FROM {table} WHERE length(trim(text)) > 0),
+    uni AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY t),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS s FROM uni),
+    big AS (SELECT a.t AS t1, b.t AS t2, CAST(count(*) AS BIGINT) AS n2
+            FROM tok a JOIN tok b
+              ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+            GROUP BY a.t, b.t),
+    btot AS (SELECT CAST(sum(n2) AS BIGINT) AS b FROM big),
+    j AS (
+      SELECT big.t1 AS w1, big.t2 AS w2, big.n2 AS c12,
+             CAST(floor(1e6 * log2(
+                 (CAST(big.n2 AS DOUBLE) * (SELECT s FROM tot)
+                                         * (SELECT s FROM tot))
+                 / ((CAST((SELECT b FROM btot) AS DOUBLE) * u1.n)
+                    * u2.n)) + 0.5) AS BIGINT) AS pmi_micro
+      FROM big
+      JOIN uni u1 ON u1.t = big.t1
+      JOIN uni u2 ON u2.t = big.t2
+      WHERE big.n2 >= {int(min_count)})
+    SELECT w1, w2, c12, pmi_micro FROM j
+    ORDER BY pmi_micro DESC, w1 ASC, w2 ASC
+    LIMIT {int(topn)}
+    """

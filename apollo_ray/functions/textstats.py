@@ -1127,3 +1127,163 @@ def char_entropy_sql(table: str = "documents") -> str:
                CAST(coalesce(-s.su, 0) AS BIGINT) AS ent_nano
         FROM {table} d LEFT JOIN s ON s.doc_id = d.doc_id
     """
+
+
+# Mojibake tells: the classic UTF-8-read-as-cp1252 multi-char splashes
+# (written as codepoint escapes — several are invisible).  Counted with
+# the greedy non-overlapping replace trick on both sides (same
+# semantics as the lang-ID marker counts).
+_MOJIBAKE_MARKERS = ("Ã©",            # 'é' mis-decoded
+                     "Ã¨",            # 'è'
+                     "Ã¼",            # 'ü'
+                     "â€™",      # ’ right single quote
+                     "â€œ",      # “ left double quote
+                     "Â ")            # nbsp splash
+
+# Control chars excluding \t \n \r, plus DEL — a single-codepoint RE2
+# class; the IDENTICAL pattern string is handed to Arrow and DuckDB
+# (both RE2), so the counts agree by construction.
+_CTRL_PATTERN = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+_NONASCII_PATTERN = r"[^\x00-\x7F]"
+_REPLACEMENT_CHAR = "�"
+
+
+def encoding_quality(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, n_chars, n_replacement, n_ctrl, n_nonascii, n_mojibake)
+    — the encoding-health report of a crawled corpus: U+FFFD
+    replacement chars (lossy transcode), stray control bytes, the
+    non-ASCII codepoint count, and the classic UTF-8-as-cp1252
+    mojibake marker count.  A curation run drops or re-decodes docs
+    where n_replacement/n_mojibake are non-zero.
+
+    Scale shape: pure map, no shuffle; every count is one Arrow RE2 /
+    substring kernel over the batch (no per-row Python).  All outputs
+    are integer counts — value-exact vs the SQL oracle.
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+
+        def cnt(arr) -> pa.Array:
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            return arr.cast(pa.int64())
+
+        moji = None
+        for m in _MOJIBAKE_MARKERS:
+            c = pc.count_substring(text, m)
+            moji = c if moji is None else pc.add(moji, c)
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "n_chars": cnt(pc.utf8_length(text)),
+            "n_replacement": cnt(pc.count_substring(
+                text, _REPLACEMENT_CHAR)),
+            "n_ctrl": cnt(pc.count_substring_regex(text, _CTRL_PATTERN)),
+            "n_nonascii": cnt(pc.count_substring_regex(
+                text, _NONASCII_PATTERN)),
+            "n_mojibake": cnt(moji),
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def encoding_quality_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`encoding_quality`: identical RE2
+    patterns via ``regexp_extract_all`` lengths; mojibake markers via
+    the greedy length/replace trick (non-overlapping, same as
+    ``pc.count_substring``)."""
+    moji = " + ".join(
+        "(length(text) - length(replace(text, %s, ''))) // %d"
+        % (" || ".join("chr(%d)" % ord(ch) for ch in m), len(m))
+        for m in _MOJIBAKE_MARKERS)
+    return f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST((length(text) - length(replace(text, chr(65533), '')))
+                    AS BIGINT) AS n_replacement,
+               CAST(len(regexp_extract_all(text, '{_CTRL_PATTERN}'))
+                    AS BIGINT) AS n_ctrl,
+               CAST(len(regexp_extract_all(text, '{_NONASCII_PATTERN}'))
+                    AS BIGINT) AS n_nonascii,
+               CAST({moji} AS BIGINT) AS n_mojibake
+        FROM {table}
+    """
+
+
+def readability(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, n_words, n_sentences, n_vowel_groups, flesch_milli) —
+    Flesch reading-ease in integer MILLI-points with the standard
+    vowel-group syllable approximation (a run of [aeiouyAEIOUY] is one
+    syllable; zero-vowel tokens contribute zero).  n_sentences is the
+    count of '[.!?]+' runs, floored at 1 for any doc with words (the
+    conventional guard so fragments still score).
+
+    Determinism: words / sentence-runs / vowel-groups are Arrow RE2
+    counts; flesch_milli = floor(1000*(206.835 - 1.015*(w/s) -
+    84.6*(g/w)) + 0.5) — round-half-UP via explicit floor on BOTH
+    sides (np.round is banker's, DuckDB round() is half-away; .5 ties
+    genuinely occur, e.g. w=3,s=2,g=1), evaluated in the same float64
+    operand order as the SQL oracle.  Word-less docs report NULL
+    flesch and 0 sentences.  Whitespace parity caveat: tokens split on
+    Python/Arrow unicode whitespace vs the oracle's RE2 ``\\s`` —
+    identical on ASCII whitespace (same caveat as token_counts).
+    Scale shape: pure map, no shuffle.
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        w = pc.list_value_length(_split_tokens(text)).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        s_runs = pc.count_substring_regex(text, r"[.!?]+") \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = pc.count_substring_regex(text, r"[aeiouyAEIOUY]+") \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        s = np.maximum(s_runs, 1)
+        wf = w.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            flesch = np.floor(1000.0 * (206.835 - 1.015 * (wf / s)
+                                        - 84.6 * (g / wf)) + 0.5)
+        has_words = w > 0
+        vals = np.where(has_words, np.nan_to_num(flesch), 0).astype(
+            np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "n_words": pa.array(w, type=pa.int64()),
+            "n_sentences": pa.array(np.where(has_words, s, 0),
+                                    type=pa.int64()),
+            "n_vowel_groups": pa.array(g, type=pa.int64()),
+            "flesch_milli": pa.Array.from_pandas(
+                np.where(has_words, vals.astype(object), None),
+                type=pa.int64()),
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def readability_sql(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`readability` — identical RE2 patterns
+    and the same float64 expression order for flesch_milli."""
+    return f"""
+        WITH b AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                 END AS w,
+                 greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+                 len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS g
+          FROM {table})
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS n_words,
+               CAST(CASE WHEN w > 0 THEN s ELSE 0 END AS BIGINT)
+                   AS n_sentences,
+               CAST(g AS BIGINT) AS n_vowel_groups,
+               CASE WHEN w > 0 THEN CAST(floor(
+                      1000.0 * (206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+                                - 84.6 * (g / CAST(w AS DOUBLE))) + 0.5)
+                    AS BIGINT) ELSE NULL END AS flesch_milli
+        FROM b
+    """
