@@ -610,9 +610,159 @@ def char_pair_counts(docs: "ray.data.Dataset", min_count: int = 1,
         .groupby("pkey").map_groups(sum_part, batch_format="pyarrow")
 
 
+def _pmi_final_fold(cand: list, topn: int) -> "ray.data.Dataset":
+    """Driver fold over the <= partitions x topn per-partition
+    candidates: global (pmi DESC, w1, w2) order, limit topn."""
+    cand.sort(key=lambda r: (-r["pmi_micro"], r["w1"], r["w2"]))
+    cand = cand[:topn]
+    return ray.data.from_arrow(pa.table({
+        "w1": pa.array([r["w1"] for r in cand], type=pa.string()),
+        "w2": pa.array([r["w2"] for r in cand], type=pa.string()),
+        "c12": pa.array([r["c12"] for r in cand], type=pa.int64()),
+        "pmi_micro": pa.array([r["pmi_micro"] for r in cand],
+                              type=pa.int64()),
+    }))
+
+
+def _word_pmi_hashjoin(freq: "ray.data.Dataset", bg: "ray.data.Dataset",
+                       T: int, B: int, min_count: int, topn: int,
+                       num_partitions: int) -> "ray.data.Dataset":
+    """Above-cap path for :func:`word_pmi_pairs`: attach c1 then c2
+    with two pkey hash-join exchanges instead of broadcasting the
+    frequent vocabulary.  Each exchange unions the (token, n) side
+    with the bigram side on hash(join word); within a partition the
+    attach is one dictionary-encode + two gathers (no string sort, no
+    per-row Python).  The driver never holds the vocabulary."""
+    from apollo_ray.hashing import hash_utf8, mix_to_partition
+
+    Tf, Bf = float(T), float(B)
+    _empty = pa.table({"w1": pa.array([], type=pa.string()),
+                       "w2": pa.array([], type=pa.string()),
+                       "c12": pa.array([], type=pa.int64()),
+                       "pmi_micro": pa.array([], type=pa.int64())})
+
+    def _pkeys(words: list) -> pa.Array:
+        h = np.fromiter((hash_utf8(w) for w in words), dtype=np.int64,
+                        count=len(words))
+        return pa.array(mix_to_partition(h, num_partitions),
+                        type=pa.int32())
+
+    def _u_side():
+        def f(batch: pa.Table) -> pa.Table:
+            toks = batch.column("token").to_pylist()
+            n = batch.column("n").cast(pa.int64())
+            nulls = pa.nulls(len(toks), type=pa.string())
+            zeros = pa.nulls(len(toks), type=pa.int64())
+            return pa.table({
+                "jw": pa.array(toks, type=pa.string()),
+                "ow": nulls, "c12": zeros,
+                "cprev": zeros,
+                "cnt": n,
+                "kind": pa.array(np.zeros(len(toks), dtype=np.int8)),
+                "pkey": _pkeys(toks)})
+        return f
+
+    _JOIN_SCHEMA = pa.schema([("jw", pa.string()), ("ow", pa.string()),
+                              ("c12", pa.int64()), ("cprev", pa.int64()),
+                              ("cnt", pa.int64()), ("kind", pa.int8()),
+                              ("pkey", pa.int32())])
+    _JOIN_EMPTY = _JOIN_SCHEMA.empty_table()
+
+    def _bg_side(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch.column("n"), dtype=np.int64)
+        keep = n >= min_count
+        if not keep.any():
+            return _JOIN_EMPTY
+        idx = np.flatnonzero(keep)
+        t1 = batch.column("t1").to_pylist()
+        t2 = batch.column("t2").to_pylist()
+        jw = [t1[i] for i in idx]
+        return pa.table({
+            "jw": pa.array(jw, type=pa.string()),
+            "ow": pa.array([t2[i] for i in idx], type=pa.string()),
+            "c12": pa.array(n[idx], type=pa.int64()),
+            "cprev": pa.nulls(len(idx), type=pa.int64()),
+            "cnt": pa.nulls(len(idx), type=pa.int64()),
+            "kind": pa.array(np.ones(len(idx), dtype=np.int8)),
+            "pkey": _pkeys(jw)})
+
+    def _attach(group: pa.Table) -> pa.Table:
+        """(jw, ow, c12, cprev) bigram rows + (jw, cnt) dict rows ->
+        bigram rows with cnt gathered for jw; re-keyed on ow for the
+        next exchange (or scored, see _attach2)."""
+        if group.num_rows == 0:
+            return _JOIN_EMPTY
+        kind = np.asarray(group.column("kind"), dtype=np.int8)
+        enc = group.column("jw").combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        lut = np.zeros(len(enc.dictionary), dtype=np.int64)
+        d = kind == 0
+        lut[codes[d]] = np.asarray(group.column("cnt"),
+                                   dtype=np.float64)[d].astype(np.int64)
+        b = np.flatnonzero(kind == 1)
+        if not len(b):
+            return _JOIN_EMPTY
+        got = lut[codes[b]]
+        ow = group.column("ow").take(pa.array(b)).to_pylist()
+        return pa.table({
+            "jw": pa.array(ow, type=pa.string()),
+            "ow": group.column("jw").take(pa.array(b)),
+            "c12": group.column("c12").take(pa.array(b)).cast(pa.int64()),
+            "cprev": pa.array(got, type=pa.int64()),
+            "cnt": pa.nulls(len(b), type=pa.int64()),
+            "kind": pa.array(np.ones(len(b), dtype=np.int8)),
+            "pkey": _pkeys(ow)})
+
+    def _attach2_score(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _empty
+        kind = np.asarray(group.column("kind"), dtype=np.int8)
+        enc = group.column("jw").combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        lut = np.zeros(len(enc.dictionary), dtype=np.int64)
+        d = kind == 0
+        lut[codes[d]] = np.asarray(group.column("cnt"),
+                                   dtype=np.float64)[d].astype(np.int64)
+        b = np.flatnonzero(kind == 1)
+        if not len(b):
+            return _empty
+        c2 = lut[codes[b]].astype(np.float64)
+        c1 = np.asarray(group.column("cprev"),
+                        dtype=np.float64)[b]
+        c12 = np.asarray(group.column("c12"), dtype=np.float64)[b]
+        pmi = np.floor(1e6 * np.log2((c12 * Tf * Tf)
+                                     / ((Bf * c1) * c2)) + 0.5) \
+            .astype(np.int64)
+        # after the first attach jw holds w2 and ow holds w1
+        w2 = group.column("jw").take(pa.array(b)).to_pylist()
+        w1 = group.column("ow").take(pa.array(b)).to_pylist()
+        rows = sorted(
+            ((int(pmi[j]), w1[j], w2[j], int(c12[j]))
+             for j in range(len(b))),
+            key=lambda r: (-r[0], r[1], r[2]))[:topn]
+        return pa.table({
+            "w1": pa.array([r[1] for r in rows], type=pa.string()),
+            "w2": pa.array([r[2] for r in rows], type=pa.string()),
+            "c12": pa.array([r[3] for r in rows], type=pa.int64()),
+            "pmi_micro": pa.array([r[0] for r in rows],
+                                  type=pa.int64())})
+
+    j1 = freq.map_batches(_u_side(), batch_format="pyarrow") \
+        .union(bg.map_batches(_bg_side, batch_format="pyarrow")) \
+        .groupby("pkey").map_groups(_attach, batch_format="pyarrow")
+    cand = freq.map_batches(_u_side(), batch_format="pyarrow") \
+        .union(j1) \
+        .groupby("pkey").map_groups(_attach2_score,
+                                    batch_format="pyarrow").take_all()
+    return _pmi_final_fold(cand, topn)
+
+
 def word_pmi_pairs(docs: "ray.data.Dataset", min_count: int = 5,
                    topn: int = 50, num_partitions: int = 64,
-                   max_vocab: int = 5_000_000) -> "ray.data.Dataset":
+                   max_vocab: int = 5_000_000,
+                   method: str = "auto") -> "ray.data.Dataset":
     """(w1, w2, c12, pmi_micro) — the ``topn`` adjacent word pairs by
     pointwise mutual information (collocation mining: "los angeles",
     "et al"), restricted to pairs with corpus count >= ``min_count``.
@@ -629,13 +779,19 @@ def word_pmi_pairs(docs: "ray.data.Dataset", min_count: int = 5,
     (partials are batch-distinct, one pkey exchange each).  Only
     unigrams with c >= min_count can touch a qualifying bigram
     (c1 >= c12 >= min_count), so the broadcast side is the frequent
-    vocabulary — guarded by ``max_vocab`` (above it, raise and name
-    the pkey-join alternative).  The bigram side never leaves the
-    cluster: scoring is map-only over the count partitions and each
+    vocabulary — guarded by ``max_vocab``.  ``method``: "auto" uses
+    the broadcast below the cap and falls back to
+    :func:`_word_pmi_hashjoin` (two pkey hash-join exchanges, driver
+    never holds the vocabulary) above it; "hashjoin" forces the
+    distributed attach; "broadcast" keeps the declared raise above
+    the cap.  The bigram side never leaves the cluster on either
+    path: scoring is map-only over the count partitions and each
     block forwards only its own top-n.
     """
     from ray.data.aggregate import Sum
 
+    if method not in ("auto", "broadcast", "hashjoin"):
+        raise ValueError("method must be auto | broadcast | hashjoin")
     tf = token_term_freqs(docs, num_partitions)
     total_row = tf.aggregate(Sum("n"))
     T = int(total_row["sum(n)"] or 0)
@@ -646,21 +802,25 @@ def word_pmi_pairs(docs: "ray.data.Dataset", min_count: int = 5,
     if T == 0:
         return ray.data.from_arrow(_empty)
     freq = tf.filter(expr=f"n >= {int(min_count)}")
-    n_vocab = freq.count()
-    if n_vocab > max_vocab:
-        raise ValueError(
-            "frequent vocabulary %d exceeds max_vocab=%d — raise "
-            "min_count, or attach unigram counts with two pkey hash "
-            "joins (partition bigrams by hash(w1) then hash(w2)) "
-            "instead of the broadcast" % (n_vocab, max_vocab))
-    uni = {r["token"]: int(r["n"]) for r in freq.take_all()}
-    uni_ref = ray.put(uni)
-
     bg = bigram_counts(docs, num_partitions)
     B_row = bg.aggregate(Sum("n"))
     B = int(B_row["sum(n)"] or 0)
     if B == 0:
         return ray.data.from_arrow(_empty)
+    if method == "hashjoin":
+        return _word_pmi_hashjoin(freq, bg, T, B, min_count, topn,
+                                  num_partitions)
+    n_vocab = freq.count()
+    if n_vocab > max_vocab:
+        if method == "auto":
+            return _word_pmi_hashjoin(freq, bg, T, B, min_count, topn,
+                                      num_partitions)
+        raise ValueError(
+            "frequent vocabulary %d exceeds max_vocab=%d — raise "
+            "min_count or use method='hashjoin' (two pkey hash-join "
+            "exchanges instead of the broadcast)" % (n_vocab, max_vocab))
+    uni = {r["token"]: int(r["n"]) for r in freq.take_all()}
+    uni_ref = ray.put(uni)
 
     Tf, Bf = float(T), float(B)
 

@@ -156,7 +156,36 @@ def test_word_pmi_pairs_vocab_cap_guard(ray_session):
     t = _docs(["a b c d e f g h"])
     with pytest.raises(ValueError, match="max_vocab"):
         word_pmi_pairs(ray.data.from_arrow(t), min_count=1,
-                       max_vocab=2, num_partitions=2)
+                       max_vocab=2, num_partitions=2,
+                       method="broadcast")
+
+
+def test_word_pmi_pairs_hashjoin_path(ray_session):
+    """Forced hashjoin == broadcast == oracle, and auto falls back
+    above the cap instead of raising."""
+    import ray
+    from apollo_ray.functions.lm import word_pmi_pairs, word_pmi_pairs_sql
+    rng = np.random.default_rng(23)
+    vocab = ["the", "fox", "los", "angeles", "et", "al"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(2, 9)))
+             for _ in range(80)]
+    t = _docs(texts)
+    kw = dict(min_count=2, topn=15, num_partitions=4)
+    rows = lambda ds: sorted(
+        (r["pmi_micro"], r["w1"], r["w2"], r["c12"])
+        for r in ds.take_all())
+    bc = rows(word_pmi_pairs(ray.data.from_arrow(t), **kw,
+                             method="broadcast"))
+    hj = rows(word_pmi_pairs(ray.data.from_arrow(t), **kw,
+                             method="hashjoin"))
+    auto_forced = rows(word_pmi_pairs(ray.data.from_arrow(t), **kw,
+                                      max_vocab=1, method="auto"))
+    assert bc == hj == auto_forced
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = sorted((r[3], r[0], r[1], r[2]) for r in con.execute(
+        word_pmi_pairs_sql(2, 15)).fetchall())
+    assert bc == want
 
 
 def test_word_pmi_pairs_empty(ray_session):
