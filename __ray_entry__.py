@@ -181,6 +181,11 @@ def _word_pmi_sql_entry() -> str:
     return word_pmi_pairs_sql(min_count=5, topn=40)
 
 
+def _embedding_quantize_sql_entry() -> str:
+    from apollo_ray.functions.ann import embedding_quantize_sql
+    return embedding_quantize_sql()
+
+
 def _source_overlap_sql_entry() -> str:
     from apollo_ray.functions.dedup_extras import source_overlap_sql
     return source_overlap_sql()
@@ -1089,7 +1094,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return word_pmi_pairs(_docs(sf_dir), min_count=5, topn=40,
                               num_partitions=16)
 
+    def q_embedding_quantize(sf_dir):
+        from apollo_ray.functions.ann import embedding_quantize
+        return embedding_quantize(_embeddings(sf_dir))
+
     return {
+        "embedding_quantize": q_embedding_quantize,
         "encoding_quality": q_encoding_quality,
         "readability": q_readability,
         "chunk_documents": q_chunk_documents,
@@ -1199,6 +1209,7 @@ def oracle_sql() -> dict[str, str]:
         "readability": _readability_sql_entry(),
         "chunk_documents": _chunk_documents_sql_entry(),
         "word_pmi_pairs": _word_pmi_sql_entry(),
+        "embedding_quantize": _embedding_quantize_sql_entry(),
         "exact_dedup_groups": """
             SELECT min(doc_id) AS rep_id, count(*) AS n_members
             FROM documents GROUP BY text

@@ -536,3 +536,94 @@ def lsh_topk(embeddings: "ray.data.Dataset", query_ids: list[int],
     return embeddings.map_batches(bucket_partial_topk,
                                   batch_format="pyarrow") \
         .groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+
+
+def embedding_quantize(embeddings: "ray.data.Dataset",
+                       col: str = "embedding") -> "ray.data.Dataset":
+    """(vec_id, dim, q) — per-dimension int8 scalar quantization of an
+    embedding column (the standard 4x ANN-index compression step):
+    q = floor((x - mn_d) * (255 / (mx_d - mn_d)) + 0.5) with mn/mx the
+    GLOBAL per-dimension min/max; constant dimensions quantize to 0.
+
+    Determinism: min/max are selections (exact in float32 on both
+    sides); the quantization expression is evaluated in float64 with
+    every operand explicitly widened, in the same order as the SQL
+    oracle, and round-half-up is the explicit floor(x+0.5).  Output is
+    FLAT (one row per (vec, dim)) so the driver compare is hash-exact
+    without list-ordering concerns.
+
+    Scale shape: pass 1 is a map-side per-batch (min, max) partial —
+    one dim-length pair of lists per BLOCK reaches the driver (the df
+    array-reduction pattern; tree-reduce at extreme block counts);
+    the (mn, mx) vectors broadcast once via ``ray.put``; pass 2 is
+    map-only.  No shuffle anywhere.
+    """
+
+    def part_minmax(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"mn": pa.array([], type=pa.list_(
+                pa.float32())), "mx": pa.array([], type=pa.list_(
+                    pa.float32()))})
+        m = _batch_matrix(batch, col).astype(np.float32)
+        return pa.table({
+            "mn": pa.array([m.min(axis=0).tolist()],
+                           type=pa.list_(pa.float32())),
+            "mx": pa.array([m.max(axis=0).tolist()],
+                           type=pa.list_(pa.float32()))})
+
+    parts = embeddings.map_batches(part_minmax,
+                                   batch_format="pyarrow").take_all()
+    if not parts:
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array([], type=pa.int64()),
+            "dim": pa.array([], type=pa.int64()),
+            "q": pa.array([], type=pa.int64())}))
+    mn = np.min(np.asarray([p["mn"] for p in parts], dtype=np.float32),
+                axis=0)
+    mx = np.max(np.asarray([p["mx"] for p in parts], dtype=np.float32),
+                axis=0)
+    ref = ray.put((mn, mx))
+
+    def quant(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+        mn32, mx32 = _ray.get(ref)
+        x = _batch_matrix(batch, col)            # float64 already
+        mn64 = mn32.astype(np.float64)
+        mx64 = mx32.astype(np.float64)
+        span = mx64 - mn64
+        fac = np.where(span == 0, 0.0,
+                       255.0 / np.where(span == 0, 1.0, span))
+        q = np.floor((x - mn64) * fac + 0.5).astype(np.int64)
+        q[:, span == 0] = 0
+        n, dim = x.shape
+        ids = batch.column("vec_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, dim), type=pa.int64()),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), n),
+                            type=pa.int64()),
+            "q": pa.array(q.ravel(), type=pa.int64())})
+
+    return embeddings.map_batches(quant, batch_format="pyarrow")
+
+
+def embedding_quantize_sql(table: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`embedding_quantize` — identical
+    float64 expression with explicit casts (DuckDB would otherwise do
+    FLOAT32 arithmetic on FLOAT columns)."""
+    return f"""
+        WITH e AS (
+          SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) - 1 AS dim
+          FROM {table}),
+        s AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM e GROUP BY dim)
+        SELECT e.vec_id,
+               CAST(e.dim AS BIGINT) AS dim,
+               CAST(CASE WHEN s.mx = s.mn THEN 0
+                    ELSE floor((CAST(e.x AS DOUBLE) - CAST(s.mn AS DOUBLE))
+                               * (255.0 / (CAST(s.mx AS DOUBLE)
+                                           - CAST(s.mn AS DOUBLE)))
+                               + 0.5)
+                    END AS BIGINT) AS q
+        FROM e JOIN s USING (dim)
+    """

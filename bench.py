@@ -113,7 +113,9 @@ def bench_once() -> dict:
         "retention_cohorts", "customer_order_dist",
         "heavy_hitters", "url_host_stats", "dedup_tier_rollup",
         "per_host_topk", "shingle_novelty", "normalize_text",
-        "hostlist_filter", "nb_classify_cap64", "dedup_tier_rollup_sem")
+        "hostlist_filter", "nb_classify_cap64", "dedup_tier_rollup_sem",
+        "encoding_quality", "readability", "chunk_documents",
+        "word_pmi_pairs")
     for name in qnames:
         t0 = time.monotonic()
         res = qs[name](SF_DIR)
