@@ -191,6 +191,28 @@ def _source_overlap_sql_entry() -> str:
     return source_overlap_sql()
 
 
+def _linked_text_sql() -> str:
+    """SQL twin of the _linked_docs splice (same anchors, same
+    every-3rd relative link, same every-11th unterminated tail)."""
+    from apollo_ray.functions.urls import _SYNTH_URL_SQL
+    return (
+        "text || ' <a href=\"' || (" + _SYNTH_URL_SQL + ") || '\">x</a>'"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' <a href=\"/rel/' ||"
+        " CAST(doc_id % 10 AS VARCHAR) || '\">y</a>' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN ' <a href=\"http://tail'"
+        " ELSE '' END")
+
+
+def _extract_links_sql_entry() -> str:
+    from apollo_ray.functions.urls import extract_links_sql
+    return extract_links_sql(text_expr="(" + _linked_text_sql() + ")")
+
+
+def _link_host_counts_sql_entry() -> str:
+    from apollo_ray.functions.urls import link_host_counts_sql
+    return link_host_counts_sql(text_expr="(" + _linked_text_sql() + ")")
+
+
 def _bpe_train_sql_entry() -> str:
     from apollo_ray.functions.bpe import bpe_train_sql
     return bpe_train_sql(num_merges=6)
@@ -724,6 +746,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from apollo_ray.functions.urls import url_host_stats
         return url_host_stats(_synthetic_pages(sf_dir))
 
+    def _linked_docs(sf_dir):
+        """Fixture docs with anchor markup spliced into the text on
+        BOTH sides identically (fixture text carries no quotes or
+        'href', verified): every doc gets one absolute link (the
+        synthetic crawl url), every 3rd doc a relative link, every
+        11th a trailing UNTERMINATED href both sides must drop."""
+        import numpy as np
+        import pyarrow as pa
+
+        from apollo_ray.functions.urls import synthetic_crawl_urls
+
+        def splice(batch):
+            ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+            urls = synthetic_crawl_urls(ids)
+            txt = batch.column("text").to_pylist()
+            out = []
+            for i, t, u in zip(ids.tolist(), txt, urls):
+                t = t + ' <a href="' + u + '">x</a>'
+                if i % 3 == 0:
+                    t += ' <a href="/rel/%d">y</a>' % (i % 10)
+                if i % 11 == 0:
+                    t += ' <a href="http://tail'
+                out.append(t)
+            return pa.table({"doc_id": batch.column("doc_id"),
+                             "text": pa.array(out, type=pa.string())})
+
+        return _docs(sf_dir).map_batches(splice, batch_format="pyarrow")
+
+    def q_extract_links(sf_dir):
+        from apollo_ray.functions.urls import extract_links
+        return extract_links(_linked_docs(sf_dir))
+
+    def q_link_host_counts(sf_dir):
+        from apollo_ray.functions.urls import link_host_counts
+        return link_host_counts(_linked_docs(sf_dir), num_partitions=8)
+
     def q_per_host_topk(sf_dir):
         """Domain quota: top-10 docs per host by text length (the
         per-host cap step of web-corpus curation)."""
@@ -1168,6 +1226,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_urls": q_canonical_urls,
         "url_host_stats": q_url_host_stats,
         "per_host_topk": q_per_host_topk,
+        "extract_links": q_extract_links,
+        "link_host_counts": q_link_host_counts,
         "dedup_tier_rollup": q_dedup_tier_rollup,
         "dedup_tier_rollup_sem": q_dedup_tier_rollup_sem,
         "leakage_safe_splits": q_leakage_splits,
@@ -1718,6 +1778,8 @@ def oracle_sql() -> dict[str, str]:
         "canonical_urls": _canonical_urls_sql_entry(),
         "url_host_stats": _url_host_stats_sql_entry(),
         "per_host_topk": _per_host_topk_sql_entry(),
+        "extract_links": _extract_links_sql_entry(),
+        "link_host_counts": _link_host_counts_sql_entry(),
         "dedup_tier_rollup": _tiered_sql_entry(),
         "dedup_tier_rollup_sem": _tiered_sql_entry(semantic=True),
         "leakage_safe_splits": _leakage_sql_entry(),

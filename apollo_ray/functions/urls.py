@@ -433,3 +433,143 @@ def hostlist_filter_sql(domains: list[str], table: str = "documents"
                    WHERE hn.hostname = bl.d
                       OR ends_with(hn.hostname, '.' || bl.d)) AS blocked
     FROM hn""")
+
+
+# ---------------------------------------------------------------------------
+# outlink extraction — the web-graph side of a crawl corpus
+# ---------------------------------------------------------------------------
+
+_HREF_SEP = 'href="'
+
+
+def extract_links(pages: "ray.data.Dataset", text_col: str = "text",
+                  id_col: str = "doc_id") -> "ray.data.Dataset":
+    """(doc_id, link_no, url): every ``href="..."`` value in document
+    order — the outlink list a web-graph / anchor-text pipeline starts
+    from (the reference's pipeline starts at already-extracted text,
+    /root/reference/apollo/bags.py:26; link extraction is the step
+    upstream of it).
+
+    Semantics match RE2 ``href="([^"]*)"`` (leftmost, non-overlapping)
+    on the documented parity domain: href VALUES do not themselves
+    contain the literal ``href="`` substring (true of any real URL —
+    ``"`` is not a URL codepoint).  Unterminated trailing hrefs are
+    dropped, as the regex drops them.
+
+    Scale shape: pure flat map, no shuffle, no state.  The whole batch
+    goes through three vectorized Arrow kernels (split on ``href="``,
+    split-once on ``"``, list flatten); there is no per-row Python.
+    Output rows == total match count.
+    """
+    def f(batch: pa.Table) -> pa.Table:
+        t = batch.column(text_col)
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        parts = pc.split_pattern(t, _HREF_SEP)
+        flat = pc.list_flatten(parts)
+        parent = pc.list_parent_indices(parts).to_numpy(
+            zero_copy_only=False)
+        offsets = parts.offsets.to_numpy(zero_copy_only=False)
+        # fragment 0 precedes the first separator; fragments >= 1 each
+        # start right after one `href="` occurrence, in order
+        pos = np.arange(len(flat), dtype=np.int64) - offsets[parent]
+        closed = pc.count_substring(flat, '"').to_numpy(
+            zero_copy_only=False) > 0
+        keep = (pos >= 1) & closed
+        kept = flat.filter(pa.array(keep))
+        kparent = parent[keep]
+        url = pc.list_element(
+            pc.split_pattern(kept, '"', max_splits=1), 0)
+        # 1-based ordinal among kept matches per document
+        if len(kparent):
+            starts = np.zeros(len(kparent), dtype=bool)
+            starts[0] = True
+            starts[1:] = kparent[1:] != kparent[:-1]
+            start_idx = np.maximum.accumulate(
+                np.where(starts, np.arange(len(kparent)), 0))
+            link_no = np.arange(len(kparent)) - start_idx + 1
+        else:
+            link_no = np.zeros(0, dtype=np.int64)
+        return pa.table({
+            id_col: pa.array(ids[kparent], type=pa.int64()),
+            "link_no": pa.array(link_no, type=pa.int64()),
+            "url": url})
+
+    return pages.map_batches(f, batch_format="pyarrow")
+
+
+_ABS_HOST_RE = r"^(?P<h>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<a>[^/?#]*)"
+
+
+def link_host_counts(pages: "ray.data.Dataset", text_col: str = "text",
+                     id_col: str = "doc_id", num_partitions: int = 32
+                     ) -> "ray.data.Dataset":
+    """(host, n_links) — inbound-link mass per target host over the
+    corpus's extracted outlinks; the raw signal behind link-based
+    quality weighting.  Relative hrefs (no ``scheme://``) are skipped;
+    the host is the lowercased authority with any ``:port`` stripped.
+
+    Scale shape: extract_links' flat map, then a per-batch host
+    value_counts partial so only (host, partial_count) rows — bounded
+    by distinct hosts per batch — reach the single count exchange.
+    """
+    links = extract_links(pages, text_col=text_col, id_col=id_col)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = batch.column("url")
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        ex = pc.extract_regex(u, _ABS_HOST_RE)
+        auth = pc.if_else(ex.is_valid(),
+                          pc.struct_field(ex, "a"),
+                          pa.scalar(None, type=pa.string()))
+        host = pc.replace_substring_regex(
+            pc.utf8_lower(auth), r":[0-9]+$", "")
+        host = host.drop_null()
+        if len(host) == 0:
+            return pa.table({"host": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        vc = host.value_counts()
+        return pa.table({"host": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    partials = links.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("host").sum("n")
+    return agg.map_batches(
+        lambda b: pa.table({"host": b.column("host"),
+                            "n_links": b.column("sum(n)").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def extract_links_sql(table: str = "documents",
+                      text_expr: str = "text") -> str:
+    """DuckDB oracle for :func:`extract_links`: the RE2 pattern the
+    engine's split kernels reproduce, unnested with an ordinality index
+    via the generate_series CTE (DuckDB has no lateral
+    generate_series(col))."""
+    return f"""
+WITH ls AS (SELECT doc_id,
+                   regexp_extract_all({text_expr}, 'href="([^"]*)"', 1) AS l
+            FROM {table}),
+mx AS (SELECT coalesce(max(len(l)), 1) AS m FROM ls),
+i AS (SELECT unnest(generate_series(1, (SELECT m FROM mx))) AS link_no)
+SELECT doc_id, link_no, list_extract(l, link_no) AS url
+FROM ls, i WHERE link_no <= len(l)"""
+
+
+def link_host_counts_sql(table: str = "documents",
+                         text_expr: str = "text") -> str:
+    """DuckDB oracle for :func:`link_host_counts` (same RE2 authority
+    pattern, lowercase + port strip, GROUP BY)."""
+    return f"""
+WITH ls AS (SELECT regexp_extract_all({text_expr}, 'href="([^"]*)"', 1) AS l
+            FROM {table}),
+u AS (SELECT unnest(l) AS url FROM ls),
+h AS (SELECT regexp_replace(
+        lower(regexp_extract(url,
+              '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)),
+        ':[0-9]+$', '') AS host
+      FROM u
+      WHERE regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://'))
+SELECT host, count(*) AS n_links FROM h GROUP BY host"""

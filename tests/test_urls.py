@@ -148,3 +148,65 @@ def test_per_host_topk_split_invariant(ray_session):
     gb = per_host_topk(b, k=3, num_partitions=16).to_pandas() \
         .sort_values(["host", "host_rank"]).reset_index(drop=True)
     assert ga.equals(gb)
+
+
+# ---------------------------------------------------------------------------
+# extract_links / link_host_counts
+# ---------------------------------------------------------------------------
+
+_LINK_DOCS = pa.table({
+    "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+    "text": [
+        'a <a href="https://A.example.com:80/x">one</a> and '
+        '<a href="/rel">two</a>',
+        'no links at all',
+        'mid <a href="https://b.example.com/y">y</a> tail <a href="oops',
+        '<a href="HTTPS://b.Example.com:8080/z?q=1#f">z</a>',
+        '',
+    ]})
+
+
+def _links_oracle(sql):
+    import duckdb
+    con = duckdb.connect()
+    con.register("documents", _LINK_DOCS)
+    return con.sql(sql).df()
+
+
+def test_extract_links_matches_duckdb(ray_session):
+    from apollo_ray.functions.urls import extract_links, extract_links_sql
+    eng = (extract_links(ray.data.from_arrow(_LINK_DOCS))
+           .to_pandas().sort_values(["doc_id", "link_no"])
+           .reset_index(drop=True))
+    ora = (_links_oracle(extract_links_sql())
+           .sort_values(["doc_id", "link_no"]).reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+    # the unterminated href on doc 3 is dropped, doc order preserved
+    assert eng[eng.doc_id == 3].url.tolist() == ["https://b.example.com/y"]
+    assert eng[eng.doc_id == 1].link_no.tolist() == [1, 2]
+
+
+def test_link_host_counts_matches_duckdb(ray_session):
+    from apollo_ray.functions.urls import (link_host_counts,
+                                           link_host_counts_sql)
+    eng = (link_host_counts(ray.data.from_arrow(_LINK_DOCS),
+                            num_partitions=4)
+           .to_pandas().sort_values("host").reset_index(drop=True))
+    ora = (_links_oracle(link_host_counts_sql())
+           .sort_values("host").reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+    # relative + unterminated links never reach the host counts;
+    # ports are stripped, case folded
+    assert dict(zip(eng.host, eng.n_links)) == {
+        "a.example.com": 1, "b.example.com": 2}
+
+
+def test_extract_links_empty_and_linkless(ray_session):
+    from apollo_ray.functions.urls import extract_links
+    docs = pa.table({"doc_id": pa.array([9], type=pa.int64()),
+                     "text": ["plain prose only"]})
+    out = extract_links(ray.data.from_arrow(docs))
+    assert out.count() == 0
+    assert out.schema().names == ["doc_id", "link_no", "url"]
