@@ -203,6 +203,21 @@ def _linked_text_sql() -> str:
         " ELSE '' END")
 
 
+_CODE_SPLICE = ("\ndef f(x):\n    return x + 1;\nvar y = {a: 1};\n"
+                "#include <stdio.h>\n")
+_CODE_SPLICE_SQL = ("chr(10) || 'def f(x):' || chr(10) || "
+                    "'    return x + 1;' || chr(10) || "
+                    "'var y = {a: 1};' || chr(10) || "
+                    "'#include <stdio.h>' || chr(10)")
+
+
+def _code_detect_sql_entry() -> str:
+    from apollo_ray.functions.classify import code_detect_sql
+    return code_detect_sql(text_expr=(
+        "text || CASE WHEN doc_id %% 5 = 0 THEN %s ELSE '' END"
+        % _CODE_SPLICE_SQL))
+
+
 def _extract_links_sql_entry() -> str:
     from apollo_ray.functions.urls import extract_links_sql
     return extract_links_sql(text_expr="(" + _linked_text_sql() + ")")
@@ -774,6 +789,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _docs(sf_dir).map_batches(splice, batch_format="pyarrow")
 
+    def q_code_detect(sf_dir):
+        """Code-likeness flags.  The fixture text is prose-ish, so
+        every 5th doc gets _CODE_SPLICE appended on BOTH sides (a
+        def/return/var/#include snippet with braces, semicolons and
+        an indented line)."""
+        import pyarrow as pa
+        import pyarrow.compute as _pc
+        from apollo_ray.functions.classify import code_detect
+
+        def mess(batch):
+            t = batch.column("text")
+            if isinstance(t, pa.ChunkedArray):
+                t = t.combine_chunks()
+            ids = batch.column("doc_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            joined = _pc.binary_join_element_wise(
+                t, pa.array([_CODE_SPLICE] * len(t)), "")
+            spliced = _pc.if_else(pa.array(ids % 5 == 0), joined, t)
+            return batch.set_column(
+                batch.schema.get_field_index("text"), "text", spliced)
+
+        return code_detect(
+            _docs(sf_dir).map_batches(mess, batch_format="pyarrow"))
+
     def q_extract_links(sf_dir):
         from apollo_ray.functions.urls import extract_links
         return extract_links(_linked_docs(sf_dir))
@@ -1228,6 +1267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "per_host_topk": q_per_host_topk,
         "extract_links": q_extract_links,
         "link_host_counts": q_link_host_counts,
+        "code_detect": q_code_detect,
         "dedup_tier_rollup": q_dedup_tier_rollup,
         "dedup_tier_rollup_sem": q_dedup_tier_rollup_sem,
         "leakage_safe_splits": q_leakage_splits,
@@ -1780,6 +1820,7 @@ def oracle_sql() -> dict[str, str]:
         "per_host_topk": _per_host_topk_sql_entry(),
         "extract_links": _extract_links_sql_entry(),
         "link_host_counts": _link_host_counts_sql_entry(),
+        "code_detect": _code_detect_sql_entry(),
         "dedup_tier_rollup": _tiered_sql_entry(),
         "dedup_tier_rollup_sem": _tiered_sql_entry(semantic=True),
         "leakage_safe_splits": _leakage_sql_entry(),

@@ -284,3 +284,113 @@ def nb_classify_sql(label_col: str = "source",
     QUALIFY row_number() OVER (PARTITION BY doc_id
                                ORDER BY score DESC, c) = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# code-likeness heuristic — flag code-bearing documents in a text corpus
+# ---------------------------------------------------------------------------
+
+# code-only keywords: deliberately excludes English-common tokens
+# (if/for/while) so prose never trips the detector
+_CODE_KW_PATTERN = (r"\b(?:def|return|import|function|var|const|void|"
+                    r"static|printf|include|lambda|elif|struct|typedef|"
+                    r"endif)\b")
+_CODE_INDENT_PATTERN = r"(?m)^(?:\t|    )"
+
+
+def code_detect(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, n_chars, n_braces, n_semicolons, n_indented,
+    n_keywords, code_score, is_code) — the cheap lexical code
+    detector a training-data pipeline runs to route documents to a
+    code pile vs a prose pile (or to drop half-rendered source from a
+    web crawl) before any model-based classifier.
+
+    Signals, every one a single vectorized Arrow kernel over the
+    batch: ``{``/``}`` brace count, ``;`` count, lines opening with a
+    tab / 4 spaces (RE2 multiline), and code-only keyword hits
+    (def/return/import/... — English-common keywords like if/for are
+    deliberately excluded so prose never scores).  The decision is
+    pure integer arithmetic, value-exact in SQL:
+
+        code_score = 2*n_braces + 2*n_semicolons + n_indented
+                     + 3*n_keywords
+        is_code    = code_score >= 3 AND code_score * 100 >= n_chars
+
+    (at least one real marker cluster AND a density of one weighted
+    marker per 100 chars — length-normalized so long prose with a
+    stray semicolon stays prose).
+
+    Scale shape: pure map, no shuffle, no state.
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+
+        def i64(arr) -> pa.Array:
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            return arr.cast(pa.int64())
+
+        n_chars = i64(pc.utf8_length(text))
+        n_braces = i64(pc.add(pc.count_substring(text, "{"),
+                              pc.count_substring(text, "}")))
+        n_semi = i64(pc.count_substring(text, ";"))
+        n_ind = i64(pc.count_substring_regex(text, _CODE_INDENT_PATTERN))
+        n_kw = i64(pc.count_substring_regex(text, _CODE_KW_PATTERN))
+        score = pc.add(
+            pc.add(pc.multiply(n_braces, pa.scalar(2, type=pa.int64())),
+                   pc.multiply(n_semi, pa.scalar(2, type=pa.int64()))),
+            pc.add(n_ind,
+                   pc.multiply(n_kw, pa.scalar(3, type=pa.int64()))))
+        is_code = pc.and_(
+            pc.greater_equal(score, pa.scalar(3, type=pa.int64())),
+            pc.greater_equal(
+                pc.multiply(score, pa.scalar(100, type=pa.int64())),
+                n_chars))
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "n_chars": n_chars,
+            "n_braces": n_braces,
+            "n_semicolons": n_semi,
+            "n_indented": n_ind,
+            "n_keywords": n_kw,
+            "code_score": score,
+            "is_code": is_code,
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def code_detect_sql(table: str = "documents",
+                    text_expr: str = "text") -> str:
+    """DuckDB oracle for :func:`code_detect`: identical RE2 pattern
+    strings (DuckDB regexp is RE2 too, so keyword and indent counts
+    are parity-by-construction), substring counts via the greedy
+    length/replace trick, and the same integer decision rule."""
+    t = f"({text_expr})"
+    return f"""
+        WITH c AS (
+          SELECT doc_id,
+                 CAST(length({t}) AS BIGINT) AS n_chars,
+                 CAST((length({t}) - length(replace({t}, chr(123), '')))
+                      + (length({t}) - length(replace({t}, chr(125), '')))
+                      AS BIGINT) AS n_braces,
+                 CAST(length({t}) - length(replace({t}, ';', ''))
+                      AS BIGINT) AS n_semicolons,
+                 CAST(len(regexp_extract_all({t},
+                      '{_CODE_INDENT_PATTERN}')) AS BIGINT) AS n_indented,
+                 CAST(len(regexp_extract_all({t},
+                      '{_CODE_KW_PATTERN}')) AS BIGINT) AS n_keywords
+          FROM {table})
+        SELECT doc_id, n_chars, n_braces, n_semicolons, n_indented,
+               n_keywords,
+               (2*n_braces + 2*n_semicolons + n_indented + 3*n_keywords)
+                 AS code_score,
+               ((2*n_braces + 2*n_semicolons + n_indented + 3*n_keywords)
+                  >= 3
+                AND (2*n_braces + 2*n_semicolons + n_indented
+                     + 3*n_keywords) * 100 >= n_chars) AS is_code
+        FROM c
+    """

@@ -115,7 +115,8 @@ def bench_once() -> dict:
         "per_host_topk", "shingle_novelty", "normalize_text",
         "hostlist_filter", "nb_classify_cap64", "dedup_tier_rollup_sem",
         "encoding_quality", "readability", "chunk_documents",
-        "word_pmi_pairs", "extract_links", "link_host_counts")
+        "word_pmi_pairs", "extract_links", "link_host_counts",
+        "code_detect")
     for name in qnames:
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

@@ -152,3 +152,37 @@ def test_nb_tie_breaks_label_asc(ray_session):
     out = nb_classify(ray.data.from_arrow(t), vocab_cap=None,
                       num_partitions=2).take_all()
     assert {r["label_pred"] for r in out} == {"a"}
+
+
+# ---------------------------------------------------------------------------
+# code_detect
+# ---------------------------------------------------------------------------
+
+def test_code_detect_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from apollo_ray.functions.classify import code_detect, code_detect_sql
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "text": [
+            "def f(x):\n    return x + 1;\nvar y = {a: 1};",
+            "plain english prose with no code markers in it at all "
+            "beyond this one stray semicolon; which is not enough",
+            "",
+            "\tint g() { printf(hello); return 0; }",
+            # keyword-lookalikes inside words must NOT match (\b)
+            "redefine definition importance variance confunction",
+        ]})
+    eng = (code_detect(ray.data.from_arrow(docs)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", docs)
+    ora = (con.sql(code_detect_sql()).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+    assert eng.is_code.tolist() == [True, False, False, True, False]
+    # \b guard: no keyword hits from lookalike words
+    assert eng.loc[eng.doc_id == 5, "n_keywords"].item() == 0
