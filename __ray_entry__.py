@@ -211,6 +211,16 @@ _CODE_SPLICE_SQL = ("chr(10) || 'def f(x):' || chr(10) || "
                     "'#include <stdio.h>' || chr(10)")
 
 
+def _embedding_stats_sql_entry() -> str:
+    from apollo_ray.functions.ann import embedding_stats_sql
+    return embedding_stats_sql()
+
+
+def _kmeans_assign_sql_entry() -> str:
+    from apollo_ray.functions.ann import kmeans_assign_sql
+    return kmeans_assign_sql(8)
+
+
 def _code_detect_sql_entry() -> str:
     from apollo_ray.functions.classify import code_detect_sql
     return code_detect_sql(text_expr=(
@@ -1195,6 +1205,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from apollo_ray.functions.ann import embedding_quantize
         return embedding_quantize(_embeddings(sf_dir))
 
+    def q_embedding_stats(sf_dir):
+        from apollo_ray.functions.ann import embedding_stats
+        return embedding_stats(_embeddings(sf_dir))
+
+    def q_kmeans_assign_k8(sf_dir):
+        from apollo_ray.functions.ann import kmeans_assign
+        return kmeans_assign(_embeddings(sf_dir), k=8)
+
     return {
         "embedding_quantize": q_embedding_quantize,
         "encoding_quality": q_encoding_quality,
@@ -1268,6 +1286,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": q_extract_links,
         "link_host_counts": q_link_host_counts,
         "code_detect": q_code_detect,
+        "embedding_stats": q_embedding_stats,
+        "kmeans_assign_k8": q_kmeans_assign_k8,
         "dedup_tier_rollup": q_dedup_tier_rollup,
         "dedup_tier_rollup_sem": q_dedup_tier_rollup_sem,
         "leakage_safe_splits": q_leakage_splits,
@@ -1821,6 +1841,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_links": _extract_links_sql_entry(),
         "link_host_counts": _link_host_counts_sql_entry(),
         "code_detect": _code_detect_sql_entry(),
+        "embedding_stats": _embedding_stats_sql_entry(),
+        "kmeans_assign_k8": _kmeans_assign_sql_entry(),
         "dedup_tier_rollup": _tiered_sql_entry(),
         "dedup_tier_rollup_sem": _tiered_sql_entry(semantic=True),
         "leakage_safe_splits": _leakage_sql_entry(),

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -626,4 +627,169 @@ def embedding_quantize_sql(table: str = "embeddings") -> str:
                                + 0.5)
                     END AS BIGINT) AS q
         FROM e JOIN s USING (dim)
+    """
+
+
+# ---------------------------------------------------------------------------
+# embedding column statistics + integer-exact k-means assignment
+# ---------------------------------------------------------------------------
+
+def embedding_stats(embeddings: "ray.data.Dataset",
+                    col: str = "embedding") -> "ray.data.Dataset":
+    """(dim, n, sum_mu, sumsq_mu) — per-dimension first and second
+    moments of an embedding column in integer MILLI-units
+    (q = floor(x*1000 + 0.5) on the float64-widened value), the
+    whitening / drift-monitoring statistics an embedding pipeline
+    tracks.  Integer sums are order-independent, so the distributed
+    fold is value-exact vs SQL regardless of block boundaries.
+
+    Scale shape: map-side per-batch integer partials — ONE row of
+    dim-length list columns per block reaches the driver (the df
+    array-reduction pattern, same as embedding_quantize's min/max
+    pass); no shuffle.  The int64 partials hold to ~1e6-row blocks at
+    |x| <= 5e3 milli-units; the driver folds in Python ints (unbounded),
+    and emits BIGINT — at corpus scales where sumsq would overflow
+    int64 the fold shards per dimension instead (documented boundary,
+    not reachable at bench scales).
+    """
+
+    def part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "n": pa.array([], type=pa.int64()),
+                "s": pa.array([], type=pa.list_(pa.int64())),
+                "s2": pa.array([], type=pa.list_(pa.int64()))})
+        x = _batch_matrix(batch, col)
+        q = np.floor(x * 1000.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "n": pa.array([q.shape[0]], type=pa.int64()),
+            "s": pa.array([q.sum(axis=0).tolist()],
+                          type=pa.list_(pa.int64())),
+            "s2": pa.array([(q * q).sum(axis=0).tolist()],
+                           type=pa.list_(pa.int64()))})
+
+    parts = embeddings.map_batches(part, batch_format="pyarrow").take_all()
+    empty = pa.table({"dim": pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64()),
+                      "sum_mu": pa.array([], type=pa.int64()),
+                      "sumsq_mu": pa.array([], type=pa.int64())})
+    if not parts:
+        return ray.data.from_arrow(empty)
+    dim = len(parts[0]["s"])
+    n = 0
+    s = [0] * dim
+    s2 = [0] * dim
+    for p in parts:
+        n += int(p["n"])
+        for d_i, (a, b) in enumerate(zip(p["s"], p["s2"])):
+            s[d_i] += int(a)
+            s2[d_i] += int(b)
+    return ray.data.from_arrow(pa.table({
+        "dim": pa.array(range(dim), type=pa.int64()),
+        "n": pa.array([n] * dim, type=pa.int64()),
+        "sum_mu": pa.array(s, type=pa.int64()),
+        "sumsq_mu": pa.array(s2, type=pa.int64())}))
+
+
+def embedding_stats_sql(table: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`embedding_stats` (same milli-unit
+    round-half-up floor on the DOUBLE-widened value; sums grouped per
+    dimension)."""
+    return f"""
+        WITH e AS (
+          SELECT unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) - 1 AS dim
+          FROM {table}),
+        q AS (SELECT dim, CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
+                               AS BIGINT) AS v FROM e)
+        SELECT CAST(dim AS BIGINT) AS dim,
+               count(*) AS n,
+               CAST(sum(v) AS BIGINT) AS sum_mu,
+               CAST(sum(v * v) AS BIGINT) AS sumsq_mu
+        FROM q GROUP BY dim
+    """
+
+
+def kmeans_assign(embeddings: "ray.data.Dataset", k: int = 8,
+                  col: str = "embedding",
+                  id_col: str = "vec_id") -> "ray.data.Dataset":
+    """(vec_id, cluster_id, dist_mu2) — one exact k-means assignment
+    step: squared L2 distance to the k seed centroids (the vectors
+    with the k smallest ids), argmin with lowest-centroid-id
+    tie-break.  This is the SQL-oracled twin of the float32 Lloyd
+    assignment inside :mod:`apollo_ray.functions.semdedup` — same
+    broadcast-centroids + per-batch blocked distance argmin shape,
+    but in integer milli-units (q = floor(x*1000+0.5) on the
+    float64-widened value) so every distance is exact on both sides.
+
+    Scale shape: the k seed rows are one tiny driver pull broadcast
+    via ``ray.put``; assignment is a pure map pass (int64
+    ||q||^2 + ||s||^2 - 2 q.s per batch).  No shuffle.
+    """
+    def seed_rows(batch: pa.Table) -> pa.Table:
+        mask = pc.less(batch.column(id_col).cast(pa.int64()),
+                       pa.scalar(k, type=pa.int64()))
+        return batch.filter(mask)
+
+    seed_rows_list = embeddings.map_batches(
+        seed_rows, batch_format="pyarrow").take_all()
+    empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                      "cluster_id": pa.array([], type=pa.int64()),
+                      "dist_mu2": pa.array([], type=pa.int64())})
+    if not seed_rows_list:
+        return ray.data.from_arrow(empty)
+    seed_rows_list.sort(key=lambda r: r[id_col])
+    smat = np.floor(np.asarray(
+        [np.asarray(r[col], dtype=np.float64) for r in seed_rows_list])
+        * 1000.0 + 0.5).astype(np.int64)
+    sids = np.asarray([r[id_col] for r in seed_rows_list],
+                      dtype=np.int64)
+    ref = ray.put((sids, smat))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+        sids_, smat_ = _ray.get(ref)
+        if batch.num_rows == 0:
+            return empty
+        x = _batch_matrix(batch, col)
+        q = np.floor(x * 1000.0 + 0.5).astype(np.int64)
+        # exact int64 expansion: ||q||^2 + ||s||^2 - 2 q.s
+        d2 = ((q * q).sum(axis=1, keepdims=True)
+              + (smat_ * smat_).sum(axis=1)[None, :]
+              - 2 * (q @ smat_.T))
+        best = d2.argmin(axis=1)           # first min == lowest seed id
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(ids, type=pa.int64()),
+            "cluster_id": pa.array(sids_[best], type=pa.int64()),
+            "dist_mu2": pa.array(d2[np.arange(len(best)), best],
+                                 type=pa.int64())})
+
+    return embeddings.map_batches(assign, batch_format="pyarrow")
+
+
+def kmeans_assign_sql(k: int = 8, table: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`kmeans_assign` (same milli-unit
+    quantization, exact integer distances, dist-then-id ordering)."""
+    return f"""
+        WITH e AS (
+          SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) - 1 AS dim
+          FROM {table}),
+        q AS (SELECT vec_id, dim,
+                     CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
+                          AS BIGINT) AS v
+              FROM e),
+        s AS (SELECT vec_id AS cid, dim, v FROM q WHERE vec_id < {k}),
+        d AS (SELECT q.vec_id, s.cid,
+                     sum((q.v - s.v) * (q.v - s.v)) AS dist
+              FROM q JOIN s USING (dim) GROUP BY q.vec_id, s.cid),
+        b AS (SELECT vec_id, cid, dist,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dist, cid) AS rn
+              FROM d)
+        SELECT vec_id, cid AS cluster_id,
+               CAST(dist AS BIGINT) AS dist_mu2
+        FROM b WHERE rn = 1
     """

@@ -55,3 +55,65 @@ def test_embedding_quantize_empty(ray_session):
     t = _embs(np.zeros((0, 4)))
     out = embedding_quantize(ray.data.from_arrow(t))
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# embedding_stats / kmeans_assign
+# ---------------------------------------------------------------------------
+
+def test_embedding_stats_oracle_parity(ray_session):
+    import pandas as pd
+    import ray.data
+    from apollo_ray.functions.ann import embedding_stats, embedding_stats_sql
+    rng = np.random.default_rng(7)
+    tab = _embs(rng.normal(size=(40, 5)))
+    # two blocks: the integer fold must be block-boundary-independent
+    ds = ray.data.from_arrow(tab).repartition(2)
+    eng = (embedding_stats(ds).to_pandas()
+           .sort_values("dim").reset_index(drop=True))
+    con = duckdb.connect(); con.register("embeddings", tab)
+    ora = (con.sql(embedding_stats_sql()).df()
+           .sort_values("dim").reset_index(drop=True))
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+    assert eng.n.tolist() == [40] * 5
+
+
+def test_embedding_stats_empty(ray_session):
+    import ray.data
+    from apollo_ray.functions.ann import embedding_stats
+    ds = ray.data.from_arrow(_embs(np.zeros((1, 3)))).filter(
+        lambda r: False)
+    out = embedding_stats(ds)
+    assert out.count() == 0
+    assert out.schema().names == ["dim", "n", "sum_mu", "sumsq_mu"]
+
+
+def test_kmeans_assign_oracle_parity(ray_session):
+    import pandas as pd
+    import ray.data
+    from apollo_ray.functions.ann import kmeans_assign, kmeans_assign_sql
+    rng = np.random.default_rng(11)
+    tab = _embs(rng.normal(size=(60, 6)))
+    ds = ray.data.from_arrow(tab).repartition(3)
+    eng = (kmeans_assign(ds, k=4).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    con = duckdb.connect(); con.register("embeddings", tab)
+    ora = (con.sql(kmeans_assign_sql(4)).df()
+           .sort_values("vec_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+    # seeds are their own nearest centroid at distance zero
+    own = eng[eng.vec_id < 4]
+    assert own.cluster_id.tolist() == own.vec_id.tolist()
+    assert own.dist_mu2.tolist() == [0, 0, 0, 0]
+
+
+def test_kmeans_assign_tie_breaks_to_lowest_seed(ray_session):
+    import ray.data
+    from apollo_ray.functions.ann import kmeans_assign
+    # seeds 0 and 1 are identical: every vector ties, and every
+    # assignment must pick cluster 0 (lowest seed id), as SQL's
+    # ORDER BY dist, cid does
+    mat = np.array([[1.0, 0.0], [1.0, 0.0], [0.25, 0.5], [0.75, -0.5]])
+    eng = (kmeans_assign(ray.data.from_arrow(_embs(mat)), k=2)
+           .to_pandas().sort_values("vec_id"))
+    assert eng.cluster_id.tolist() == [0, 0, 0, 0]
