@@ -12,8 +12,11 @@ no-Ray kernel probes.  This tool loops:
 
 Usage: python tools/scaling_sampler.py [max_samples] [max_minutes] [levels]
 
-``levels`` is "8,32" (default), "2,8", or "auto"; samples append to
-BENCH/SCALING_{lo}_{hi}.json r3_samples.  Clean gates per level pair
+``levels`` is "8,32" (default), "2,8", "weak" (bench.py
+--weak-scaling: 1M@8 vs 4M@32, records into BENCH/WEAK_SCALING.json),
+or "auto"; strong samples append to BENCH/SCALING_{lo}_{hi}.json
+r3_samples.  Auto mode prioritizes weak-scaling evidence (until 3
+clean samples exist) whenever the 8->32 gate is clean.  Clean gates per level pair
 come from the recorded clean ranges: the 8->32 pair needs the 32-proc
 kernel regime healthy (eff >= 0.75, agg32 >= 70k docs/s); the 2->8
 pair only needs the <=8-way regime healthy (1->8 eff >= 0.80,
@@ -66,6 +69,65 @@ def is_clean(p: dict, levels: tuple[int, int], post: bool = False) -> bool:
             and p["agg32"] >= 66_000 * (0.9 if post else 1.0))
 
 
+def weak_sample(pre: dict) -> bool:
+    """One bench.py --weak-scaling sample (1M@8 vs 4M@32; equal
+    per-CPU work, ideal ratio 1.0), probe-bracketed like the strong
+    samples.  Needs the full 8->32 gate: both legs touch the 32-way
+    DRAM regime.  Records into BENCH/WEAK_SCALING.json."""
+    rec = os.path.join(ROOT, "BENCH", "WEAK_SCALING.json")
+    env = dict(os.environ, GRAFT_SCALING_REPEATS="1")
+    out = subprocess.run([sys.executable, os.path.join(ROOT, "bench.py"),
+                          "--weak-scaling"], env=env, capture_output=True,
+                         text=True, cwd=ROOT, timeout=2400)
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    post = probe()
+    clean = is_clean(post, (8, 32), post=True)
+    # per-CPU work is EQUAL on both legs, so every map stage should
+    # take roughly equal wall time: a hi-leg map stage far above its
+    # lo twin means a mid-leg transient; far below means the lo leg
+    # ran degraded (ratio inflated).  Exchanges may amortize (hi a
+    # bit under lo x data-growth) but must not balloon.
+    sl, sh = r.get("stage_sec_lo", {}), r.get("stage_sec_hi", {})
+    for k in ("docs_sec", "bands_sec"):
+        if sl.get(k) and sh.get(k):
+            ratio = sh[k] / sl[k]
+            if ratio > 1.6 or ratio < 0.6:
+                clean = False
+    if r["value"] > 1.1:        # super-unit weak efficiency: lo leg degraded
+        clean = False
+    sample = {
+        "value": r["value"], "sec_lo": r["sec_lo"], "sec_hi": r["sec_hi"],
+        "rows_lo": r["rows_lo"], "rows_hi": r["rows_hi"],
+        "docs_per_sec_hi": r["docs_per_sec_hi"],
+        "stage_sec_lo": sl, "stage_sec_hi": sh,
+        "pre_probe": pre, "post_probe": post,
+        "clean": bool(clean),
+        "note": "tools/scaling_sampler.py probe-bracketed weak-scaling"
+                " sample" + ("" if clean else
+                             " - post-probe degraded or stage-split"
+                             " anomaly, EXCLUDED"),
+    }
+    d = json.load(open(rec))
+    key = "clean_samples" if clean else "excluded_samples"
+    d.setdefault(key, []).append(sample)
+    if clean:
+        d["clean_values"] = [s["value"] for s in d["clean_samples"]
+                             if isinstance(s, dict)]
+    json.dump(d, open(rec, "w"), indent=1)
+    print("weak sample: %.3f (clean=%s)" % (r["value"], clean), flush=True)
+    return clean
+
+
+def _weak_clean_count() -> int:
+    rec = os.path.join(ROOT, "BENCH", "WEAK_SCALING.json")
+    try:
+        d = json.load(open(rec))
+        return len([s for s in d.get("clean_samples", [])
+                    if isinstance(s, dict)])
+    except Exception:
+        return 0
+
+
 def main() -> int:
     max_samples = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     max_minutes = float(sys.argv[2]) if len(sys.argv) > 2 else 60
@@ -80,6 +142,12 @@ def main() -> int:
               flush=True)
         if auto:
             if is_clean(pre, (8, 32)):
+                # prioritize the evidence we have least of: weak-scaling
+                # clean samples (< 3) before more strong 8->32 samples
+                if _weak_clean_count() < 3:
+                    if weak_sample(pre):
+                        taken += 1
+                    continue
                 levels_s = "8,32"
             elif is_clean(pre, (2, 8)):
                 levels_s = "2,8"
@@ -87,6 +155,13 @@ def main() -> int:
                 time.sleep(240)
                 continue
             print("auto: sampling %s" % levels_s, flush=True)
+        if levels_s == "weak":
+            if is_clean(pre, (8, 32)):
+                if weak_sample(pre):
+                    taken += 1
+            else:
+                time.sleep(240)
+            continue
         lo, hi = (int(x) for x in levels_s.split(","))
         rec = os.path.join(ROOT, "BENCH", "SCALING_%d_%d.json" % (lo, hi))
         if not is_clean(pre, (lo, hi)):
