@@ -341,6 +341,19 @@ def _line_dedup_sql_entry() -> str:
     return line_dedup_sql(min_len=1)
 
 
+def _paragraph_dedup_sql_entry() -> str:
+    """line_dedup_sql at paragraph granularity over the derived
+    multi-paragraph corpus — a ``documents`` CTE shadows the view so
+    both the unnest and the final left join see the derived text."""
+    from apollo_ray.functions.clean import line_dedup_sql
+    sql = line_dedup_sql(min_len=1, sep_sql="chr(10)||chr(10)")
+    sql = sql.replace("FROM documents", "FROM docs_p")
+    return sql.replace(
+        "WITH l AS",
+        "WITH docs_p AS (SELECT doc_id, replace(text, ' a ', "
+        "chr(10)||chr(10)) AS text FROM documents), l AS", 1)
+
+
 def _strip_boilerplate_sql_entry() -> str:
     from apollo_ray.functions.clean import strip_boilerplate_sql
     return strip_boilerplate_sql(
@@ -659,6 +672,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_line_dedup(sf_dir):
         from apollo_ray.functions.clean import line_dedup
         return line_dedup(_docs(sf_dir)) \
+            .select_columns(["doc_id", "text", "n_dup_lines"])
+
+    def q_paragraph_dedup(sf_dir):
+        """RefinedWeb-style paragraph-granularity exact dedup: the
+        same line_dedup machinery with sep="\\n\\n" over a corpus
+        derived multi-paragraph on BOTH sides (' a ' -> blank line;
+        non-overlapping left-to-right replace on each)."""
+        import pyarrow as pa
+        import pyarrow.compute as _pc
+        from apollo_ray.functions.clean import line_dedup
+
+        def add_para(batch):
+            t = batch.column("text")
+            if isinstance(t, pa.ChunkedArray):
+                t = t.combine_chunks()
+            return batch.set_column(
+                batch.schema.get_field_index("text"), "text",
+                _pc.replace_substring(t, " a ", "\n\n"))
+
+        mdocs = _docs(sf_dir).map_batches(add_para, batch_format="pyarrow")
+        return line_dedup(mdocs, sep="\n\n", num_partitions=16) \
             .select_columns(["doc_id", "text", "n_dup_lines"])
 
     def q_strip_boilerplate(sf_dir):
@@ -1267,6 +1301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q_repetition_stats,
         "c4_clean": q_c4_clean,
         "line_dedup": q_line_dedup,
+        "paragraph_dedup": q_paragraph_dedup,
         "strip_boilerplate": q_strip_boilerplate,
         "soft_dedup_weights": q_soft_dedup_weights,
         "bpe_token_counts": q_bpe_token_counts,
@@ -1691,6 +1726,7 @@ def oracle_sql() -> dict[str, str]:
             FROM l
         """,
         "line_dedup": _line_dedup_sql_entry(),
+        "paragraph_dedup": _paragraph_dedup_sql_entry(),
         "strip_boilerplate": _strip_boilerplate_sql_entry(),
         "soft_dedup_weights": _soft_dedup_sql_entry(),
         "repetition_stats": r"""

@@ -121,7 +121,8 @@ def bench_once() -> dict:
         "hostlist_filter", "nb_classify_cap64", "dedup_tier_rollup_sem",
         "encoding_quality", "readability", "chunk_documents",
         "word_pmi_pairs", "extract_links", "link_host_counts",
-        "code_detect", "embedding_stats", "kmeans_assign_k8")
+        "code_detect", "embedding_stats", "kmeans_assign_k8",
+        "paragraph_dedup")
     for name in qnames:
         t0 = time.monotonic()
         res = qs[name](SF_DIR)
