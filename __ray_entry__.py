@@ -221,6 +221,11 @@ def _kmeans_assign_sql_entry() -> str:
     return kmeans_assign_sql(8)
 
 
+def _lang_budget_sample_sql_entry() -> str:
+    from apollo_ray.functions.sampling import lang_budget_sample_sql
+    return lang_budget_sample_sql(40)
+
+
 def _code_detect_sql_entry() -> str:
     from apollo_ray.functions.classify import code_detect_sql
     return code_detect_sql(text_expr=(
@@ -717,6 +722,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return strip_boilerplate(mdocs, min_df=2, scope_col="source",
                                  num_partitions=16) \
             .select_columns(["doc_id", "text", "n_boiler_lines"])
+
+    def q_lang_budget_sample(sf_dir):
+        """UniMax-style per-language hard budget: 40 docs per lang by
+        smallest md5 row hash (deterministic uniform draw)."""
+        from apollo_ray.functions.sampling import lang_budget_sample
+        return lang_budget_sample(_docs(sf_dir), budget=40)
 
     def q_soft_dedup_weights(sf_dir):
         from apollo_ray.functions.sampling import soft_dedup_weights
@@ -1302,6 +1313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_clean": q_c4_clean,
         "line_dedup": q_line_dedup,
         "paragraph_dedup": q_paragraph_dedup,
+        "lang_budget_sample": q_lang_budget_sample,
         "strip_boilerplate": q_strip_boilerplate,
         "soft_dedup_weights": q_soft_dedup_weights,
         "bpe_token_counts": q_bpe_token_counts,
@@ -1727,6 +1739,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "line_dedup": _line_dedup_sql_entry(),
         "paragraph_dedup": _paragraph_dedup_sql_entry(),
+        "lang_budget_sample": _lang_budget_sample_sql_entry(),
         "strip_boilerplate": _strip_boilerplate_sql_entry(),
         "soft_dedup_weights": _soft_dedup_sql_entry(),
         "repetition_stats": r"""

@@ -457,3 +457,85 @@ def token_budget_sample_sql(budget_tokens: int,
                  <= {budget_tokens} AS keep
         FROM t
     """
+
+
+def lang_budget_sample(docs: "ray.data.Dataset", budget: int,
+                       group_col: str = "lang", key: str = "doc_id",
+                       ) -> "ray.data.Dataset":
+    """(key, group) — UniMax-style hard per-group document budget
+    (Chung et al. 2023: cap each language's contribution instead of
+    temperature-mixing): per group, keep exactly the ``budget``
+    documents with the smallest md5 row hash — a deterministic,
+    order-free, machine-independent uniform draw, bit-reproducible in
+    SQL (``row_number() OVER (PARTITION BY g ORDER BY
+    md5_number_lower(key), key) <= budget``).  Ties (md5 collisions)
+    break by key ascending on both sides.
+
+    Scale shape: per-batch partial top-k per group — at most
+    ``budget`` rows per (group, block) of 16-byte (hash, key)
+    metadata reach the single group-keyed exchange; the final exact
+    selection sorts ≤ budget × blocks rows per group.  Group
+    cardinality is small by construction (languages / sources), so
+    the exchange is tiny regardless of corpus size; document payloads
+    never move.
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    from apollo_ray.kernels.text import _md5_u64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                group_col: pa.array([], type=pa.string()),
+                key: pa.array([], type=pa.int64()),
+                "h": pa.array([], type=pa.uint64())})
+        groups = np.asarray(batch.column(group_col).to_pylist())
+        keys = batch.column(key).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        h = np.fromiter((_md5_u64(str(v)) for v in keys.tolist()),
+                        dtype=np.uint64, count=len(keys))
+        order = np.lexsort((keys, h, groups))
+        g_s, k_s, h_s = groups[order], keys[order], h[order]
+        starts = np.zeros(len(g_s), dtype=bool)
+        if len(g_s):
+            starts[0] = True
+            starts[1:] = g_s[1:] != g_s[:-1]
+        start_idx = np.maximum.accumulate(
+            np.where(starts, np.arange(len(g_s)), 0))
+        rank = np.arange(len(g_s)) - start_idx
+        m = rank < budget
+        return pa.table({group_col: pa.array(g_s[m], type=pa.string()),
+                         key: pa.array(k_s[m], type=pa.int64()),
+                         "h": pa.array(h_s[m], type=pa.uint64())})
+
+    def final(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({key: pa.array([], type=pa.int64()),
+                             group_col: pa.array([], type=pa.string())})
+        h = np.asarray(group.column("h"), dtype=np.uint64)
+        k = np.asarray(group.column(key), dtype=np.int64)
+        order = np.lexsort((k, h))[:budget]
+        return pa.table({key: pa.array(k[order], type=pa.int64()),
+                         group_col: pa.array(
+                             np.asarray(group.column(group_col)
+                                        .to_pylist())[order],
+                             type=pa.string())})
+
+    return docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby(group_col).map_groups(final, batch_format="pyarrow")
+
+
+def lang_budget_sample_sql(budget: int, group_col: str = "lang",
+                           key: str = "doc_id",
+                           table: str = "documents") -> str:
+    """DuckDB oracle for :func:`lang_budget_sample`."""
+    return f"""
+        SELECT {key}, {group_col} FROM (
+          SELECT {key}, {group_col},
+                 row_number() OVER (
+                   PARTITION BY {group_col}
+                   ORDER BY md5_number_lower(CAST({key} AS VARCHAR)),
+                            {key}) AS rn
+          FROM {table})
+        WHERE rn <= {budget}
+    """

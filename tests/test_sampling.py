@@ -114,3 +114,46 @@ def test_leakage_safe_splits(ray_session):
                        + " ORDER BY doc_id").df()
     assert (got["rep_id"].values == want["rep_id"].values).all()
     assert (got["split"].values == want["split"].values).all()
+
+
+# ---------------------------------------------------------------------------
+# lang_budget_sample
+# ---------------------------------------------------------------------------
+
+def test_lang_budget_sample_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from apollo_ray.functions.sampling import (lang_budget_sample,
+                                               lang_budget_sample_sql)
+    docs = pa.table({
+        "doc_id": pa.array(range(100), type=pa.int64()),
+        "lang": pa.array([["en", "de", "fr"][i % 3] for i in range(100)]),
+        "text": pa.array(["t%d" % i for i in range(100)]),
+    })
+    # multiple blocks: the partial top-k per (group, block) must
+    # compose to the same global selection
+    eng = (lang_budget_sample(ray.data.from_arrow(docs).repartition(4),
+                              budget=7)
+           .to_pandas().sort_values(["lang", "doc_id"])
+           .reset_index(drop=True))
+    con = duckdb.connect(); con.register("documents", docs)
+    ora = (con.sql(lang_budget_sample_sql(7)).df()
+           .sort_values(["lang", "doc_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+    assert eng.groupby("lang").size().tolist() == [7, 7, 7]
+
+
+def test_lang_budget_sample_budget_exceeds_group(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from apollo_ray.functions.sampling import lang_budget_sample
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "lang": pa.array(["en", "en", "de"]),
+    })
+    out = lang_budget_sample(ray.data.from_arrow(docs), budget=10) \
+        .to_pandas()
+    # a group smaller than the budget survives whole
+    assert sorted(out.doc_id.tolist()) == [1, 2, 3]
