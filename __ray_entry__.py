@@ -203,6 +203,9 @@ def _linked_text_sql() -> str:
         " ELSE '' END")
 
 
+_HTML_SPLICE = (" <div class=x><p>Hello</p><script src=s.js></script>"
+                "<a href=u>y</a></div>")
+
 _CODE_SPLICE = ("\ndef f(x):\n    return x + 1;\nvar y = {a: 1};\n"
                 "#include <stdio.h>\n")
 _CODE_SPLICE_SQL = ("chr(10) || 'def f(x):' || chr(10) || "
@@ -219,6 +222,13 @@ def _embedding_stats_sql_entry() -> str:
 def _kmeans_assign_sql_entry() -> str:
     from apollo_ray.functions.ann import kmeans_assign_sql
     return kmeans_assign_sql(8)
+
+
+def _html_tag_stats_sql_entry() -> str:
+    from apollo_ray.functions.textstats import html_tag_stats_sql
+    return html_tag_stats_sql(text_expr=(
+        "text || CASE WHEN doc_id %% 4 = 0 THEN '%s' ELSE '' END"
+        % _HTML_SPLICE))
 
 
 def _lang_budget_sample_sql_entry() -> str:
@@ -844,6 +854,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _docs(sf_dir).map_batches(splice, batch_format="pyarrow")
 
+    def q_html_tag_stats(sf_dir):
+        """Markup-density report.  Every 4th doc gets _HTML_SPLICE
+        appended on BOTH sides (8 tags incl. a script and an anchor)."""
+        import pyarrow as pa
+        import pyarrow.compute as _pc
+        from apollo_ray.functions.textstats import html_tag_stats
+
+        def mess(batch):
+            t = batch.column("text")
+            if isinstance(t, pa.ChunkedArray):
+                t = t.combine_chunks()
+            ids = batch.column("doc_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            joined = _pc.binary_join_element_wise(
+                t, pa.array([_HTML_SPLICE] * len(t)), "")
+            spliced = _pc.if_else(pa.array(ids % 4 == 0), joined, t)
+            return batch.set_column(
+                batch.schema.get_field_index("text"), "text", spliced)
+
+        return html_tag_stats(
+            _docs(sf_dir).map_batches(mess, batch_format="pyarrow"))
+
     def q_code_detect(sf_dir):
         """Code-likeness flags.  The fixture text is prose-ish, so
         every 5th doc gets _CODE_SPLICE appended on BOTH sides (a
@@ -1314,6 +1346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": q_line_dedup,
         "paragraph_dedup": q_paragraph_dedup,
         "lang_budget_sample": q_lang_budget_sample,
+        "html_tag_stats": q_html_tag_stats,
         "strip_boilerplate": q_strip_boilerplate,
         "soft_dedup_weights": q_soft_dedup_weights,
         "bpe_token_counts": q_bpe_token_counts,
@@ -1740,6 +1773,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _line_dedup_sql_entry(),
         "paragraph_dedup": _paragraph_dedup_sql_entry(),
         "lang_budget_sample": _lang_budget_sample_sql_entry(),
+        "html_tag_stats": _html_tag_stats_sql_entry(),
         "strip_boilerplate": _strip_boilerplate_sql_entry(),
         "soft_dedup_weights": _soft_dedup_sql_entry(),
         "repetition_stats": r"""

@@ -1287,3 +1287,91 @@ def readability_sql(table: str = "documents") -> str:
                     AS BIGINT) ELSE NULL END AS flesch_milli
         FROM b
     """
+
+
+# ---------------------------------------------------------------------------
+# html_tag_stats — markup-density report for half-rendered crawl text
+# ---------------------------------------------------------------------------
+
+_TAG_PATTERN = r"<[A-Za-z/][^>]*>"
+_SCRIPT_PATTERN = r"<script[\s>]"
+_ANCHOR_PATTERN = r"<a[\s>]"
+_TAG_STRIP_PATTERN = r"<[^>]*>"
+
+
+def html_tag_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, n_chars, n_tags, n_scripts, n_anchors, text_chars,
+    text_ratio_ppm) — markup density of a crawl corpus: how much of
+    each document is HTML tags vs rendered text.  Curation drops or
+    re-extracts docs whose text_ratio is low (extraction failed and
+    the "text" is still markup).  text_chars is the length after
+    stripping every ``<...>`` span; text_ratio_ppm =
+    floor(1e6 * text_chars / n_chars + 0.5), NULL for empty docs.
+
+    Scale shape: pure map, no shuffle — four Arrow RE2 kernels and
+    one regex strip per batch; zero per-row Python.  Parity: the
+    identical RE2 pattern strings go to DuckDB (both RE2), counts and
+    the ppm ratio are integer round-half-up on both sides.
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+
+        def i64(arr) -> pa.Array:
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            return arr.cast(pa.int64())
+
+        n_chars = i64(pc.utf8_length(text))
+        stripped = pc.replace_substring_regex(text, _TAG_STRIP_PATTERN, "")
+        text_chars = i64(pc.utf8_length(stripped))
+        nc = n_chars.to_numpy(zero_copy_only=False)
+        tc = text_chars.to_numpy(zero_copy_only=False)
+        ratio = np.floor(1e6 * tc.astype(np.float64)
+                         / np.where(nc == 0, 1, nc) + 0.5).astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "n_chars": n_chars,
+            "n_tags": i64(pc.count_substring_regex(text, _TAG_PATTERN)),
+            "n_scripts": i64(pc.count_substring_regex(
+                text, _SCRIPT_PATTERN)),
+            "n_anchors": i64(pc.count_substring_regex(
+                text, _ANCHOR_PATTERN)),
+            "text_chars": text_chars,
+            "text_ratio_ppm": pa.array(
+                np.where(nc == 0, None, ratio), type=pa.int64()),
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def html_tag_stats_sql(table: str = "documents",
+                       text_expr: str = "text") -> str:
+    """DuckDB oracle for :func:`html_tag_stats` (identical RE2
+    patterns; regexp_replace with the 'g' flag mirrors Arrow's
+    replace-all; same float64 ppm expression)."""
+    t = f"({text_expr})"
+    return f"""
+        WITH c AS (
+          SELECT doc_id,
+                 CAST(length({t}) AS BIGINT) AS n_chars,
+                 CAST(len(regexp_extract_all({t}, '{_TAG_PATTERN}'))
+                      AS BIGINT) AS n_tags,
+                 CAST(len(regexp_extract_all({t}, '{_SCRIPT_PATTERN}'))
+                      AS BIGINT) AS n_scripts,
+                 CAST(len(regexp_extract_all({t}, '{_ANCHOR_PATTERN}'))
+                      AS BIGINT) AS n_anchors,
+                 CAST(length(regexp_replace({t}, '{_TAG_STRIP_PATTERN}',
+                                            '', 'g')) AS BIGINT)
+                   AS text_chars
+          FROM {table})
+        SELECT doc_id, n_chars, n_tags, n_scripts, n_anchors, text_chars,
+               CASE WHEN n_chars = 0 THEN NULL
+                    ELSE CAST(floor(1e6 * CAST(text_chars AS DOUBLE)
+                                    / CAST(n_chars AS DOUBLE) + 0.5)
+                              AS BIGINT)
+               END AS text_ratio_ppm
+        FROM c
+    """

@@ -177,3 +177,38 @@ def test_dup_size_hist(ray_session):
     df = dup_size_hist(rd.from_arrow(t)).to_pandas() \
         .set_index("n_members")["n_groups"]
     assert df.to_dict() == {1: 1, 2: 1, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# html_tag_stats
+# ---------------------------------------------------------------------------
+
+def test_html_tag_stats_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from apollo_ray.functions.textstats import (html_tag_stats,
+                                                html_tag_stats_sql)
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": [
+            "<div class=x><p>Hello</p><script src=s.js></script>"
+            "<a href=u>y</a></div>",
+            "plain prose, no markup at all",
+            "",
+            "broken <tag and a lone < sign plus 3 < 4 math",
+        ]})
+    eng = (html_tag_stats(ray.data.from_arrow(docs)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect(); con.register("documents", docs)
+    ora = (con.sql(html_tag_stats_sql()).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+    r1 = eng[eng.doc_id == 1].iloc[0]
+    assert (r1.n_tags, r1.n_scripts, r1.n_anchors) == (8, 1, 1)
+    assert r1.text_chars == len("Helloy")
+    # empty doc: NULL ratio
+    assert pd.isna(eng[eng.doc_id == 3].text_ratio_ppm.iloc[0])
+    # prose doc: ratio exactly 1e6
+    assert eng[eng.doc_id == 2].text_ratio_ppm.iloc[0] == 1_000_000
