@@ -224,6 +224,11 @@ def _kmeans_assign_sql_entry() -> str:
     return kmeans_assign_sql(8)
 
 
+def _quantile_filter_sql_entry() -> str:
+    from apollo_ray.functions.textstats import quantile_filter_sql
+    return quantile_filter_sql("p25")
+
+
 def _html_tag_stats_sql_entry() -> str:
     from apollo_ray.functions.textstats import html_tag_stats_sql
     return html_tag_stats_sql(text_expr=(
@@ -854,6 +859,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _docs(sf_dir).map_batches(splice, batch_format="pyarrow")
 
+    def q_quantile_filter(sf_dir):
+        """Adaptive per-language length cut at the language's own
+        p25 token-count quantile."""
+        from apollo_ray.functions.textstats import quantile_filter
+        return quantile_filter(_docs(sf_dir), pct="p25")
+
     def q_html_tag_stats(sf_dir):
         """Markup-density report.  Every 4th doc gets _HTML_SPLICE
         appended on BOTH sides (8 tags incl. a script and an anchor)."""
@@ -1347,6 +1358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": q_paragraph_dedup,
         "lang_budget_sample": q_lang_budget_sample,
         "html_tag_stats": q_html_tag_stats,
+        "quantile_filter": q_quantile_filter,
         "strip_boilerplate": q_strip_boilerplate,
         "soft_dedup_weights": q_soft_dedup_weights,
         "bpe_token_counts": q_bpe_token_counts,
@@ -1774,6 +1786,7 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": _paragraph_dedup_sql_entry(),
         "lang_budget_sample": _lang_budget_sample_sql_entry(),
         "html_tag_stats": _html_tag_stats_sql_entry(),
+        "quantile_filter": _quantile_filter_sql_entry(),
         "strip_boilerplate": _strip_boilerplate_sql_entry(),
         "soft_dedup_weights": _soft_dedup_sql_entry(),
         "repetition_stats": r"""

@@ -1375,3 +1375,74 @@ def html_tag_stats_sql(table: str = "documents",
                END AS text_ratio_ppm
         FROM c
     """
+
+
+def quantile_filter(docs: "ray.data.Dataset", pct: str = "p25",
+                    group_col: str = "lang", num_partitions: int = 16
+                    ) -> "ray.data.Dataset":
+    """(doc_id, group, n_tokens) — adaptive per-group length cut: keep
+    documents whose whitespace token count is >= their OWN group's
+    ``pct`` quantile (p25/p50/p75).  The dynamic-threshold variant of
+    a fixed min-length filter: each language/source sets its own bar,
+    so a uniformly short language is not wiped out by a global
+    constant.
+
+    Scale shape: :func:`length_quantiles` provides the thresholds (one
+    batch-distinct histogram shuffle); the (group, threshold) table —
+    group cardinality small by construction — is pulled once and
+    broadcast in the closure; the cut itself is a pure map pass.  The
+    document payload never moves: output is metadata only.
+    """
+    if pct not in ("p25", "p50", "p75"):
+        raise ValueError("pct must be p25|p50|p75")
+    thr = {r[group_col]: int(r[pct])
+           for r in length_quantiles(docs, group_col=group_col,
+                                     num_partitions=num_partitions)
+           .take_all()}
+
+    def f(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             group_col: pa.array([], type=pa.string()),
+                             "n_tokens": pa.array([], type=pa.int64())})
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_tok = pc.list_value_length(_split_tokens(text)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        grp = batch.column(group_col).to_pylist()
+        cut = np.fromiter((thr.get(g, 0) for g in grp), dtype=np.int64,
+                          count=len(grp))
+        m = n_tok >= cut
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()).filter(
+                pa.array(m)),
+            group_col: pa.array(
+                [g for g, keep in zip(grp, m.tolist()) if keep],
+                type=pa.string()),
+            "n_tokens": pa.array(n_tok[m], type=pa.int64())})
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def quantile_filter_sql(pct: str = "p25", group_col: str = "lang",
+                        table: str = "documents") -> str:
+    """DuckDB oracle for :func:`quantile_filter` (quantile_disc
+    matches length_quantiles' integer rank rule, proven by that
+    query's own oracle)."""
+    q = {"p25": "0.25", "p50": "0.5", "p75": "0.75"}[pct]
+    return f"""
+        WITH t AS (
+          SELECT doc_id, {group_col},
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                 END AS n_tokens
+          FROM {table}),
+        q AS (SELECT {group_col},
+                     CAST(quantile_disc(n_tokens, {q}) AS BIGINT) AS thr
+              FROM t GROUP BY {group_col})
+        SELECT t.doc_id, t.{group_col},
+               CAST(t.n_tokens AS BIGINT) AS n_tokens
+        FROM t JOIN q USING ({group_col})
+        WHERE t.n_tokens >= q.thr
+    """

@@ -212,3 +212,28 @@ def test_html_tag_stats_matches_duckdb(ray_session):
     assert pd.isna(eng[eng.doc_id == 3].text_ratio_ppm.iloc[0])
     # prose doc: ratio exactly 1e6
     assert eng[eng.doc_id == 2].text_ratio_ppm.iloc[0] == 1_000_000
+
+
+def test_quantile_filter_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from apollo_ray.functions.textstats import (quantile_filter,
+                                                quantile_filter_sql)
+    docs = pa.table({
+        "doc_id": pa.array(range(12), type=pa.int64()),
+        "lang": pa.array(["en"] * 6 + ["de"] * 6),
+        "text": ["w " * (i + 1) for i in range(6)]
+                + ["x " * (10 * (i + 1)) for i in range(6)],
+    })
+    eng = (quantile_filter(ray.data.from_arrow(docs).repartition(3),
+                           pct="p50")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect(); con.register("documents", docs)
+    ora = (con.sql(quantile_filter_sql("p50")).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+    # each language keeps only rows at/above its OWN median: the short
+    # 'en' docs survive against the en bar, not the global one
+    assert (eng.lang == "en").sum() > 0 and (eng.lang == "de").sum() > 0
