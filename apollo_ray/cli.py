@@ -118,6 +118,7 @@ def cmd_curate(args) -> int:
         cut_substrings_min_len=args.cut_substrings_min_len,
         cut_winnow_w=args.winnow_w,
         redact_pii=args.redact_pii,
+        drop_code=args.drop_code,
         keep_rule=args.keep_rule)
     pages = read_pages(args.input)
     out = curate_corpus(pages, cfg, ccfg)
@@ -380,6 +381,9 @@ def main(argv=None) -> int:
     sp.add_argument("--redact-pii", action="store_true",
                     help="scrub PII placeholders into the curated "
                          "output (after dedup)")
+    sp.add_argument("--drop-code", action="store_true",
+                    help="drop code-flagged docs (lexical code "
+                         "detector) during the quality filter")
     sp.add_argument("--keep-rule", default="min_id",
                     choices=("min_id", "longest"),
                     help="representative election per near-dup cluster")

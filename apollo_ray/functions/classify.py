@@ -298,6 +298,28 @@ _CODE_KW_PATTERN = (r"\b(?:def|return|import|function|var|const|void|"
 _CODE_INDENT_PATTERN = r"(?m)^(?:\t|    )"
 
 
+def code_flags(text: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(code_score, is_code) numpy vectors for a text array — the
+    decision kernel :func:`code_detect` and the curate pipeline's
+    ``drop_code`` filter share."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+
+    def n(arr) -> np.ndarray:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        return arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+    n_chars = n(pc.utf8_length(text))
+    score = (2 * (n(pc.count_substring(text, "{"))
+                  + n(pc.count_substring(text, "}")))
+             + 2 * n(pc.count_substring(text, ";"))
+             + n(pc.count_substring_regex(text, _CODE_INDENT_PATTERN))
+             + 3 * n(pc.count_substring_regex(text, _CODE_KW_PATTERN)))
+    is_code = (score >= 3) & (score * 100 >= n_chars)
+    return score, is_code
+
+
 def code_detect(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """(doc_id, n_chars, n_braces, n_semicolons, n_indented,
     n_keywords, code_score, is_code) — the cheap lexical code

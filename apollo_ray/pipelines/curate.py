@@ -78,6 +78,9 @@ class CurateConfig:
     # publish-time PII scrubbing of the curated output (AFTER dedup,
     # so redaction never perturbs the duplicate clustering).
     redact_pii: bool = False
+    # drop code-flagged documents (classify.code_flags integer rule) —
+    # the prose-corpus routing decision; code goes to its own pile.
+    drop_code: bool = False
     # representative election per near-dup cluster: "min_id" (the
     # reference's deterministic choice) or "longest" (keep the doc
     # with the most characters — the usual production keep rule, so a
@@ -125,6 +128,9 @@ def clean_filter_docs(docs: "ray.data.Dataset", ccfg: CurateConfig
         if ccfg.langs is not None:
             lang = np.asarray(batch.column("lang").to_pylist(), dtype=object)
             keep &= np.isin(lang, np.asarray(ccfg.langs, dtype=object))
+        if ccfg.drop_code:
+            from apollo_ray.functions.classify import code_flags
+            keep &= ~code_flags(text)[1]
         out = batch.set_column(batch.column_names.index("text"),
                                "text", text)
         out = out.set_column(batch.column_names.index("text_hash"),

@@ -246,3 +246,26 @@ def test_curate_strip_boilerplate_host_scope(ray_session):
     assert "host" not in cur.columns and "n_boiler_lines" not in cur.columns
     for u, r in cur.iterrows():
         assert r["text_hash"] == hash_utf8(r["text"])
+
+
+def test_curate_drop_code(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from apollo_ray.pipelines.curate import CurateConfig, clean_filter_docs
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": [
+            "def f(x):\n    return x + 1;\nvar y = {a: 1};",
+            "plain varied prose with distinct words in every clause "
+            "so neither repetition cap trips on this document",
+        ],
+        "text_hash": pa.array([11, 22], type=pa.int64()),
+        "lang": pa.array(["en", "en"]),
+    })
+    ccfg = CurateConfig(clean_lines=False, min_tokens=1, drop_code=True)
+    out = clean_filter_docs(ray.data.from_arrow(docs), ccfg).to_pandas()
+    assert out.doc_id.tolist() == [2]
+    # without the flag the code doc survives the same thresholds
+    ccfg2 = CurateConfig(clean_lines=False, min_tokens=1)
+    out2 = clean_filter_docs(ray.data.from_arrow(docs), ccfg2).to_pandas()
+    assert sorted(out2.doc_id.tolist()) == [1, 2]
