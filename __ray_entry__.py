@@ -224,6 +224,11 @@ def _kmeans_assign_sql_entry() -> str:
     return kmeans_assign_sql(8)
 
 
+def _term_blocklist_sql_entry() -> str:
+    from apollo_ray.functions.classify import term_blocklist_filter_sql
+    return term_blocklist_filter_sql(["slow", "spark", "leak"])
+
+
 def _quantile_filter_sql_entry() -> str:
     from apollo_ray.functions.textstats import quantile_filter_sql
     return quantile_filter_sql("p25")
@@ -859,6 +864,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _docs(sf_dir).map_batches(splice, batch_format="pyarrow")
 
+    def q_term_blocklist(sf_dir):
+        """C4-style wordlist gate over the fixture vocabulary: two
+        terms that occur ('slow', 'spark') plus one that never does
+        ('leak') — whole-word, case-insensitive on both sides."""
+        from apollo_ray.functions.classify import term_blocklist_filter
+        return term_blocklist_filter(_docs(sf_dir),
+                                     ["slow", "spark", "leak"])
+
     def q_quantile_filter(sf_dir):
         """Adaptive per-language length cut at the language's own
         p25 token-count quantile."""
@@ -1359,6 +1372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_budget_sample": q_lang_budget_sample,
         "html_tag_stats": q_html_tag_stats,
         "quantile_filter": q_quantile_filter,
+        "term_blocklist": q_term_blocklist,
         "strip_boilerplate": q_strip_boilerplate,
         "soft_dedup_weights": q_soft_dedup_weights,
         "bpe_token_counts": q_bpe_token_counts,
@@ -1787,6 +1801,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_budget_sample": _lang_budget_sample_sql_entry(),
         "html_tag_stats": _html_tag_stats_sql_entry(),
         "quantile_filter": _quantile_filter_sql_entry(),
+        "term_blocklist": _term_blocklist_sql_entry(),
         "strip_boilerplate": _strip_boilerplate_sql_entry(),
         "soft_dedup_weights": _soft_dedup_sql_entry(),
         "repetition_stats": r"""

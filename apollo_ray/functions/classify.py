@@ -34,7 +34,9 @@ import ray.data
 from apollo_ray.functions.textstats import _split_tokens
 from apollo_ray.hashing import hash_utf8, mix_to_partition
 
-__all__ = ["nb_classify", "nb_classify_sql"]
+__all__ = ["nb_classify", "nb_classify_sql", "code_detect",
+           "code_detect_sql", "code_flags", "term_blocklist_filter",
+           "term_blocklist_filter_sql"]
 
 
 def _label_token_counts(docs: "ray.data.Dataset", label_col: str,
@@ -415,4 +417,65 @@ def code_detect_sql(table: str = "documents",
                 AND (2*n_braces + 2*n_semicolons + n_indented
                      + 3*n_keywords) * 100 >= n_chars) AS is_code
         FROM c
+    """
+
+
+# ---------------------------------------------------------------------------
+# term-blocklist filtering — the C4-style wordlist safety gate
+# ---------------------------------------------------------------------------
+
+def term_blocklist_filter(docs: "ray.data.Dataset", terms: list[str]
+                          ) -> "ray.data.Dataset":
+    """(doc_id, n_blocked_hits, blocked) — flag documents containing
+    any blocklisted term as a whole word, case-insensitive (the C4
+    §2.2 wordlist gate: docs with any hit are dropped from the clean
+    corpus; the list itself is corpus policy and supplied by the
+    caller).  ``blocked = n_blocked_hits > 0``.
+
+    Matching is one RE2 alternation ``\\b(?:t1|t2|...)\\b`` over the
+    lowercased text — whole-word so innocuous superstrings never
+    match.  Terms are regex-escaped; the lowercase fold is exact
+    parity with SQL ``lower()`` (both simple codepoint folds).
+
+    Scale shape: pure map, no shuffle; one vectorized RE2 count per
+    batch.  A list too large for one alternation would shard into a
+    handful of patterns and sum — RE2 compiles thousand-term
+    alternations fine, so the single-pattern path covers real lists.
+    """
+    import re as _re
+    norm = sorted({t.lower() for t in terms if t.strip()})
+    if not norm:
+        raise ValueError("terms must contain at least one term")
+    pat = r"\b(?:%s)\b" % "|".join(_re.escape(t) for t in norm)
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        hits = pc.count_substring_regex(
+            pc.utf8_lower(text), pat).cast(pa.int64())
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "n_blocked_hits": hits,
+            "blocked": pc.greater(hits, pa.scalar(0, type=pa.int64())),
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def term_blocklist_filter_sql(terms: list[str], table: str = "documents",
+                              text_expr: str = "text") -> str:
+    """DuckDB oracle for :func:`term_blocklist_filter` (identical RE2
+    alternation over ``lower()``)."""
+    import re as _re
+    norm = sorted({t.lower() for t in terms if t.strip()})
+    pat = r"\b(?:%s)\b" % "|".join(_re.escape(t) for t in norm)
+    pat_sql = pat.replace("'", "''")
+    return f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(({text_expr})),
+                    '{pat_sql}')) AS BIGINT) AS n_blocked_hits,
+               len(regexp_extract_all(lower(({text_expr})),
+                    '{pat_sql}')) > 0 AS blocked
+        FROM {table}
     """

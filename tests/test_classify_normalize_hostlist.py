@@ -186,3 +186,29 @@ def test_code_detect_matches_duckdb(ray_session):
     assert eng.is_code.tolist() == [True, False, False, True, False]
     # \b guard: no keyword hits from lookalike words
     assert eng.loc[eng.doc_id == 5, "n_keywords"].item() == 0
+
+
+def test_term_blocklist_filter_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from apollo_ray.functions.classify import (term_blocklist_filter,
+                                               term_blocklist_filter_sql)
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": [
+            "the Bad word appears here",
+            "superstring badge badland must NOT match blocklist entries",
+            "BAD bad bAd three hits",
+            "",
+        ]})
+    terms = ["bad", "awful"]
+    eng = (term_blocklist_filter(ray.data.from_arrow(docs), terms)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect(); con.register("documents", docs)
+    ora = (con.sql(term_blocklist_filter_sql(terms)).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+    assert eng.n_blocked_hits.tolist() == [1, 0, 3, 0]
+    assert eng.blocked.tolist() == [True, False, True, False]
