@@ -224,6 +224,11 @@ def _kmeans_assign_sql_entry() -> str:
     return kmeans_assign_sql(8)
 
 
+def _feature_hash_embed_sql_entry() -> str:
+    from apollo_ray.functions.ann import feature_hash_embed_sql
+    return feature_hash_embed_sql(16)
+
+
 def _term_blocklist_sql_entry() -> str:
     from apollo_ray.functions.classify import term_blocklist_filter_sql
     return term_blocklist_filter_sql(["slow", "spark", "leak"])
@@ -1306,6 +1311,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from apollo_ray.functions.ann import embedding_quantize
         return embedding_quantize(_embeddings(sf_dir))
 
+    def q_feature_hash_embed(sf_dir):
+        """Hashing-trick 16-dim doc vectors over the documents table
+        (md5 bucket + sign hashes, signed occurrence sums)."""
+        from apollo_ray.functions.ann import feature_hash_embed
+        return feature_hash_embed(_docs(sf_dir), dim=16)
+
     def q_embedding_stats(sf_dir):
         from apollo_ray.functions.ann import embedding_stats
         return embedding_stats(_embeddings(sf_dir))
@@ -1394,6 +1405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_detect": q_code_detect,
         "embedding_stats": q_embedding_stats,
         "kmeans_assign_k8": q_kmeans_assign_k8,
+        "feature_hash_embed": q_feature_hash_embed,
         "dedup_tier_rollup": q_dedup_tier_rollup,
         "dedup_tier_rollup_sem": q_dedup_tier_rollup_sem,
         "leakage_safe_splits": q_leakage_splits,
@@ -1954,6 +1966,7 @@ def oracle_sql() -> dict[str, str]:
         "code_detect": _code_detect_sql_entry(),
         "embedding_stats": _embedding_stats_sql_entry(),
         "kmeans_assign_k8": _kmeans_assign_sql_entry(),
+        "feature_hash_embed": _feature_hash_embed_sql_entry(),
         "dedup_tier_rollup": _tiered_sql_entry(),
         "dedup_tier_rollup_sem": _tiered_sql_entry(semantic=True),
         "leakage_safe_splits": _leakage_sql_entry(),

@@ -793,3 +793,87 @@ def kmeans_assign_sql(k: int = 8, table: str = "embeddings") -> str:
                CAST(dist AS BIGINT) AS dist_mu2
         FROM b WHERE rn = 1
     """
+
+
+def feature_hash_embed(docs: "ray.data.Dataset", dim: int = 16
+                       ) -> "ray.data.Dataset":
+    """(doc_id, dim, v, n_terms) — hashing-trick document vectors
+    (Weinberger et al. 2009): every token occurrence lands in bucket
+    ``md5(token) % dim`` with sign ``+1/-1`` from a second hash
+    (``md5('#' || token) % 2``); ``v`` is the signed occurrence sum,
+    ``n_terms`` the occurrence count.  The no-model text→vector
+    bridge: deterministic, vocabulary-free, and — because everything
+    is integer arithmetic on the md5_number_lower bridge — value-exact
+    in SQL.  Output is flat and SPARSE (only touched buckets emit a
+    row; a bucket whose signs cancel still emits v=0, matching SQL's
+    GROUP BY semantics).
+
+    Scale shape: pure map, no shuffle; per-batch tokens are
+    dictionary-encoded so the md5 C-loop touches each batch-distinct
+    token once (the lang-fingerprint precedent), then two bincounts.
+    """
+    from apollo_ray.functions.textstats import _split_tokens
+    from apollo_ray.kernels.text import _md5_u64
+
+    def f(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "dim": pa.array([], type=pa.int64()),
+                          "v": pa.array([], type=pa.int64()),
+                          "n_terms": pa.array([], type=pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = _split_tokens(text)
+        n_tok = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten()
+        if len(flat) == 0:
+            return empty
+        enc = flat.dictionary_encode()
+        dwords = enc.dictionary.to_pylist()
+        bucket_d = np.fromiter((_md5_u64(w) % dim for w in dwords),
+                               dtype=np.int64, count=len(dwords))
+        sign_d = np.fromiter(
+            (1 if _md5_u64("#" + w) % 2 == 0 else -1 for w in dwords),
+            dtype=np.int64, count=len(dwords))
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        parent = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)
+        combo = parent * dim + bucket_d[codes]
+        minlength = len(n_tok) * dim
+        n_occ = np.bincount(combo, minlength=minlength)
+        vsum = np.bincount(combo, weights=sign_d[codes].astype(np.float64),
+                           minlength=minlength).astype(np.int64)
+        nz = np.flatnonzero(n_occ)
+        ids = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[nz // dim], type=pa.int64()),
+            "dim": pa.array(nz % dim, type=pa.int64()),
+            "v": pa.array(vsum[nz], type=pa.int64()),
+            "n_terms": pa.array(n_occ[nz], type=pa.int64())})
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def feature_hash_embed_sql(dim: int = 16, table: str = "documents"
+                           ) -> str:
+    """DuckDB oracle for :func:`feature_hash_embed`."""
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN length(trim(text)) = 0
+                        THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\\s+')
+                        END) AS t
+          FROM {table}),
+        h AS (SELECT doc_id,
+                     CAST(md5_number_lower(t) % {dim} AS BIGINT) AS dim,
+                     CASE WHEN md5_number_lower('#' || t) % 2 = 0
+                          THEN 1 ELSE -1 END AS s
+              FROM tok)
+        SELECT doc_id, dim, CAST(sum(s) AS BIGINT) AS v,
+               count(*) AS n_terms
+        FROM h GROUP BY doc_id, dim
+    """

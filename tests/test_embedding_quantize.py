@@ -117,3 +117,29 @@ def test_kmeans_assign_tie_breaks_to_lowest_seed(ray_session):
     eng = (kmeans_assign(ray.data.from_arrow(_embs(mat)), k=2)
            .to_pandas().sort_values("vec_id"))
     assert eng.cluster_id.tolist() == [0, 0, 0, 0]
+
+
+def test_feature_hash_embed_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data
+    from apollo_ray.functions.ann import (feature_hash_embed,
+                                          feature_hash_embed_sql)
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": ["alpha beta alpha gamma", "", "beta beta beta"],
+    })
+    eng = (feature_hash_embed(ray.data.from_arrow(docs), dim=8)
+           .to_pandas().sort_values(["doc_id", "dim"])
+           .reset_index(drop=True))
+    con = duckdb.connect(); con.register("documents", docs)
+    ora = (con.sql(feature_hash_embed_sql(8)).df()
+           .sort_values(["doc_id", "dim"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+    # occurrences (not distinct tokens) drive the sums: doc 3 puts
+    # all 3 'beta's in one bucket with one sign
+    d3 = eng[eng.doc_id == 3]
+    assert len(d3) == 1 and abs(int(d3.v.iloc[0])) == 3 \
+        and int(d3.n_terms.iloc[0]) == 3
+    # the empty doc emits nothing
+    assert (eng.doc_id == 2).sum() == 0
