@@ -229,6 +229,13 @@ def _feature_hash_embed_sql_entry() -> str:
     return feature_hash_embed_sql(16)
 
 
+def _snapshot_diff_sql_entry() -> str:
+    from apollo_ray.functions.snapshots import snapshot_diff_sql
+    return snapshot_diff_sql(old_where="doc_id % 2 = 0",
+                             new_where="doc_id % 2 = 1",
+                             key_expr="doc_id % 249")
+
+
 def _term_blocklist_sql_entry() -> str:
     from apollo_ray.functions.classify import term_blocklist_filter_sql
     return term_blocklist_filter_sql(["slow", "spark", "leak"])
@@ -1311,6 +1318,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from apollo_ray.functions.ann import embedding_quantize
         return embedding_quantize(_embeddings(sf_dir))
 
+    def q_snapshot_diff(sf_dir):
+        """Crawl-refresh diff: the fixture splits into an 'old'
+        (even doc_id) and 'new' (odd doc_id) snapshot keyed by
+        doc_id % 249 (odd modulus so both parities share keys);
+        latest-id-wins per side, text equality -> unchanged."""
+        import pyarrow as pa
+        import pyarrow.compute as _pc
+        from apollo_ray.functions.snapshots import snapshot_diff
+
+        def keyed(parity):
+            def f(batch):
+                ids = batch.column("doc_id").cast(pa.int64())
+                keep = _pc.equal(
+                    _pc.bit_wise_and(ids, pa.scalar(1, type=pa.int64())),
+                    pa.scalar(parity, type=pa.int64()))
+                b = batch.filter(keep)
+                k = _pc.subtract(
+                    b.column("doc_id").cast(pa.int64()),
+                    _pc.multiply(
+                        _pc.divide(b.column("doc_id").cast(pa.int64()),
+                                   pa.scalar(249, type=pa.int64())),
+                        pa.scalar(249, type=pa.int64())))
+                return b.append_column("page_key", k)
+            return f
+
+        docs = _docs(sf_dir)
+        old = docs.map_batches(keyed(0), batch_format="pyarrow")
+        new = docs.map_batches(keyed(1), batch_format="pyarrow")
+        return snapshot_diff(old, new, num_partitions=16)
+
     def q_feature_hash_embed(sf_dir):
         """Hashing-trick 16-dim doc vectors over the documents table
         (md5 bucket + sign hashes, signed occurrence sums)."""
@@ -1406,6 +1443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_stats": q_embedding_stats,
         "kmeans_assign_k8": q_kmeans_assign_k8,
         "feature_hash_embed": q_feature_hash_embed,
+        "snapshot_diff": q_snapshot_diff,
         "dedup_tier_rollup": q_dedup_tier_rollup,
         "dedup_tier_rollup_sem": q_dedup_tier_rollup_sem,
         "leakage_safe_splits": q_leakage_splits,
@@ -1967,6 +2005,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_stats": _embedding_stats_sql_entry(),
         "kmeans_assign_k8": _kmeans_assign_sql_entry(),
         "feature_hash_embed": _feature_hash_embed_sql_entry(),
+        "snapshot_diff": _snapshot_diff_sql_entry(),
         "dedup_tier_rollup": _tiered_sql_entry(),
         "dedup_tier_rollup_sem": _tiered_sql_entry(semantic=True),
         "leakage_safe_splits": _leakage_sql_entry(),

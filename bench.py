@@ -123,7 +123,8 @@ def bench_once() -> dict:
         "word_pmi_pairs", "extract_links", "link_host_counts",
         "code_detect", "embedding_stats", "kmeans_assign_k8",
         "paragraph_dedup", "lang_budget_sample", "html_tag_stats",
-        "quantile_filter", "term_blocklist", "feature_hash_embed")
+        "quantile_filter", "term_blocklist", "feature_hash_embed",
+        "snapshot_diff")
     for name in qnames:
         t0 = time.monotonic()
         res = qs[name](SF_DIR)
