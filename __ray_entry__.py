@@ -275,6 +275,11 @@ def _link_host_counts_sql_entry() -> str:
     return link_host_counts_sql(text_expr="(" + _linked_text_sql() + ")")
 
 
+def _anchor_texts_sql_entry() -> str:
+    from apollo_ray.functions.urls import anchor_texts_sql
+    return anchor_texts_sql(text_expr="(" + _linked_text_sql() + ")")
+
+
 def _bpe_train_sql_entry() -> str:
     from apollo_ray.functions.bpe import bpe_train_sql
     return bpe_train_sql(num_merges=6)
@@ -944,6 +949,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from apollo_ray.functions.urls import link_host_counts
         return link_host_counts(_linked_docs(sf_dir), num_partitions=8)
 
+    def q_anchor_texts(sf_dir):
+        from apollo_ray.functions.urls import anchor_texts
+        return anchor_texts(_linked_docs(sf_dir))
+
     def q_per_host_topk(sf_dir):
         """Domain quota: top-10 docs per host by text length (the
         per-host cap step of web-corpus curation)."""
@@ -1440,6 +1449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": q_extract_links,
         "link_host_counts": q_link_host_counts,
         "code_detect": q_code_detect,
+        "anchor_texts": q_anchor_texts,
         "embedding_stats": q_embedding_stats,
         "kmeans_assign_k8": q_kmeans_assign_k8,
         "feature_hash_embed": q_feature_hash_embed,
@@ -2002,6 +2012,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_links": _extract_links_sql_entry(),
         "link_host_counts": _link_host_counts_sql_entry(),
         "code_detect": _code_detect_sql_entry(),
+        "anchor_texts": _anchor_texts_sql_entry(),
         "embedding_stats": _embedding_stats_sql_entry(),
         "kmeans_assign_k8": _kmeans_assign_sql_entry(),
         "feature_hash_embed": _feature_hash_embed_sql_entry(),

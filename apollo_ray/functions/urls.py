@@ -573,3 +573,76 @@ h AS (SELECT regexp_replace(
       FROM u
       WHERE regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://'))
 SELECT host, count(*) AS n_links FROM h GROUP BY host"""
+
+
+_ANCHOR_FRAG_RE = r'^(?P<u>[^"]*)"[^>]*>(?P<t>[^<]*)<'
+
+
+def anchor_texts(pages: "ray.data.Dataset", text_col: str = "text",
+                 id_col: str = "doc_id") -> "ray.data.Dataset":
+    """(doc_id, pair_no, url, anchor) — every ``<a href="URL" ...>
+    ANCHOR<`` pair in document order: the anchor-text harvest that
+    feeds web-graph features and weak labels for quality classifiers
+    (anchor text describes the TARGET page).
+
+    Semantics match RE2 ``href="([^"]*)"[^>]*>([^<]*)<`` (leftmost,
+    non-overlapping) on extract_links' parity domain: every match
+    starts at the literal ``href="``, so splitting on that separator
+    and anchoring the remainder pattern per fragment enumerates
+    exactly the same matches.  Fragments where the attribute list is
+    unterminated or the element has no text node are dropped, as the
+    regex drops them.
+
+    Scale shape: pure flat map, no shuffle — one split plus one
+    vectorized ``extract_regex`` per batch; no per-row Python.
+    """
+    def f(batch: pa.Table) -> pa.Table:
+        t = batch.column(text_col)
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        parts = pc.split_pattern(t, _HREF_SEP)
+        flat = pc.list_flatten(parts)
+        parent = pc.list_parent_indices(parts).to_numpy(
+            zero_copy_only=False)
+        offsets = parts.offsets.to_numpy(zero_copy_only=False)
+        pos = np.arange(len(flat), dtype=np.int64) - offsets[parent]
+        ex = pc.extract_regex(flat, _ANCHOR_FRAG_RE)
+        valid = pc.and_(ex.is_valid(), pa.array(pos >= 1)).to_numpy(
+            zero_copy_only=False)
+        kept = ex.filter(pa.array(valid))
+        kparent = parent[valid]
+        if len(kparent):
+            starts = np.zeros(len(kparent), dtype=bool)
+            starts[0] = True
+            starts[1:] = kparent[1:] != kparent[:-1]
+            start_idx = np.maximum.accumulate(
+                np.where(starts, np.arange(len(kparent)), 0))
+            pair_no = np.arange(len(kparent)) - start_idx + 1
+        else:
+            pair_no = np.zeros(0, dtype=np.int64)
+        return pa.table({
+            id_col: pa.array(ids[kparent], type=pa.int64()),
+            "pair_no": pa.array(pair_no, type=pa.int64()),
+            "url": pc.struct_field(kept, "u"),
+            "anchor": pc.struct_field(kept, "t")})
+
+    return pages.map_batches(f, batch_format="pyarrow")
+
+
+def anchor_texts_sql(table: str = "documents",
+                     text_expr: str = "text") -> str:
+    """DuckDB oracle for :func:`anchor_texts` (same RE2 pattern,
+    groups 1 and 2 extracted in two passes and zipped by ordinal)."""
+    pat = r'href="([^"]*)"[^>]*>([^<]*)<'
+    return f"""
+WITH ls AS (SELECT doc_id,
+                   regexp_extract_all({text_expr}, '{pat}', 1) AS us,
+                   regexp_extract_all({text_expr}, '{pat}', 2) AS ts
+            FROM {table}),
+mx AS (SELECT coalesce(max(len(us)), 1) AS m FROM ls),
+i AS (SELECT unnest(generate_series(1, (SELECT m FROM mx))) AS pair_no)
+SELECT doc_id, pair_no, list_extract(us, pair_no) AS url,
+       list_extract(ts, pair_no) AS anchor
+FROM ls, i WHERE pair_no <= len(us)"""

@@ -210,3 +210,30 @@ def test_extract_links_empty_and_linkless(ray_session):
     out = extract_links(ray.data.from_arrow(docs))
     assert out.count() == 0
     assert out.schema().names == ["doc_id", "link_no", "url"]
+
+
+def test_anchor_texts_matches_duckdb(ray_session):
+    import pandas as pd
+    from apollo_ray.functions.urls import anchor_texts, anchor_texts_sql
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": [
+            'x <a href="https://a.example/p" class=big>First Link</a> '
+            'then <a href="/rel">second</a> done',
+            # no text node (href not followed by >...<): dropped
+            'busted <a href="https://b.example/q"',
+            # empty anchor text is still a match ([^<]* can be empty)
+            '<a href="u"></a>',
+        ]})
+    eng = (anchor_texts(ray.data.from_arrow(docs))
+           .to_pandas().sort_values(["doc_id", "pair_no"])
+           .reset_index(drop=True))
+    import duckdb
+    con = duckdb.connect(); con.register("documents", docs)
+    ora = (con.sql(anchor_texts_sql()).df()
+           .sort_values(["doc_id", "pair_no"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+    assert eng[eng.doc_id == 1].anchor.tolist() == ["First Link",
+                                                    "second"]
+    assert (eng.doc_id == 2).sum() == 0
+    assert eng[eng.doc_id == 3].anchor.tolist() == [""]
