@@ -302,6 +302,60 @@ def cmd_stats(args) -> int:
             .sort_values("lang").to_dict("records")
     hist = token_freq_hist(docs).to_pandas().sort_values("bucket")
     out["token_freq_log2_hist"] = hist.to_dict("records")
+    # corpus-wide encoding / markup / code rates: per-doc stat tables
+    # collapse to one counts row per BLOCK inside map_batches; only
+    # those scalar partials reach the driver fold (streams at any N).
+    # The per-doc ops key on doc_id; a pages-shaped input (url, text)
+    # gets one derived from the url hash.
+    if "doc_id" not in cols and "url" in cols:
+        from apollo_ray.hashing import hash_utf8 as _h
+
+        def add_id(batch):
+            import pyarrow as _pa
+            ids = [_h(u or "") for u in batch.column("url").to_pylist()]
+            return batch.append_column(
+                "doc_id", _pa.array(ids, type=_pa.int64()))
+
+        docs = docs.map_batches(add_id, batch_format="pyarrow")
+        cols.add("doc_id")
+    from apollo_ray.functions.classify import code_detect
+    from apollo_ray.functions.textstats import (encoding_quality,
+                                                html_tag_stats)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fold_counts(ds, exprs):
+        def part(batch: pa.Table) -> pa.Table:
+            return pa.table({k: pa.array([f(batch)], type=pa.int64())
+                             for k, f in exprs.items()})
+        tot = {k: 0 for k in exprs}
+        for b in ds.map_batches(part, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            for k in exprs:
+                tot[k] += int(pc.sum(b.column(k)).as_py() or 0)
+        return tot
+
+    def npos(col):
+        return lambda b: pc.sum(pc.cast(pc.greater(
+            b.column(col), 0), pa.int64())).as_py() or 0
+
+    out["encoding"] = fold_counts(encoding_quality(docs), {
+        "docs_with_replacement": npos("n_replacement"),
+        "docs_with_mojibake": npos("n_mojibake"),
+        "docs_with_ctrl": npos("n_ctrl")})
+    mk = fold_counts(html_tag_stats(docs), {
+        "docs_with_tags": npos("n_tags"),
+        "sum_text_chars": lambda b: pc.sum(b.column("text_chars"))
+        .as_py() or 0,
+        "sum_chars": lambda b: pc.sum(b.column("n_chars")).as_py() or 0})
+    out["markup"] = {
+        "docs_with_tags": mk["docs_with_tags"],
+        "mean_text_ratio_ppm": (mk["sum_text_chars"] * 1_000_000
+                                // mk["sum_chars"])
+        if mk["sum_chars"] else None}
+    out["code_docs"] = fold_counts(code_detect(docs), {
+        "n": lambda b: pc.sum(pc.cast(b.column("is_code"), pa.int64()))
+        .as_py() or 0})["n"]
     out["n_docs"] = docs.count()
     print(json.dumps(out, default=int))
     if owns:
