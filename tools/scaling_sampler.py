@@ -82,17 +82,20 @@ def weak_sample(pre: dict) -> bool:
     r = json.loads(out.stdout.strip().splitlines()[-1])
     post = probe()
     clean = is_clean(post, (8, 32), post=True)
-    # per-CPU work is EQUAL on both legs, so every map stage should
-    # take roughly equal wall time: a hi-leg map stage far above its
-    # lo twin means a mid-leg transient; far below means the lo leg
-    # ran degraded (ratio inflated).  Exchanges may amortize (hi a
-    # bit under lo x data-growth) but must not balloon.
+    # Sanity applies ONLY to the kernel-bound parallel stage (bands):
+    # per-CPU work is equal on both legs, so its hi/lo wall ratio must
+    # sit in [0.6, 1.6] (1.0 ideal; up to ~1.45 under the measured
+    # 32-way DRAM ceiling).  The docs/reps/cc/clusters stages contain
+    # DRIVER-SERIAL metadata work that grows with DATA (4x), so hi/lo
+    # ratios of 2-4 there are the expected Amdahl term, not a host
+    # anomaly — the first three weak samples were wrongly excluded by
+    # a docs_sec cap before this was understood (re-adjudicated in
+    # BENCH/WEAK_SCALING.json).
     sl, sh = r.get("stage_sec_lo", {}), r.get("stage_sec_hi", {})
-    for k in ("docs_sec", "bands_sec"):
-        if sl.get(k) and sh.get(k):
-            ratio = sh[k] / sl[k]
-            if ratio > 1.6 or ratio < 0.6:
-                clean = False
+    if sl.get("bands_sec") and sh.get("bands_sec"):
+        ratio = sh["bands_sec"] / sl["bands_sec"]
+        if ratio > 1.6 or ratio < 0.6:
+            clean = False
     if r["value"] > 1.1:        # super-unit weak efficiency: lo leg degraded
         clean = False
     sample = {
