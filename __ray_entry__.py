@@ -295,6 +295,32 @@ def _minhash_signatures_sql_entry() -> str:
     return minhash_signatures_sql()
 
 
+def _minhash_lsh_clusters_sql_entry() -> str:
+    from apollo_ray.functions.dedup_extras import minhash_lsh_clusters_sql
+    return minhash_lsh_clusters_sql()
+
+
+def _host_pagerank_sql_entry() -> str:
+    """SQL twin of q_host_pagerank's derived corpus (same 97-host
+    link arithmetic) spliced as a leading CTE into the generated
+    unrolled-iteration oracle."""
+    from apollo_ray.functions.urls import host_pagerank_sql
+    derived = (
+        "documents_pr AS (SELECT doc_id, "
+        "'http://h' || CAST(doc_id % 97 AS VARCHAR) || '.test/' || "
+        "CAST(doc_id AS VARCHAR) AS url, "
+        "text || ' <a href=\"http://h' || "
+        "CAST((doc_id * 31 + 7) % 97 AS VARCHAR) || '.test/x\">a</a>' || "
+        "CASE WHEN doc_id % 3 = 0 THEN ' <a href=\"HTTP://H' || "
+        "CAST((doc_id * 17 + 3) % 97 AS VARCHAR) || "
+        "'.Test:80/y\">b</a>' ELSE '' END || "
+        "CASE WHEN doc_id % 5 = 0 THEN ' <a href=\"/rel/z\">c</a>' "
+        "ELSE '' END AS text FROM documents), ")
+    sql = host_pagerank_sql(table="documents_pr")
+    assert sql.startswith("WITH ")
+    return "WITH " + derived + sql[len("WITH "):]
+
+
 def _kmv_sql_entry() -> str:
     from apollo_ray.functions.sketch import distinct_count_kmv_sql
     return distinct_count_kmv_sql(k=256)
@@ -562,6 +588,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_minhash_signatures(sf_dir):
         return dedup_extras.minhash_signatures(_docs(sf_dir))
+
+    def q_minhash_lsh_clusters(sf_dir):
+        """The full unweighted MinHash-LSH dedup chain (signatures ->
+        bands -> buckets -> star edges -> connected components),
+        value-exact against the unrolled label-propagation SQL — the
+        oracle-exact sibling of the flagship WMH pipeline's rows-only
+        ``minhash_dedup_clusters``."""
+        return dedup_extras.minhash_lsh_clusters(_docs(sf_dir))
 
     def q_lang_id(sf_dir):
         return textstats.lang_id(_docs(sf_dir))
@@ -952,6 +986,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_anchor_texts(sf_dir):
         from apollo_ray.functions.urls import anchor_texts
         return anchor_texts(_linked_docs(sf_dir))
+
+    def q_host_pagerank(sf_dir):
+        """Integer-exact PageRank over the host link graph derived
+        deterministically from doc_id on BOTH sides (97 hosts; every
+        doc links to host (31*i+7)%97, every 3rd also to
+        (17*i+3)%97 with messy case/port, every 5th adds a relative
+        link both sides drop; i%97==3 produces a self-loop both
+        sides drop)."""
+        import numpy as np
+        import pyarrow as pa
+        from apollo_ray.functions.urls import host_pagerank
+
+        def derive(batch):
+            ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+            txt = batch.column("text").to_pylist()
+            urls, out = [], []
+            for i, t in zip(ids.tolist(), txt):
+                urls.append("http://h%d.test/%d" % (i % 97, i))
+                t = t + ' <a href="http://h%d.test/x">a</a>' % (
+                    (i * 31 + 7) % 97)
+                if i % 3 == 0:
+                    t += ' <a href="HTTP://H%d.Test:80/y">b</a>' % (
+                        (i * 17 + 3) % 97)
+                if i % 5 == 0:
+                    t += ' <a href="/rel/z">c</a>'
+                out.append(t)
+            return pa.table({"doc_id": batch.column("doc_id"),
+                             "url": pa.array(urls, type=pa.string()),
+                             "text": pa.array(out, type=pa.string())})
+
+        return host_pagerank(
+            _docs(sf_dir).map_batches(derive, batch_format="pyarrow"),
+            num_partitions=8)
 
     def q_per_host_topk(sf_dir):
         """Domain quota: top-10 docs per host by text length (the
@@ -1419,6 +1486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soft_near_dedup_invariants": q_soft_near_dedup_invariants,
         "simhash_pairs": q_simhash_pairs,
         "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_clusters": q_minhash_lsh_clusters,
         "lang_id_fingerprint": q_lang_id,
         "ann_topk": q_ann_topk,
         "substring_dup_spans": q_substring_spans,
@@ -1450,6 +1518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_host_counts": q_link_host_counts,
         "code_detect": q_code_detect,
         "anchor_texts": q_anchor_texts,
+        "host_pagerank": q_host_pagerank,
         "embedding_stats": q_embedding_stats,
         "kmeans_assign_k8": q_kmeans_assign_k8,
         "feature_hash_embed": q_feature_hash_embed,
@@ -1801,6 +1870,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id_fingerprint": _lang_id_sql(),
         "minhash_signatures": _minhash_signatures_sql_entry(),
+        "minhash_lsh_clusters": _minhash_lsh_clusters_sql_entry(),
         "purchase_window": """
             WITH p AS (
               SELECT event_id, user_id, epoch_us(ts) AS ts_us
@@ -2013,6 +2083,7 @@ def oracle_sql() -> dict[str, str]:
         "link_host_counts": _link_host_counts_sql_entry(),
         "code_detect": _code_detect_sql_entry(),
         "anchor_texts": _anchor_texts_sql_entry(),
+        "host_pagerank": _host_pagerank_sql_entry(),
         "embedding_stats": _embedding_stats_sql_entry(),
         "kmeans_assign_k8": _kmeans_assign_sql_entry(),
         "feature_hash_embed": _feature_hash_embed_sql_entry(),

@@ -422,6 +422,47 @@ def ngram_jaccard_pairs(docs: "ray.data.Dataset", k: int = 3,
         .groupby("pkey").map_groups(count_and_filter, batch_format="pyarrow")
 
 
+def _batch_minhash_sigs(batch: pa.Table, k: int, params: dict
+                        ) -> tuple:
+    """Per-batch unweighted-MinHash workhorse shared by
+    :func:`minhash_signatures` (flat rows) and
+    :func:`minhash_lsh_clusters` (band rows): distinct k-shingle
+    strings -> md5 lower-32 values -> ``minhash_batch``.
+
+    Returns ``(ids, sigs)`` — ``ids`` int64 array of doc_ids with
+    >= k tokens, ``sigs`` the (len(ids), n_perm) uint64 signature
+    matrix — or ``(None, None)`` when no doc in the batch qualifies.
+    """
+    from apollo_ray.kernels.minhash import minhash_batch
+    from apollo_ray.kernels.text import _md5_u64
+    a, b = params["a"], params["b"]
+    memo: dict = {}
+    ids: list[int] = []
+    sets: list[np.ndarray] = []
+    for did, t in zip(batch.column("doc_id").to_pylist(),
+                      batch.column("text").to_pylist()):
+        toks = t.split()
+        if len(toks) < k:
+            continue
+        shingles = {" ".join(toks[i:i + k])
+                    for i in range(len(toks) - k + 1)}
+        vals = []
+        for s in shingles:
+            v = memo.get(s)
+            if v is None:
+                v = _md5_u64(s) & 0xFFFFFFFF
+                memo[s] = v
+            vals.append(v)
+        ids.append(did)
+        sets.append(np.unique(np.asarray(vals, dtype=np.uint64)))
+    if not ids:
+        return None, None
+    indptr = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in sets], out=indptr[1:])
+    sigs = minhash_batch(indptr, np.concatenate(sets), a, b)
+    return np.asarray(ids, dtype=np.int64), sigs
+
+
 def minhash_signatures(docs: "ray.data.Dataset", k: int = 3,
                        n_perm: int = 16, seed: int = 42
                        ) -> "ray.data.Dataset":
@@ -438,42 +479,18 @@ def minhash_signatures(docs: "ray.data.Dataset", k: int = 3,
     no shingles and emit no rows (mirrors the oracle).  Map-only
     stage: streams at any corpus size.
     """
-    from apollo_ray.kernels.minhash import generate_minhash_params, minhash_batch
-    from apollo_ray.kernels.text import _md5_u64
+    from apollo_ray.kernels.minhash import generate_minhash_params
     params = generate_minhash_params(n_perm, seed)
 
     def f(batch: pa.Table) -> pa.Table:
-        a, b = params["a"], params["b"]
-        memo: dict = {}
-        ids: list[int] = []
-        sets: list[np.ndarray] = []
-        for did, t in zip(batch.column("doc_id").to_pylist(),
-                          batch.column("text").to_pylist()):
-            toks = t.split()
-            if len(toks) < k:
-                continue
-            shingles = {" ".join(toks[i:i + k])
-                        for i in range(len(toks) - k + 1)}
-            vals = []
-            for s in shingles:
-                v = memo.get(s)
-                if v is None:
-                    v = _md5_u64(s) & 0xFFFFFFFF
-                    memo[s] = v
-                vals.append(v)
-            ids.append(did)
-            sets.append(np.unique(np.asarray(vals, dtype=np.uint64)))
-        if not ids:
+        ids, sigs = _batch_minhash_sigs(batch, k, params)
+        if ids is None:
             return pa.table({"doc_id": pa.array([], type=pa.int64()),
                              "j": pa.array([], type=pa.int64()),
                              "sig": pa.array([], type=pa.int64())})
-        indptr = np.zeros(len(ids) + 1, dtype=np.int64)
-        np.cumsum([len(s) for s in sets], out=indptr[1:])
-        sigs = minhash_batch(indptr, np.concatenate(sets), a, b)
         n = len(ids)
         return pa.table({
-            "doc_id": pa.array(np.repeat(np.asarray(ids, dtype=np.int64),
-                                         n_perm), type=pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, n_perm), type=pa.int64()),
             "j": pa.array(np.tile(np.arange(n_perm, dtype=np.int64), n),
                           type=pa.int64()),
             "sig": pa.array(sigs.astype(np.int64).ravel(), type=pa.int64()),
@@ -482,17 +499,18 @@ def minhash_signatures(docs: "ray.data.Dataset", k: int = 3,
     return docs.map_batches(f, batch_format="pyarrow")
 
 
-def minhash_signatures_sql(k: int = 3, n_perm: int = 16,
-                           seed: int = 42) -> str:
-    """DuckDB oracle for :func:`minhash_signatures`, generated from
-    the kernel's own seeded coefficients (single source of truth)."""
+def _minhash_sig_ctes(k: int, n_perm: int, seed: int) -> str:
+    """Shared WITH-body prefix ending in a ``sig(doc_id, j, sig)``
+    CTE — the SQL twin of :func:`_batch_minhash_sigs`, generated from
+    the kernel's own seeded coefficients (single source of truth).
+    Used by both :func:`minhash_signatures_sql` and
+    :func:`minhash_lsh_clusters_sql`."""
     from apollo_ray.kernels.minhash import P_MINHASH, generate_minhash_params
     params = generate_minhash_params(n_perm, seed)
     values = ", ".join("(%d, %d::UBIGINT, %d::UBIGINT)" % (j, a, b)
                        for j, (a, b) in enumerate(zip(params["a"],
                                                       params["b"])))
-    return r"""
-            WITH par(j, a, b) AS (VALUES %s),
+    return r"""par(j, a, b) AS (VALUES %s),
             tok AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
               FROM documents WHERE length(trim(text)) > 0),
@@ -502,12 +520,215 @@ def minhash_signatures_sql(k: int = 3, n_perm: int = 16,
                        %% 4294967296::UBIGINT AS u
               FROM tok,
                    LATERAL (SELECT unnest(range(1, greatest(len(toks) - %d, 0) + 1)) AS i)
-              WHERE len(toks) >= %d)
-            SELECT doc_id, j,
-                   CAST(min((u * a + b) %% %d::UBIGINT) AS BIGINT) AS sig
-            FROM sh CROSS JOIN par
-            GROUP BY doc_id, j
-        """ % (values, k - 1, k - 1, k, P_MINHASH)
+              WHERE len(toks) >= %d),
+            sig AS (
+              SELECT doc_id, j,
+                     CAST(min((u * a + b) %% %d::UBIGINT) AS BIGINT) AS sig
+              FROM sh CROSS JOIN par
+              GROUP BY doc_id, j)""" % (values, k - 1, k - 1, k, P_MINHASH)
+
+
+def minhash_signatures_sql(k: int = 3, n_perm: int = 16,
+                           seed: int = 42) -> str:
+    """DuckDB oracle for :func:`minhash_signatures`."""
+    return "WITH %s SELECT doc_id, j, sig FROM sig" % (
+        _minhash_sig_ctes(k, n_perm, seed),)
+
+
+def minhash_lsh_clusters(docs: "ray.data.Dataset", k: int = 3,
+                         n_perm: int = 16, band_r: int = 4,
+                         seed: int = 42, num_partitions: int = 64,
+                         label_broadcast_max: int = 5_000_000,
+                         method: str = "auto") -> "ray.data.Dataset":
+    """(doc_id, cluster_id) — the COMPLETE unweighted MinHash-LSH
+    dedup chain, end-to-end value-exact against SQL: signatures
+    (:func:`_batch_minhash_sigs`) -> band rows (``n_perm / band_r``
+    bands of ``band_r`` consecutive samples) -> bucket formation on
+    the EXACT signature tuple -> star edges to each bucket's minimum
+    member -> connected components -> ``cluster_id`` = the minimum
+    doc_id of the component (docs with < k tokens, or with no
+    co-bucketed partner, are their own singleton cluster).
+
+    This is the oracle-exact sibling of the flagship WMH pipeline
+    (``apollo_ray.pipelines.dedup``): same bucket/star/CC topology,
+    but classic Broder MinHash whose integer arithmetic DuckDB can
+    reproduce bit-for-bit, so the driver hash-checks the FULL cluster
+    assignment — not just invariants (cf. ``minhash_dedup_invariants``).
+
+    Scale notes: the band exchange is keyed by a 64-bit mix of the
+    band's signature tuple (collisions only co-locate — bucket
+    equality inside each partition is on the exact tuple via lexsort
+    run detection, never the hash).  Star edges keep |E| linear in
+    bucket mass; CC reuses ``stages.cc_stage.connected_components``
+    (driver union-find below ``DRIVER_CC_MAX_EDGES``, alternating
+    large/small-star rounds above).  Label attach follows the house
+    two-path rule: broadcast the (node -> root) table below
+    ``label_broadcast_max`` labels, pkey hash join above
+    (``method="hashjoin"`` forces it; tests pin both paths equal).
+    """
+    from apollo_ray.kernels.minhash import generate_minhash_params
+    from apollo_ray.stages.cc_stage import connected_components
+    if n_perm % band_r != 0:
+        raise ValueError("band_r must divide n_perm")
+    n_bands = n_perm // band_r
+    params = generate_minhash_params(n_perm, seed)
+    sig_cols = ["s%d" % i for i in range(band_r)]
+    key_cols = ["band"] + sig_cols
+
+    def emit_bands(batch: pa.Table) -> pa.Table:
+        ids, sigs = _batch_minhash_sigs(batch, k, params)
+        if ids is None:
+            cols = {"doc_id": pa.array([], type=pa.int64()),
+                    "band": pa.array([], type=pa.int32())}
+            for c in sig_cols:
+                cols[c] = pa.array([], type=pa.int64())
+            cols["pkey"] = pa.array([], type=pa.int32())
+            return pa.table(cols)
+        n = len(ids)
+        parts = []
+        for b in range(n_bands):
+            cols = {"doc_id": pa.array(ids, type=pa.int64()),
+                    "band": pa.array(np.full(n, b, dtype=np.int32),
+                                     type=pa.int32())}
+            mix = np.full(n, b, dtype=np.uint64)
+            for i, c in enumerate(sig_cols):
+                s = sigs[:, b * band_r + i]
+                cols[c] = pa.array(s.astype(np.int64), type=pa.int64())
+                mix = pair_mix(mix, s)
+            cols["pkey"] = pa.array(
+                mix_to_partition(mix, num_partitions), type=pa.int32())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    def emit_star_edges(group: pa.Table) -> pa.Table:
+        keys = [group.column(c).to_numpy() for c in key_cols]
+        doc = group.column("doc_id").to_numpy()
+        order = np.lexsort(tuple(reversed(keys)))
+        ks = [a[order] for a in keys]
+        ds = doc[order]
+        new = np.zeros(len(ds), dtype=bool)
+        new[0] = True
+        for a in ks:
+            new[1:] |= a[1:] != a[:-1]
+        starts = np.flatnonzero(new)
+        hubs = np.minimum.reduceat(ds, starts)
+        lens = np.diff(np.append(starts, len(ds)))
+        hub_per_row = np.repeat(hubs, lens)
+        mask = ds != hub_per_row
+        return pa.table({"u": pa.array(ds[mask], type=pa.int64()),
+                         "v": pa.array(hub_per_row[mask], type=pa.int64())})
+
+    bands = docs.map_batches(emit_bands, batch_format="pyarrow")
+    edges = bands.groupby("pkey").map_groups(emit_star_edges,
+                                             batch_format="pyarrow")
+    # cc_stage emits star edges (u=node, v=cc_root)
+    cc = connected_components(edges, num_partitions=num_partitions) \
+        .map_batches(lambda t: t.rename_columns(["node", "cc_root"]),
+                     batch_format="pyarrow")
+    ids_only = docs.select_columns(["doc_id"])
+
+    n_labels = cc.count()
+    if method == "broadcast" or (method == "auto"
+                                 and n_labels <= label_broadcast_max):
+        if n_labels > label_broadcast_max:
+            raise ValueError(
+                "label table (%d rows) exceeds label_broadcast_max=%d; "
+                "use method='hashjoin'" % (n_labels, label_broadcast_max))
+        if n_labels == 0:
+            nodes = np.array([], dtype=np.int64)
+            roots = np.array([], dtype=np.int64)
+        else:
+            ldf = cc.to_pandas()
+            nodes = ldf["node"].to_numpy(dtype=np.int64)
+            roots = ldf["cc_root"].to_numpy(dtype=np.int64)
+            order = np.argsort(nodes, kind="mergesort")
+            nodes, roots = nodes[order], roots[order]
+        ref = ray.put((nodes, roots))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            nd, rt = ray.get(ref)
+            d = batch.column("doc_id").to_numpy().astype(np.int64)
+            lab = d.copy()
+            if len(nd):
+                pos = np.searchsorted(nd, d)
+                pos[pos >= len(nd)] = 0
+                hit = nd[pos] == d
+                lab[hit] = rt[pos[hit]]
+            return pa.table({"doc_id": pa.array(d, type=pa.int64()),
+                             "cluster_id": pa.array(lab, type=pa.int64())})
+
+        return ids_only.map_batches(attach, batch_format="pyarrow")
+
+    from apollo_ray.util import hash_join
+    joined = hash_join(ids_only, cc, on=("doc_id",), right_on=("node",),
+                       join_type="left_outer",
+                       num_partitions=num_partitions)
+
+    def coalesce(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        d = batch.column("doc_id")
+        r = batch.column("cc_root")
+        return pa.table({"doc_id": d.cast(pa.int64()),
+                         "cluster_id": pc.coalesce(
+                             r.cast(pa.int64()), d.cast(pa.int64()))})
+
+    return joined.map_batches(coalesce, batch_format="pyarrow")
+
+
+def minhash_lsh_clusters_sql(k: int = 3, n_perm: int = 16,
+                             band_r: int = 4, seed: int = 42,
+                             iters: int = 10) -> str:
+    """DuckDB oracle for :func:`minhash_lsh_clusters`: the shared
+    signature CTEs, band tuples via ``string_agg`` ordered by sample
+    index (grouping on the exact tuple, like the engine's lexsort),
+    star edges to each bucket's ``min(doc_id)``, then ``iters``
+    unrolled rounds of min-label propagation WITH pointer jumping
+    (Shiloach-Vishkin style, the same recurrence as
+    ``cc_stage._driver_union_find``) — each round takes the min over
+    {self, neighbors' labels, label-of-label}, so the converged
+    horizon at least doubles per round and ``iters=10`` covers any
+    component of diameter < 2**10.  tests/test_minhash_clusters.py
+    property-tests the recurrence against union-find on random graphs
+    and chains.
+    """
+    # Every multiply-referenced CTE is MATERIALIZED: DuckDB 1.0
+    # inlines plain CTEs, and each unrolled round references the
+    # previous labels three times — un-materialized, the expansion is
+    # 3**iters copies of the whole signature pipeline (measured: fd
+    # exhaustion on parquet views, hour-long plans on registered
+    # tables).  Materialized, the chain is linear in ``iters``.
+    body = _minhash_sig_ctes(k, n_perm, seed)
+    parts = [body, """
+            bnd AS MATERIALIZED (
+              SELECT doc_id, j // %d AS band,
+                     string_agg(CAST(sig AS VARCHAR), ',' ORDER BY j) AS key
+              FROM sig GROUP BY doc_id, j // %d),
+            bkt AS MATERIALIZED (
+              SELECT band, key, min(doc_id) AS hub, count(*) AS n
+              FROM bnd GROUP BY band, key),
+            edge AS MATERIALIZED (
+              SELECT DISTINCT b.doc_id AS u, t.hub AS v
+              FROM bnd b JOIN bkt t ON b.band = t.band AND b.key = t.key
+              WHERE t.n >= 2 AND b.doc_id <> t.hub),
+            sym AS MATERIALIZED (
+              SELECT u, v FROM edge UNION SELECT v AS u, u AS v FROM edge),
+            l0 AS MATERIALIZED (
+              SELECT u AS node, min(least(u, v)) AS comp
+              FROM sym GROUP BY u)""" % (band_r, band_r)]
+    for i in range(1, iters + 1):
+        parts.append("""
+            l%d AS MATERIALIZED (
+              SELECT n.node,
+                     least(n.comp, coalesce(nb.mn, n.comp),
+                           coalesce(pj.comp, n.comp)) AS comp
+              FROM l%d n
+              LEFT JOIN (SELECT s.u AS node, min(p.comp) AS mn
+                         FROM sym s JOIN l%d p ON p.node = s.v
+                         GROUP BY s.u) nb ON nb.node = n.node
+              LEFT JOIN l%d pj ON pj.node = n.comp)""" % (i, i - 1,
+                                                          i - 1, i - 1))
+    return "WITH %s SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS cluster_id FROM documents d LEFT JOIN l%d l ON l.node = d.doc_id" % (
+        ",".join(parts), iters)
 
 
 def md5_simhash_sig(text: str, k: int = 3,

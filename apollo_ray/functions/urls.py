@@ -646,3 +646,244 @@ i AS (SELECT unnest(generate_series(1, (SELECT m FROM mx))) AS pair_no)
 SELECT doc_id, pair_no, list_extract(us, pair_no) AS url,
        list_extract(ts, pair_no) AS anchor
 FROM ls, i WHERE pair_no <= len(us)"""
+
+
+def _host_of(u: pa.Array) -> pa.Array:
+    """Lowercased authority of absolute urls with any ``:port``
+    stripped; null for relative urls (no ``scheme://``).  The single
+    host rule shared by :func:`link_host_counts`,
+    :func:`host_pagerank` and their SQL twins."""
+    if isinstance(u, pa.ChunkedArray):
+        u = u.combine_chunks()
+    ex = pc.extract_regex(u, _ABS_HOST_RE)
+    auth = pc.if_else(ex.is_valid(), pc.struct_field(ex, "a"),
+                      pa.scalar(None, type=pa.string()))
+    return pc.replace_substring_regex(pc.utf8_lower(auth),
+                                      r":[0-9]+$", "")
+
+
+_HOST_SQL = ("regexp_replace(lower(regexp_extract({u}, "
+             "'^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)), "
+             "':[0-9]+$', '')")
+_ABS_MATCH_SQL = "regexp_matches({u}, '^[A-Za-z][A-Za-z0-9+.\\-]*://')"
+
+
+def host_pagerank(pages: "ray.data.Dataset", text_col: str = "text",
+                  url_col: str = "url", id_col: str = "doc_id",
+                  damping_ppm: int = 850_000, iters: int = 3,
+                  num_partitions: int = 32,
+                  driver_max_edges: int = 5_000_000,
+                  method: str = "auto") -> "ray.data.Dataset":
+    """(host, rank_ppm) — integer-exact PageRank over the distinct
+    host->host outlink graph (the Common-Crawl-style domain-quality
+    signal: rank hosts by where the crawl's links point).
+
+    Graph: src = host of the page's own url, dst = host of each
+    absolute extracted ``href`` (same RE2/authority rule as
+    :func:`link_host_counts`); relative links and self-edges
+    (src == dst, i.e. intra-site navigation) are dropped; edges are
+    DISTINCT pairs.  Iteration is the unnormalized integer recurrence
+
+        r'(v) = (1e6 - d) + (d * sum over in-edges(u,v) of
+                              floor(r(u) / outdeg(u))) // 1e6
+
+    with ``r0 = 1e6`` per host — every operation is int64 floor
+    arithmetic, so ``iters`` unrolled rounds are value-exact in SQL
+    (:func:`host_pagerank_sql` casts the one product that can exceed
+    int64 through HUGEINT; the engine asserts the same bound).
+
+    Scale shape: one flat map emits per-batch-DISTINCT (src, dst)
+    pairs; a pkey exchange makes them globally distinct — the edge
+    table is bounded by distinct host pairs (crawl-graph edges, not
+    page links).  Below ``driver_max_edges`` the iteration runs as
+    vectorized numpy on the driver (the host graph of even a large
+    crawl is ~1e8 hosts — the same driver-vs-distributed rule as
+    ``cc_stage``); above it (``method="distributed"`` forces the
+    path) each round is one hash join (attach floor(r/deg) to edges)
+    + one sum exchange keyed by dst + one left join back onto the
+    host universe.
+    """
+    import ray.data
+
+    from apollo_ray.hashing import hash_utf8, mix_to_partition
+
+    def emit_edges(batch: pa.Table) -> pa.Table:
+        t = batch.column(text_col)
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        src_host = _host_of(batch.column(url_col)).to_pylist()
+        parts = pc.split_pattern(t, _HREF_SEP)
+        flat = pc.list_flatten(parts)
+        parent = pc.list_parent_indices(parts).to_numpy(
+            zero_copy_only=False)
+        offsets = parts.offsets.to_numpy(zero_copy_only=False)
+        pos = np.arange(len(flat), dtype=np.int64) - offsets[parent]
+        closed = pc.count_substring(flat, '"').to_numpy(
+            zero_copy_only=False) > 0
+        keep = (pos >= 1) & closed
+        kept = flat.filter(pa.array(keep))
+        kparent = parent[keep]
+        url = pc.list_element(pc.split_pattern(kept, '"', max_splits=1), 0)
+        dst = _host_of(url).to_pylist()
+        pairs = {(src_host[p], d) for p, d in zip(kparent.tolist(), dst)
+                 if d is not None and src_host[p] is not None
+                 and src_host[p] != d}
+        if not pairs:
+            return pa.table({"src": pa.array([], type=pa.string()),
+                             "dst": pa.array([], type=pa.string()),
+                             "pkey": pa.array([], type=pa.int32())})
+        src = [p[0] for p in pairs]
+        dstl = [p[1] for p in pairs]
+        h = np.fromiter((hash_utf8(a + "\x00" + b)
+                         for a, b in zip(src, dstl)),
+                        dtype=np.int64, count=len(src))
+        return pa.table({"src": pa.array(src, type=pa.string()),
+                         "dst": pa.array(dstl, type=pa.string()),
+                         "pkey": pa.array(
+                             mix_to_partition(h, num_partitions),
+                             type=pa.int32())})
+
+    def distinct_pairs(group: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = group.select(["src", "dst"]).to_pandas() \
+            .drop_duplicates(ignore_index=True)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    edges = pages.map_batches(emit_edges, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(distinct_pairs,
+                                    batch_format="pyarrow") \
+        .materialize()
+    n_edges = edges.count()
+    d = int(damping_ppm)
+    base = 1_000_000 - d
+    empty = pa.table({"host": pa.array([], type=pa.string()),
+                      "rank_ppm": pa.array([], type=pa.int64())})
+    if n_edges == 0:
+        return ray.data.from_arrow(empty)
+
+    if method == "driver" or (method == "auto"
+                              and n_edges <= driver_max_edges):
+        if n_edges > driver_max_edges:
+            raise ValueError(
+                "edge table (%d rows) exceeds driver_max_edges=%d; "
+                "use method='distributed'" % (n_edges, driver_max_edges))
+        df = edges.to_pandas()
+        hosts, inv = np.unique(
+            np.concatenate([df["src"].to_numpy(), df["dst"].to_numpy()]),
+            return_inverse=True)
+        si, di = inv[:n_edges], inv[n_edges:]
+        deg = np.bincount(si, minlength=len(hosts)).astype(np.int64)
+        r = np.full(len(hosts), 1_000_000, dtype=np.int64)
+        for _ in range(iters):
+            c = r[si] // deg[si]
+            s = np.zeros(len(hosts), dtype=np.int64)
+            np.add.at(s, di, c)
+            if len(s) and int(s.max()) > (2**63 - 1) // max(d, 1):
+                raise OverflowError("rank mass exceeds int64 bound")
+            r = base + (d * s) // 1_000_000
+        return ray.data.from_arrow(pa.table({
+            "host": pa.array(hosts.tolist(), type=pa.string()),
+            "rank_ppm": pa.array(r, type=pa.int64())}))
+
+    # distributed path: host universe + outdegree once, then per
+    # round: join ranks onto edges (src), sum floor(r/deg) by dst,
+    # left-join back onto the universe
+    from apollo_ray.util import hash_join
+
+    def halves(batch: pa.Table) -> pa.Table:
+        return pa.table({"host": pa.concat_arrays(
+            [batch.column("src").combine_chunks().cast(pa.string()),
+             batch.column("dst").combine_chunks().cast(pa.string())])})
+
+    nodes = edges.map_batches(halves, batch_format="pyarrow") \
+        .groupby("host").count() \
+        .map_batches(lambda b: b.select(["host"]),
+                     batch_format="pyarrow").materialize()
+
+    def src_partial(batch: pa.Table) -> pa.Table:
+        vc = batch.column("src").combine_chunks().value_counts()
+        return pa.table({"src": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    deg = edges.map_batches(src_partial, batch_format="pyarrow") \
+        .groupby("src").sum("n")
+    edeg = hash_join(edges, deg, on=("src",),
+                     num_partitions=num_partitions).materialize()
+
+    ranks = nodes.map_batches(
+        lambda b: b.append_column(
+            "r", pa.array(np.full(b.num_rows, 1_000_000,
+                                  dtype=np.int64), type=pa.int64())),
+        batch_format="pyarrow")
+    for _ in range(iters):
+        contrib = hash_join(edeg, ranks, on=("src",), right_on=("host",),
+                            num_partitions=num_partitions)
+
+        def to_c(batch: pa.Table) -> pa.Table:
+            r = batch.column("r").to_numpy(zero_copy_only=False)
+            n = batch.column("sum(n)").to_numpy(zero_copy_only=False)
+            return pa.table({"dst": batch.column("dst"),
+                             "c": pa.array(r // n, type=pa.int64())})
+
+        sums = contrib.map_batches(to_c, batch_format="pyarrow") \
+            .groupby("dst").sum("c")
+        joined = hash_join(nodes, sums, on=("host",), right_on=("dst",),
+                           join_type="left_outer",
+                           num_partitions=num_partitions)
+
+        def step(batch: pa.Table) -> pa.Table:
+            s = pc.fill_null(batch.column("sum(c)"), 0) \
+                .cast(pa.int64()).to_numpy(zero_copy_only=False)
+            if len(s) and int(s.max()) > (2**63 - 1) // max(d, 1):
+                raise OverflowError("rank mass exceeds int64 bound")
+            return pa.table({"host": batch.column("host"),
+                             "r": pa.array(base + (d * s) // 1_000_000,
+                                           type=pa.int64())})
+
+        ranks = joined.map_batches(step,
+                                   batch_format="pyarrow").materialize()
+    return ranks.map_batches(
+        lambda b: pa.table({"host": b.column("host"),
+                            "rank_ppm": b.column("r").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def host_pagerank_sql(table: str = "documents",
+                      url_expr: str = "url", text_expr: str = "text",
+                      damping_ppm: int = 850_000, iters: int = 3) -> str:
+    """DuckDB oracle for :func:`host_pagerank`: same RE2 link/host
+    rules, same distinct-edge + self-loop-drop graph, and ``iters``
+    unrolled rounds of the identical integer recurrence (the
+    ``d * s`` product runs through HUGEINT, then back to BIGINT —
+    value-equal to the engine's asserted-in-range int64)."""
+    d = int(damping_ppm)
+    base = 1_000_000 - d
+    hu = _HOST_SQL.format(u="l.url")
+    hsrc = _HOST_SQL.format(u=url_expr)
+    absm = _ABS_MATCH_SQL.format(u="l.url")
+    ctes = [f"""ls AS (
+      SELECT doc_id, {hsrc} AS shost,
+             regexp_extract_all({text_expr}, 'href="([^"]*)"', 1) AS urls
+      FROM {table}
+      WHERE {_ABS_MATCH_SQL.format(u=url_expr)}),
+    l AS (SELECT doc_id, shost, unnest(urls) AS url FROM ls),
+    e AS MATERIALIZED (
+      SELECT DISTINCT shost AS src, {hu} AS dst
+      FROM l l WHERE {absm} AND {hu} <> shost),
+    n AS MATERIALIZED (
+      SELECT src AS host FROM e UNION SELECT dst FROM e),
+    o AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+    r0 AS (SELECT host, 1000000::BIGINT AS r FROM n)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""
+    r{i} AS (
+      SELECT n.host,
+             CAST({base} + ({d}::HUGEINT *
+                   coalesce(s.c, 0::HUGEINT)) // 1000000 AS BIGINT) AS r
+      FROM n LEFT JOIN (
+        SELECT e.dst AS host, sum(r.r // o.deg) AS c
+        FROM e JOIN r{i-1} r ON r.host = e.src
+               JOIN o ON o.src = e.src
+        GROUP BY e.dst) s ON s.host = n.host)""")
+    return ("WITH " + ",".join(ctes)
+            + f" SELECT host, r AS rank_ppm FROM r{iters}")
