@@ -124,7 +124,8 @@ def bench_once() -> dict:
         "code_detect", "embedding_stats", "kmeans_assign_k8",
         "paragraph_dedup", "lang_budget_sample", "html_tag_stats",
         "quantile_filter", "term_blocklist", "feature_hash_embed",
-        "snapshot_diff", "anchor_texts")
+        "snapshot_diff", "anchor_texts", "minhash_lsh_clusters",
+        "host_pagerank")
     for name in qnames:
         t0 = time.monotonic()
         res = qs[name](SF_DIR)
