@@ -361,6 +361,17 @@ def _url_host_stats_sql_entry() -> str:
     return url_host_stats_sql()
 
 
+def _mirror_hosts_sql_entry() -> str:
+    """SQL twin of q_mirror_hosts' derived corpus: synthetic crawl
+    url + every-5th-doc shared-page text, then the generated
+    mirror-pair oracle."""
+    from apollo_ray.functions.urls import _SYNTH_URL_SQL, mirror_hosts_sql
+    return mirror_hosts_sql(
+        url_expr="(" + _SYNTH_URL_SQL + ")",
+        text_expr=("CASE WHEN doc_id % 5 = 0 THEN 'shared page ' || "
+                   "CAST(doc_id % 20 AS VARCHAR) ELSE text END"))
+
+
 def _per_host_topk_sql_entry() -> str:
     from apollo_ray.functions.urls import per_host_topk_sql
     return per_host_topk_sql(k=10)
@@ -882,6 +893,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_canonical_urls(sf_dir):
         from apollo_ray.functions.urls import canonical_urls
         return canonical_urls(_synthetic_pages(sf_dir))
+
+    def q_mirror_hosts(sf_dir):
+        """Mirror/aggregator detection: host pairs serving >= 2
+        identical documents over the synthetic 7-host crawl.  The
+        fixture has no exact-dup texts, so every 5th doc's text is
+        replaced by one of four shared pages (keyed doc_id % 20) on
+        BOTH sides — the shared pages land on different hosts
+        (doc_id % 7), planting real cross-host mirrored content."""
+        import numpy as np
+        import pyarrow as pa
+        from apollo_ray.functions.urls import (mirror_hosts,
+                                               synthetic_crawl_urls)
+
+        def derive(batch):
+            ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+            txt = batch.column("text").to_pylist()
+            out = ["shared page %d" % (i % 20) if i % 5 == 0 else t
+                   for i, t in zip(ids.tolist(), txt)]
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "url": pa.array(synthetic_crawl_urls(ids),
+                                type=pa.string()),
+                "text": pa.array(out, type=pa.string())})
+
+        pages = _docs(sf_dir).map_batches(derive, batch_format="pyarrow")
+        return mirror_hosts(pages, num_partitions=8)
 
     def q_url_host_stats(sf_dir):
         from apollo_ray.functions.urls import url_host_stats
@@ -1513,6 +1550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q_heavy_hitters,
         "canonical_urls": q_canonical_urls,
         "url_host_stats": q_url_host_stats,
+        "mirror_hosts": q_mirror_hosts,
         "per_host_topk": q_per_host_topk,
         "extract_links": q_extract_links,
         "link_host_counts": q_link_host_counts,
@@ -2078,6 +2116,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": _heavy_hitters_sql_entry(),
         "canonical_urls": _canonical_urls_sql_entry(),
         "url_host_stats": _url_host_stats_sql_entry(),
+        "mirror_hosts": _mirror_hosts_sql_entry(),
         "per_host_topk": _per_host_topk_sql_entry(),
         "extract_links": _extract_links_sql_entry(),
         "link_host_counts": _link_host_counts_sql_entry(),

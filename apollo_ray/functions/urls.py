@@ -887,3 +887,108 @@ def host_pagerank_sql(table: str = "documents",
         GROUP BY e.dst) s ON s.host = n.host)""")
     return ("WITH " + ",".join(ctes)
             + f" SELECT host, r AS rank_ppm FROM r{iters}")
+
+
+def mirror_hosts(pages: "ray.data.Dataset", url_col: str = "url",
+                 text_col: str = "text", min_shared: int = 2,
+                 max_hosts_per_text: int = 64,
+                 num_partitions: int = 32) -> "ray.data.Dataset":
+    """(host_a, host_b, n_shared) — pairs of hosts that serve
+    ``>= min_shared`` IDENTICAL documents (mirror / aggregator / CDN
+    alias detection, the host-level routing signal next to
+    ``canonical_urls``' url-level one).
+
+    A document's identity is ``md5_number_lower(text)`` (the repo's
+    SQL-exact content-hash bridge), so the whole operator is
+    value-reproducible in DuckDB.  Texts served by more than
+    ``max_hosts_per_text`` distinct hosts are dropped on BOTH sides
+    (HAVING cap in SQL): a snippet shared by hundreds of hosts is
+    boilerplate, not mirroring, and would otherwise emit a quadratic
+    pair blowup (the same skew rule as ``max_posting`` in
+    ``ngram_jaccard_pairs``).
+
+    Scale shape: per-batch DISTINCT (content-hash, host) 16+len rows;
+    one hash-keyed exchange co-locates all copies of a text, each
+    partition emits capped host pairs; one pair-keyed count exchange.
+    Payload text never moves.
+    """
+    from apollo_ray.hashing import hash_utf8, mix_to_partition
+    from apollo_ray.kernels.text import _md5_u64
+
+    def emit(batch: pa.Table) -> pa.Table:
+        host = _host_of(batch.column(url_col)).to_pylist()
+        txt = batch.column(text_col).to_pylist()
+        pairs = {(int(_md5_u64(t)), h)
+                 for t, h in zip(txt, host) if h is not None}
+        if not pairs:
+            return pa.table({"k": pa.array([], type=pa.int64()),
+                             "host": pa.array([], type=pa.string()),
+                             "pkey": pa.array([], type=pa.int32())})
+        ks = np.fromiter((p[0] for p in pairs), dtype=np.uint64,
+                         count=len(pairs)).view(np.int64)
+        hs = [p[1] for p in pairs]
+        return pa.table({"k": pa.array(ks, type=pa.int64()),
+                         "host": pa.array(hs, type=pa.string()),
+                         "pkey": pa.array(
+                             mix_to_partition(ks, num_partitions),
+                             type=pa.int32())})
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = group.select(["k", "host"]).to_pandas() \
+            .drop_duplicates()
+        out_a, out_b = [], []
+        for _, sub in df.groupby("k", sort=False):
+            hosts = sorted(sub["host"].tolist())
+            if len(hosts) < 2 or len(hosts) > max_hosts_per_text:
+                continue
+            for i in range(len(hosts)):
+                for j in range(i + 1, len(hosts)):
+                    out_a.append(hosts[i])
+                    out_b.append(hosts[j])
+        h = np.fromiter((hash_utf8(a + "\x00" + b)
+                         for a, b in zip(out_a, out_b)),
+                        dtype=np.int64, count=len(out_a))
+        return pa.table({"host_a": pa.array(out_a, type=pa.string()),
+                         "host_b": pa.array(out_b, type=pa.string()),
+                         "qkey": pa.array(
+                             mix_to_partition(h, num_partitions),
+                             type=pa.int32())})
+
+    def count_pairs(group: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = group.select(["host_a", "host_b"]).to_pandas()
+        g = df.groupby(["host_a", "host_b"], sort=False).size() \
+            .reset_index(name="n_shared")
+        g = g[g["n_shared"] >= min_shared]
+        return pa.table({
+            "host_a": pa.array(g["host_a"].tolist(), type=pa.string()),
+            "host_b": pa.array(g["host_b"].tolist(), type=pa.string()),
+            "n_shared": pa.array(g["n_shared"].to_numpy(dtype=np.int64),
+                                 type=pa.int64())})
+
+    return pages.map_batches(emit, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(emit_pairs, batch_format="pyarrow") \
+        .groupby("qkey").map_groups(count_pairs, batch_format="pyarrow")
+
+
+def mirror_hosts_sql(table: str = "documents", url_expr: str = "url",
+                     text_expr: str = "text", min_shared: int = 2,
+                     max_hosts_per_text: int = 64) -> str:
+    """DuckDB oracle for :func:`mirror_hosts` (same md5 content key,
+    same host rule, same [2, cap] distinct-host band)."""
+    h = _HOST_SQL.format(u=url_expr)
+    absm = _ABS_MATCH_SQL.format(u=url_expr)
+    return f"""
+WITH dh AS MATERIALIZED (
+  SELECT DISTINCT md5_number_lower({text_expr}) AS k, {h} AS host
+  FROM {table} WHERE {absm}),
+ok AS MATERIALIZED (
+  SELECT k FROM dh GROUP BY k
+  HAVING count(*) >= 2 AND count(*) <= {max_hosts_per_text})
+SELECT a.host AS host_a, b.host AS host_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM dh a JOIN dh b ON a.k = b.k AND a.host < b.host
+JOIN ok ON ok.k = a.k
+GROUP BY a.host, b.host
+HAVING count(*) >= {min_shared}"""
