@@ -224,6 +224,11 @@ def _kmeans_assign_sql_entry() -> str:
     return kmeans_assign_sql(8)
 
 
+def _pq_codes_sql_entry() -> str:
+    from apollo_ray.functions.ann import pq_encode_sql
+    return pq_encode_sql(m=4, k=8, iters=2, dim=64)
+
+
 def _feature_hash_embed_sql_entry() -> str:
     from apollo_ray.functions.ann import feature_hash_embed_sql
     return feature_hash_embed_sql(16)
@@ -1475,6 +1480,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from apollo_ray.functions.ann import kmeans_assign
         return kmeans_assign(_embeddings(sf_dir), k=8)
 
+    def q_pq_codes(sf_dir):
+        """Product-quantization codes (4 subspaces x 8 codewords,
+        2 integer Lloyd rounds) over the embeddings table — the
+        IVF-PQ index format, value-exact in SQL."""
+        from apollo_ray.functions.ann import pq_encode
+        return pq_encode(_embeddings(sf_dir), m=4, k=8, iters=2)
+
     return {
         "embedding_quantize": q_embedding_quantize,
         "encoding_quality": q_encoding_quality,
@@ -1559,6 +1571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": q_host_pagerank,
         "embedding_stats": q_embedding_stats,
         "kmeans_assign_k8": q_kmeans_assign_k8,
+        "pq_codes": q_pq_codes,
         "feature_hash_embed": q_feature_hash_embed,
         "snapshot_diff": q_snapshot_diff,
         "dedup_tier_rollup": q_dedup_tier_rollup,
@@ -2125,6 +2138,7 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _host_pagerank_sql_entry(),
         "embedding_stats": _embedding_stats_sql_entry(),
         "kmeans_assign_k8": _kmeans_assign_sql_entry(),
+        "pq_codes": _pq_codes_sql_entry(),
         "feature_hash_embed": _feature_hash_embed_sql_entry(),
         "snapshot_diff": _snapshot_diff_sql_entry(),
         "dedup_tier_rollup": _tiered_sql_entry(),

@@ -877,3 +877,197 @@ def feature_hash_embed_sql(dim: int = 16, table: str = "documents"
                count(*) AS n_terms
         FROM h GROUP BY doc_id, dim
     """
+
+
+def _trunc_div(s: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """Integer division truncating toward zero — DuckDB ``//``
+    semantics (numpy ``//`` floors, which differs on negatives)."""
+    return np.sign(s) * (np.abs(s) // np.maximum(n, 1))
+
+
+def pq_encode(embeddings: "ray.data.Dataset", m: int = 4, k: int = 8,
+              iters: int = 2, col: str = "embedding",
+              id_col: str = "vec_id") -> "ray.data.Dataset":
+    """(vec_id, subspace, code, dist_mu2) — product-quantization
+    codes (Jegou et al. 2011, "Product Quantization for Nearest
+    Neighbor Search"): the vector is split into ``m`` contiguous
+    subspaces, each trained with its own ``k``-codeword Lloyd
+    codebook, and every (vector, subspace) pair is encoded as the id
+    of its nearest codeword — the memory-flat index format behind
+    IVF-PQ ANN at corpus scale (64-dim float vector -> m bytes).
+
+    Everything is integer-exact and SQL-reproducible: inputs quantize
+    to milli-units (``floor(x*1000+0.5)`` on the float64-widened
+    value, the ``kmeans_assign`` rule), codebooks start from the
+    ``k`` smallest-id vectors' subvectors, assignment is int64
+    squared-L2 argmin with lowest-code tie-break, and the Lloyd
+    update is truncating integer division (DuckDB ``//`` semantics;
+    empty codewords keep their previous centroid).  ``iters`` update
+    rounds run before the final encode; the oracle
+    (:func:`pq_encode_sql`) unrolls the identical rounds over
+    MATERIALIZED CTEs.
+
+    Scale shape: codebook state is O(m*k*ds) — a tiny broadcast via
+    ``ray.put``; each Lloyd round is one map pass emitting per-batch
+    partial sums (m*k*ds rows per BLOCK, never per vector) folded on
+    the driver exactly like ``semdedup``'s streaming float32 Lloyd;
+    the final encode is a pure map.
+    """
+    def seed_rows(batch: pa.Table) -> pa.Table:
+        mask = pc.less(batch.column(id_col).cast(pa.int64()),
+                       pa.scalar(k, type=pa.int64()))
+        return batch.filter(mask)
+
+    seeds = embeddings.map_batches(seed_rows,
+                                   batch_format="pyarrow").take_all()
+    empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                      "subspace": pa.array([], type=pa.int64()),
+                      "code": pa.array([], type=pa.int64()),
+                      "dist_mu2": pa.array([], type=pa.int64())})
+    if not seeds:
+        return ray.data.from_arrow(empty)
+    seeds.sort(key=lambda r: r[id_col])
+    smat = np.floor(np.asarray(
+        [np.asarray(r[col], dtype=np.float64) for r in seeds])
+        * 1000.0 + 0.5).astype(np.int64)
+    cids = np.asarray([r[id_col] for r in seeds], dtype=np.int64)
+    d = smat.shape[1]
+    if d % m != 0:
+        raise ValueError("m must divide the embedding dim")
+    ds = d // m
+    # cents[j]: (k, ds) codebook of subspace j
+    cents = np.stack([smat[:, j * ds:(j + 1) * ds] for j in range(m)])
+
+    def _assign_sub(q: np.ndarray, cent: np.ndarray) -> tuple:
+        d2 = ((q * q).sum(axis=1, keepdims=True)
+              + (cent * cent).sum(axis=1)[None, :]
+              - 2 * (q @ cent.T))
+        best = d2.argmin(axis=1)       # first min == lowest code
+        return best, d2[np.arange(len(best)), best]
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+            c = _ray.get(ref)
+            cols = {"sub": [], "cid": [], "sdim": [], "s": [], "n": []}
+            if batch.num_rows:
+                x = _batch_matrix(batch, col)
+                q = np.floor(x * 1000.0 + 0.5).astype(np.int64)
+                for j in range(m):
+                    qj = q[:, j * ds:(j + 1) * ds]
+                    best, _d = _assign_sub(qj, c[j])
+                    for ci in range(k):
+                        rows = qj[best == ci]
+                        if not len(rows):
+                            continue
+                        cols["sub"].extend([j] * ds)
+                        cols["cid"].extend([ci] * ds)
+                        cols["sdim"].extend(range(ds))
+                        cols["s"].extend(rows.sum(axis=0).tolist())
+                        cols["n"].extend([len(rows)] * ds)
+            return pa.table({
+                "sub": pa.array(cols["sub"], type=pa.int64()),
+                "cid": pa.array(cols["cid"], type=pa.int64()),
+                "sdim": pa.array(cols["sdim"], type=pa.int64()),
+                "s": pa.array(cols["s"], type=pa.int64()),
+                "n": pa.array(cols["n"], type=pa.int64())})
+
+        pr = embeddings.map_batches(partial,
+                                    batch_format="pyarrow").to_pandas()
+        new = cents.copy()
+        if len(pr):
+            agg = pr.groupby(["sub", "cid", "sdim"], sort=False) \
+                .agg(s=("s", "sum"), n=("n", "sum")).reset_index()
+            # n is constant across sdim within (sub, cid); trunc-div
+            v = _trunc_div(agg["s"].to_numpy(dtype=np.int64),
+                           agg["n"].to_numpy(dtype=np.int64))
+            new[agg["sub"].to_numpy(), agg["cid"].to_numpy(),
+                agg["sdim"].to_numpy()] = v
+        cents = new
+
+    ref = ray.put(cents)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+        c = _ray.get(ref)
+        if batch.num_rows == 0:
+            return empty
+        x = _batch_matrix(batch, col)
+        q = np.floor(x * 1000.0 + 0.5).astype(np.int64)
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        parts = []
+        for j in range(m):
+            best, dist = _assign_sub(q[:, j * ds:(j + 1) * ds], c[j])
+            parts.append(pa.table({
+                id_col: pa.array(ids, type=pa.int64()),
+                "subspace": pa.array(np.full(len(ids), j, np.int64),
+                                     type=pa.int64()),
+                "code": pa.array(cids[best], type=pa.int64()),
+                "dist_mu2": pa.array(dist, type=pa.int64())}))
+        return pa.concat_tables(parts)
+
+    return embeddings.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_encode_sql(m: int = 4, k: int = 8, iters: int = 2,
+                  dim: int = 64, table: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`pq_encode`: milli-unit quantization,
+    per-subspace integer distances, ``iters`` unrolled Lloyd rounds
+    (assignment rn=1 ordered by (dist, cid); update ``sum // count``
+    — DuckDB truncating division, matched by the engine's
+    :func:`_trunc_div` — with empty codewords keeping the previous
+    centroid via LEFT JOIN + coalesce), then the final encode.  All
+    multiply-referenced CTEs are MATERIALIZED (DuckDB inlines plain
+    CTEs — unrolled fixpoints explode exponentially otherwise).
+    ``dim`` is the embedding width (the engine reads it off the
+    batch; SQL needs it literal to compute the subspace split)."""
+    if dim % m != 0:
+        raise ValueError("m must divide dim")
+    ds = dim // m
+    pieces = ["""q AS MATERIALIZED (
+      SELECT vec_id, d.dim // %d AS sub, d.dim %% %d AS sdim,
+             CAST(floor(CAST(d.x AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) - 1 AS dim
+            FROM %s) d),
+    c0 AS MATERIALIZED (
+      SELECT sub, vec_id AS cid, sdim, v FROM q WHERE vec_id < %d)"""
+              % (ds, ds, table, k)]
+    step = """
+    d%(i)d AS MATERIALIZED (
+      SELECT t.vec_id, t.sub, c.cid,
+             sum((t.v - c.v) * (t.v - c.v)) AS dist
+      FROM q t JOIN c%(p)d c ON c.sub = t.sub AND c.sdim = t.sdim
+      GROUP BY t.vec_id, t.sub, c.cid),
+    a%(i)d AS MATERIALIZED (
+      SELECT vec_id, sub, cid FROM (
+        SELECT vec_id, sub, cid,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, cid) AS rn
+        FROM d%(i)d) WHERE rn = 1),
+    c%(i)d AS MATERIALIZED (
+      SELECT c.sub, c.cid, c.sdim,
+             CAST(coalesce(u.nv, c.v) AS BIGINT) AS v
+      FROM c%(p)d c LEFT JOIN (
+        SELECT a.sub, a.cid, t.sdim, sum(t.v) // count(*) AS nv
+        FROM a%(i)d a JOIN q t ON t.vec_id = a.vec_id AND t.sub = a.sub
+        GROUP BY a.sub, a.cid, t.sdim) u
+      ON u.sub = c.sub AND u.cid = c.cid AND u.sdim = c.sdim)"""
+    for i in range(1, iters + 1):
+        pieces.append(step % {"i": i, "p": i - 1})
+    fin = """
+    df AS MATERIALIZED (
+      SELECT t.vec_id, t.sub, c.cid,
+             sum((t.v - c.v) * (t.v - c.v)) AS dist
+      FROM q t JOIN c%d c ON c.sub = t.sub AND c.sdim = t.sdim
+      GROUP BY t.vec_id, t.sub, c.cid)
+    SELECT vec_id, sub AS subspace, cid AS code,
+           CAST(dist AS BIGINT) AS dist_mu2
+    FROM (SELECT vec_id, sub, cid, dist,
+                 row_number() OVER (PARTITION BY vec_id, sub
+                                    ORDER BY dist, cid) AS rn
+          FROM df) WHERE rn = 1""" % iters
+    return "WITH " + ",".join(pieces) + "," + fin
