@@ -656,6 +656,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
                      >= int(eh["n_members"].max()))], type=pa.int64()),
         })
 
+    def q_communities_invariants(sf_dir):
+        """Invariant bundle for the communities tier (the flagship
+        pipeline with ``with_communities=True``): the community labels
+        themselves are not SQL-expressible (Walktrap over the
+        doc<->bucket bipartite graph), but the partition CONTRACT the
+        reference guarantees (``apollo/graph.py:195-269``) is — each
+        flag below is an int64 the oracle pins to 1:
+
+        - ``docs_unique``: every doc appears in exactly one community
+          row (communities partition their CC's docs);
+        - ``cc_match``: the (doc_id -> cc_id) carried on community
+          rows agrees with the clusters table;
+        - ``coverage``: the community tier covers exactly the docs of
+          size>=2 components (size-1 CCs are skipped,
+          ``apollo/graph.py:214-215``);
+        - ``pair_rule``: every size-2 CC passes through as ONE
+          community labeled min(doc_id)
+          (``apollo/graph.py:216-218``);
+        - ``community_within_cc``: no community spans two CCs.
+
+        Flags are computed driver-side over the (doc_id, cc_id,
+        community_id) label table — 24 B/row metadata at validation
+        scale, never the payload."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data
+        from apollo_ray.config import DedupConfig
+        from apollo_ray.fixtures import pages_from_documents
+        from apollo_ray.pipelines.dedup import run_dedup
+        docs_t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        pages = ray.data.from_arrow(pages_from_documents(docs_t))
+        out = run_dedup(pages, DedupConfig(feature_dim_log2=14),
+                        num_partitions=16, with_communities=True)
+        comm = out["communities"].to_pandas()
+        clus = out["clusters"].to_pandas()
+        cc_sizes = clus.groupby("cc_id")["doc_id"].count()
+        fat_docs = clus[clus["cc_id"].map(cc_sizes) >= 2]
+        docs_unique = int(comm["doc_id"].is_unique)
+        merged = comm.merge(clus, on="doc_id", suffixes=("_comm", "_cl"))
+        cc_match = int(len(merged) == len(comm)
+                       and (merged["cc_id_comm"]
+                            == merged["cc_id_cl"]).all())
+        coverage = int(set(comm["doc_id"]) == set(fat_docs["doc_id"]))
+        pairs = comm[comm["cc_id"].map(cc_sizes) == 2]
+        pg = pairs.groupby("cc_id")
+        pair_rule = int(
+            ((pg["community_id"].nunique() == 1).all()
+             and (pg["community_id"].min()
+                  == pg["doc_id"].min()).all())
+            if len(pairs) else 1)
+        within = int((comm.groupby("community_id")["cc_id"]
+                      .nunique() == 1).all())
+        return pa.table({
+            "docs_unique": pa.array([docs_unique], type=pa.int64()),
+            "cc_match": pa.array([cc_match], type=pa.int64()),
+            "coverage": pa.array([coverage], type=pa.int64()),
+            "pair_rule": pa.array([pair_rule], type=pa.int64()),
+            "community_within_cc": pa.array([within], type=pa.int64()),
+        })
+
     def q_soft_near_dedup_invariants(sf_dir):
         """Invariant bundle for the soft near-dedup weights (the LSH
         cluster labels are not SQL-expressible; the SQL-checkable
@@ -1488,6 +1548,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pq_encode(_embeddings(sf_dir), m=4, k=8, iters=2)
 
     return {
+        "paragraph_dedup": q_paragraph_dedup,
+        "lang_budget_sample": q_lang_budget_sample,
+        "html_tag_stats": q_html_tag_stats,
+        "quantile_filter": q_quantile_filter,
+        "term_blocklist": q_term_blocklist,
+        "strip_boilerplate": q_strip_boilerplate,
+        "soft_dedup_weights": q_soft_dedup_weights,
+        "heavy_hitters": q_heavy_hitters,
+        "canonical_urls": q_canonical_urls,
+        "url_host_stats": q_url_host_stats,
+        "mirror_hosts": q_mirror_hosts,
+        "per_host_topk": q_per_host_topk,
+        "extract_links": q_extract_links,
+        "link_host_counts": q_link_host_counts,
+        "code_detect": q_code_detect,
+        "anchor_texts": q_anchor_texts,
+        "host_pagerank": q_host_pagerank,
+        "embedding_stats": q_embedding_stats,
+        "kmeans_assign_k8": q_kmeans_assign_k8,
+        "pq_codes": q_pq_codes,
+        "feature_hash_embed": q_feature_hash_embed,
+        "snapshot_diff": q_snapshot_diff,
+        "dedup_tier_rollup": q_dedup_tier_rollup,
+        "dedup_tier_rollup_sem": q_dedup_tier_rollup_sem,
+        "pii_stats": q_pii_stats,
+        "redact_pii": q_redact_pii,
+        "semdedup": q_semdedup,
+        "stratified_sample": q_stratified_sample,
+        "temperature_sample_a0": q_temperature_sample,
+        "corpus_stats": q_corpus_stats,
+        "top_terms_lang": q_top_terms,
+        "length_quantiles": q_length_quantiles,
+        "pricing_summary": q_pricing_summary,
+        "forecast_revenue": q_forecast_revenue,
+        "top_revenue_orders": q_top_revenue_orders,
+        "order_priority_counts": q_order_priority_counts,
+        "customer_order_dist": q_customer_order_dist,
+        "regional_revenue": q_regional_revenue,
+        "promo_revenue": q_promo_revenue,
+        "ppl_buckets": q_ppl_buckets,
+        "token_ntile_buckets": q_token_ntile,
+        "unigram_score": q_unigram_score,
+        "unigram_score_cap16": q_unigram_score_cap16,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bigram_score": q_bigram_score,
+        "communities_invariants": q_communities_invariants,
+        "minhash_dedup_clusters": q_minhash_clusters,
+        "minhash_dedup_invariants": q_minhash_invariants,
+        "minhash_cluster_stats": q_minhash_cluster_stats,
         "embedding_quantize": q_embedding_quantize,
         "encoding_quality": q_encoding_quality,
         "readability": q_readability,
@@ -1529,9 +1638,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_label_counts": q_emb_label_counts,
         "ann_close_pairs": q_ann_close,
         "emb_dup_pairs": q_emb_dup_pairs,
-        "minhash_dedup_clusters": q_minhash_clusters,
-        "minhash_dedup_invariants": q_minhash_invariants,
-        "minhash_cluster_stats": q_minhash_cluster_stats,
         "soft_near_dedup_invariants": q_soft_near_dedup_invariants,
         "simhash_pairs": q_simhash_pairs,
         "minhash_signatures": q_minhash_signatures,
@@ -1542,13 +1648,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q_repetition_stats,
         "c4_clean": q_c4_clean,
         "line_dedup": q_line_dedup,
-        "paragraph_dedup": q_paragraph_dedup,
-        "lang_budget_sample": q_lang_budget_sample,
-        "html_tag_stats": q_html_tag_stats,
-        "quantile_filter": q_quantile_filter,
-        "term_blocklist": q_term_blocklist,
-        "strip_boilerplate": q_strip_boilerplate,
-        "soft_dedup_weights": q_soft_dedup_weights,
         "bpe_token_counts": q_bpe_token_counts,
         "asof_purchase": q_asof_purchase,
         "purchase_window": q_purchase_window,
@@ -1559,46 +1658,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct_text": q_kmv_distinct,
         "hll_distinct_text": q_hll_distinct,
         "cms_token_counts": q_cms_counts,
-        "heavy_hitters": q_heavy_hitters,
-        "canonical_urls": q_canonical_urls,
-        "url_host_stats": q_url_host_stats,
-        "mirror_hosts": q_mirror_hosts,
-        "per_host_topk": q_per_host_topk,
-        "extract_links": q_extract_links,
-        "link_host_counts": q_link_host_counts,
-        "code_detect": q_code_detect,
-        "anchor_texts": q_anchor_texts,
-        "host_pagerank": q_host_pagerank,
-        "embedding_stats": q_embedding_stats,
-        "kmeans_assign_k8": q_kmeans_assign_k8,
-        "pq_codes": q_pq_codes,
-        "feature_hash_embed": q_feature_hash_embed,
-        "snapshot_diff": q_snapshot_diff,
-        "dedup_tier_rollup": q_dedup_tier_rollup,
-        "dedup_tier_rollup_sem": q_dedup_tier_rollup_sem,
         "leakage_safe_splits": q_leakage_splits,
         "sliding_window_stats": q_sliding_window,
-        "pii_stats": q_pii_stats,
-        "redact_pii": q_redact_pii,
-        "semdedup": q_semdedup,
-        "stratified_sample": q_stratified_sample,
-        "temperature_sample_a0": q_temperature_sample,
-        "corpus_stats": q_corpus_stats,
-        "top_terms_lang": q_top_terms,
-        "length_quantiles": q_length_quantiles,
-        "pricing_summary": q_pricing_summary,
-        "forecast_revenue": q_forecast_revenue,
-        "top_revenue_orders": q_top_revenue_orders,
-        "order_priority_counts": q_order_priority_counts,
-        "customer_order_dist": q_customer_order_dist,
-        "regional_revenue": q_regional_revenue,
-        "promo_revenue": q_promo_revenue,
-        "ppl_buckets": q_ppl_buckets,
-        "token_ntile_buckets": q_token_ntile,
-        "unigram_score": q_unigram_score,
-        "unigram_score_cap16": q_unigram_score_cap16,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "bigram_score": q_bigram_score,
     }
 
 
@@ -2078,6 +2139,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS BIGINT) AS mass_ok,
                    CAST(1 AS BIGINT) AS bounds_ok
             FROM documents
+        """,
+        "communities_invariants": """
+            SELECT CAST(1 AS BIGINT) AS docs_unique,
+                   CAST(1 AS BIGINT) AS cc_match,
+                   CAST(1 AS BIGINT) AS coverage,
+                   CAST(1 AS BIGINT) AS pair_rule,
+                   CAST(1 AS BIGINT) AS community_within_cc
         """,
         "decontam_overlap": r"""
             WITH tok AS (

@@ -13,7 +13,8 @@ sys.path.insert(0, "/root/repo")
 SF = "/root/testdata/sf0.001"
 FAST_QUERIES = ["exact_dedup_groups", "lang_stats", "token_counts",
                 "quality_stats", "docfreq", "shingle_counts",
-                "emb_label_counts", "ann_close_pairs", "emb_dup_pairs"]
+                "emb_label_counts", "ann_close_pairs", "emb_dup_pairs",
+                "communities_invariants"]
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -50,8 +51,11 @@ def test_query_oracle_keys_consistent():
 def test_query_matches_oracle(name, con, ray_session):
     import __ray_entry__ as e
     mine = e.queries()[name](SF)
+    import pyarrow as pa
     import ray.data as rd
     if isinstance(mine, rd.Dataset):
+        mine = mine.to_pandas()
+    elif isinstance(mine, pa.Table):
         mine = mine.to_pandas()
     mine = canon(mine)
     theirs = canon(con.execute(e.oracle_sql()[name]).fetchdf())
