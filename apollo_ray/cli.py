@@ -6,6 +6,7 @@ of a chain of Cassandra-glued batch jobs.
     python -m apollo_ray.cli reset  --ckpt /tmp/ckpt [--stages bands,edges]
     python -m apollo_ray.cli query  --input pages/ --ckpt /tmp/ckpt --file probe.txt [--precise]
     python -m apollo_ray.cli report --ckpt /tmp/ckpt
+    python -m apollo_ray.cli evalcc --ckpt /tmp/ckpt [--threshold 0.8]
 
 ``run`` resumes from per-stage Parquet checkpoints; ``reset`` is the
 ``resetdb`` analog (``apollo/cassandra_utils.py:59-86``, including the
@@ -276,6 +277,27 @@ def cmd_report(args) -> int:
     return 0
 
 
+def cmd_evalcc(args) -> int:
+    """Community fitness metrics over a checkpointed run — the
+    reference's ``evalcc`` command (``apollo/__main__.py:194-207`` ->
+    ``apollo/graph.py:380-412``): pairwise weighted-Jaccard misses and
+    squared-loss below the configured threshold, per community and
+    reduced to corpus totals.  Reads the ``communities`` and ``bags``
+    stage checkpoints written by ``run --communities``."""
+    import ray
+    from apollo_ray.sources.io import read_stage
+    from apollo_ray.stages.evalcc import evaluate_communities
+    owns = _init_ray(args.num_cpus, getattr(args, "address", "local"))
+    cfg = _cfg_from_args(args)
+    comms = read_stage(args.ckpt, "communities")
+    bags = read_stage(args.ckpt, "bags")
+    out = evaluate_communities(comms, bags, cfg)
+    print(json.dumps(out))
+    if owns:
+        ray.shutdown()
+    return 0
+
+
 def cmd_stats(args) -> int:
     """One-shot corpus health report over a documents-shaped parquet
     dir: per-source duplication rate, per-lang volume, Zipf vocabulary
@@ -526,6 +548,10 @@ def main(argv=None) -> int:
     sp = sub.add_parser("report")
     common(sp)
     sp.set_defaults(handler=cmd_report)
+
+    sp = sub.add_parser("evalcc")
+    common(sp)
+    sp.set_defaults(handler=cmd_evalcc)
 
     sp = sub.add_parser("stats")
     sp.add_argument("--input", required=True,

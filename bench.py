@@ -105,6 +105,19 @@ def bench_once() -> dict:
     n_clusters = out["clusters"].to_pandas()["cc_id"].nunique()
     queries["dedup_pipeline"] = round(headline, 3)
 
+    # communities tier over the flagship output (untimed by the
+    # headline: with_communities changes the e2e number series kept
+    # since round 2, so it gets its own entry)
+    from apollo_ray.stages.communities_stage import detect_communities
+    t0 = time.monotonic()
+    comms = detect_communities(
+        out["clusters"], out["bands"].select_columns(["doc_id", "bucket"]),
+        cfg, algorithm=cfg.community_algorithm,
+        num_partitions=max(16, NUM_CPUS * 2))
+    comms.count()
+    communities_sec = round(time.monotonic() - t0, 3)
+    queries["communities"] = communities_sec
+
     # representative operator queries over the driver testdata
     import __ray_entry__ as entrymod
     qs = entrymod.queries()
@@ -144,8 +157,9 @@ def bench_once() -> dict:
         "bench_rows": BENCH_ROWS,
         "docs_per_sec": round(BENCH_ROWS / headline, 1),
         "n_clusters": int(n_clusters),
-        "stage_sec": {k: v for k, v in out["metrics"].items()
-                      if k.endswith("_sec")},
+        "stage_sec": dict(
+            {k: v for k, v in out["metrics"].items()
+             if k.endswith("_sec")}, communities_sec=communities_sec),
     }
     ray.shutdown()
     return result

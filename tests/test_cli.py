@@ -103,3 +103,29 @@ def test_cli_stats(tmp_path, capsys, ray_session):
     assert srcs["s2"]["dup_ppm"] == 0
     assert {r["lang"] for r in out["langs"]} == {"en", "de"}
     assert sum(r["n_tokens"] for r in out["token_freq_log2_hist"]) == 5
+
+
+def test_cli_evalcc(tmp_path, capsys, ray_session):
+    """``evalcc`` renders the community fitness metrics of
+    ``apollo/graph.py:349-377`` over a checkpointed ``run
+    --communities``."""
+    from apollo_ray.cli import main
+    from apollo_ray.fixtures import generate_pages
+
+    pages_dir = tmp_path / "pages"
+    pages_dir.mkdir()
+    pages_t, _ = generate_pages(200)
+    pq.write_table(pages_t, str(pages_dir / "part-0.parquet"))
+    ckpt = str(tmp_path / "ckpt")
+
+    assert main(["run", "--input", str(pages_dir), "--ckpt", ckpt,
+                 "--feature-dim-log2", "12", "--communities"]) == 0
+    capsys.readouterr()
+    assert main(["evalcc", "--ckpt", ckpt,
+                 "--feature-dim-log2", "12"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["n_communities"] >= 1
+    assert out["total_pairs"] >= out["total_misses"] >= 0
+    assert 0.0 <= out["avg_normalized_misses"] <= 1.0
+    # a missing communities ckpt is the documented clean error path
+    assert main(["evalcc", "--ckpt", str(tmp_path / "nope")]) == 2
