@@ -899,7 +899,9 @@ def pq_encode(embeddings: "ray.data.Dataset", m: int = 4, k: int = 8,
     Everything is integer-exact and SQL-reproducible: inputs quantize
     to milli-units (``floor(x*1000+0.5)`` on the float64-widened
     value, the ``kmeans_assign`` rule), codebooks start from the
-    ``k`` smallest-id vectors' subvectors, assignment is int64
+    ``k`` globally-smallest-id vectors' subvectors (a distributed
+    partial min-k, so non-contiguous / non-zero-based id domains
+    seed the full k codewords), assignment is int64
     squared-L2 argmin with lowest-code tie-break, and the Lloyd
     update is truncating integer division (DuckDB ``//`` semantics;
     empty codewords keep their previous centroid).  ``iters`` update
@@ -913,10 +915,14 @@ def pq_encode(embeddings: "ray.data.Dataset", m: int = 4, k: int = 8,
     the driver exactly like ``semdedup``'s streaming float32 Lloyd;
     the final encode is a pure map.
     """
+    # seeds = the k globally SMALLEST vec_ids (works for any id
+    # domain, not just 0-based contiguous): per-batch partial min-k,
+    # then the global min-k over the <= k-per-block survivors
     def seed_rows(batch: pa.Table) -> pa.Table:
-        mask = pc.less(batch.column(id_col).cast(pa.int64()),
-                       pa.scalar(k, type=pa.int64()))
-        return batch.filter(mask)
+        if batch.num_rows > k:
+            ids = np.asarray(batch.column(id_col).cast(pa.int64()))
+            batch = batch.take(pa.array(np.argsort(ids)[:k]))
+        return batch
 
     seeds = embeddings.map_batches(seed_rows,
                                    batch_format="pyarrow").take_all()
@@ -927,6 +933,7 @@ def pq_encode(embeddings: "ray.data.Dataset", m: int = 4, k: int = 8,
     if not seeds:
         return ray.data.from_arrow(empty)
     seeds.sort(key=lambda r: r[id_col])
+    seeds = seeds[:k]
     smat = np.floor(np.asarray(
         [np.asarray(r[col], dtype=np.float64) for r in seeds])
         * 1000.0 + 0.5).astype(np.int64)
@@ -1034,7 +1041,9 @@ def pq_encode_sql(m: int = 4, k: int = 8, iters: int = 2,
                    generate_subscripts(embedding, 1) - 1 AS dim
             FROM %s) d),
     c0 AS MATERIALIZED (
-      SELECT sub, vec_id AS cid, sdim, v FROM q WHERE vec_id < %d)"""
+      SELECT sub, vec_id AS cid, sdim, v FROM q
+      WHERE vec_id IN (SELECT DISTINCT vec_id FROM q
+                       ORDER BY vec_id LIMIT %d))"""
               % (ds, ds, table, k)]
     step = """
     d%(i)d AS MATERIALIZED (

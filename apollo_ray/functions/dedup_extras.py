@@ -627,7 +627,10 @@ def minhash_lsh_clusters(docs: "ray.data.Dataset", k: int = 3,
                      batch_format="pyarrow")
     ids_only = docs.select_columns(["doc_id"])
 
-    n_labels = cc.count()
+    # n_labels is only consulted on the broadcast/auto branch; forcing
+    # method="hashjoin" must not pay an extra execution of the CC
+    # pipeline just to count a number it never reads
+    n_labels = cc.count() if method != "hashjoin" else None
     if method == "broadcast" or (method == "auto"
                                  and n_labels <= label_broadcast_max):
         if n_labels > label_broadcast_max:
@@ -727,8 +730,23 @@ def minhash_lsh_clusters_sql(k: int = 3, n_perm: int = 16,
                          GROUP BY s.u) nb ON nb.node = n.node
               LEFT JOIN l%d pj ON pj.node = n.comp)""" % (i, i - 1,
                                                           i - 1, i - 1))
-    return "WITH %s SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS cluster_id FROM documents d LEFT JOIN l%d l ON l.node = d.doc_id" % (
-        ",".join(parts), iters)
+    # convergence guard: the unrolled horizon covers diameter < 2**iters;
+    # on a (hypothetical) wider component the last round would still be
+    # moving labels and the oracle would silently mislabel — make that
+    # loud instead: error() unless the final round was a fixpoint
+    parts.append("""
+            conv AS MATERIALIZED (
+              SELECT CASE WHEN (SELECT count(*) FROM l%d a
+                                JOIN l%d b ON a.node = b.node
+                                WHERE a.comp <> b.comp) = 0
+                     THEN 1 ELSE CAST(error(
+                       'minhash_lsh_clusters oracle: label propagation '
+                       'not converged after %d rounds; raise iters')
+                       AS INT) END AS ok)""" % (iters, iters - 1, iters))
+    return ("WITH %s SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS "
+            "cluster_id FROM documents d LEFT JOIN l%d l ON "
+            "l.node = d.doc_id CROSS JOIN conv WHERE conv.ok = 1" % (
+                ",".join(parts), iters))
 
 
 def md5_simhash_sig(text: str, k: int = 3,

@@ -682,7 +682,16 @@ def host_pagerank(pages: "ray.data.Dataset", text_col: str = "text",
     absolute extracted ``href`` (same RE2/authority rule as
     :func:`link_host_counts`); relative links and self-edges
     (src == dst, i.e. intra-site navigation) are dropped; edges are
-    DISTINCT pairs.  Iteration is the unnormalized integer recurrence
+    DISTINCT pairs.  Same href parity domain as :func:`extract_links`:
+    the engine's split-on-``href="`` scan and the SQL twin's RE2
+    ``href="([^"]*)"`` agree whenever href VALUES do not themselves
+    contain the literal ``href="`` substring.  KNOWN DIVERGENCE
+    outside that domain (e.g. the malformed ``href="a href="b"``):
+    RE2's non-overlapping scan captures ``a href=`` and consumes the
+    second opener, while the engine drops the unclosed chunk and
+    extracts ``b`` — on messy crawl HTML the engine's reading is the
+    useful one, so the gap is documented rather than papered over
+    (mirrored note on :func:`host_pagerank_sql`).  Iteration is the unnormalized integer recurrence
 
         r'(v) = (1e6 - d) + (d * sum over in-edges(u,v) of
                               floor(r(u) / outdeg(u))) // 1e6
@@ -705,13 +714,19 @@ def host_pagerank(pages: "ray.data.Dataset", text_col: str = "text",
     """
     import ray.data
 
-    from apollo_ray.hashing import hash_utf8, mix_to_partition
+    from apollo_ray.hashing import mix_to_partition
+
+    _EDGES_EMPTY = pa.table({"src": pa.array([], type=pa.string()),
+                             "dst": pa.array([], type=pa.string()),
+                             "pkey": pa.array([], type=pa.int32())})
 
     def emit_edges(batch: pa.Table) -> pa.Table:
         t = batch.column(text_col)
         if isinstance(t, pa.ChunkedArray):
             t = t.combine_chunks()
-        src_host = _host_of(batch.column(url_col)).to_pylist()
+        src_host = _host_of(batch.column(url_col))
+        if isinstance(src_host, pa.ChunkedArray):
+            src_host = src_host.combine_chunks()
         parts = pc.split_pattern(t, _HREF_SEP)
         flat = pc.list_flatten(parts)
         parent = pc.list_parent_indices(parts).to_numpy(
@@ -724,21 +739,28 @@ def host_pagerank(pages: "ray.data.Dataset", text_col: str = "text",
         kept = flat.filter(pa.array(keep))
         kparent = parent[keep]
         url = pc.list_element(pc.split_pattern(kept, '"', max_splits=1), 0)
-        dst = _host_of(url).to_pylist()
-        pairs = {(src_host[p], d) for p, d in zip(kparent.tolist(), dst)
-                 if d is not None and src_host[p] is not None
-                 and src_host[p] != d}
-        if not pairs:
-            return pa.table({"src": pa.array([], type=pa.string()),
-                             "dst": pa.array([], type=pa.string()),
-                             "pkey": pa.array([], type=pa.int32())})
-        src = [p[0] for p in pairs]
-        dstl = [p[1] for p in pairs]
-        h = np.fromiter((hash_utf8(a + "\x00" + b)
-                         for a, b in zip(src, dstl)),
-                        dtype=np.int64, count=len(src))
-        return pa.table({"src": pa.array(src, type=pa.string()),
-                         "dst": pa.array(dstl, type=pa.string()),
+        dst = _host_of(url)
+        src = src_host.take(pa.array(kparent))
+        valid = pc.fill_null(
+            pc.and_(pc.and_(pc.is_valid(src), pc.is_valid(dst)),
+                    pc.invert(pc.equal(src, dst))), False)
+        src = src.filter(valid)
+        dst = dst.filter(valid)
+        if len(src) == 0:
+            return _EDGES_EMPTY
+        # per-batch distinct pairs: exact cython drop_duplicates on
+        # the string columns (the driver loop this replaces built a
+        # Python set per batch); pkey only routes, so a vectorized
+        # deterministic hash of the joined pair serves it
+        import pandas as pd
+        df = pd.DataFrame({
+            "src": src.to_numpy(zero_copy_only=False),
+            "dst": dst.to_numpy(zero_copy_only=False),
+        }).drop_duplicates(ignore_index=True)
+        comb = df["src"] + "\x00" + df["dst"]
+        h = pd.util.hash_array(comb.to_numpy()).view(np.int64)
+        return pa.table({"src": pa.array(df["src"], type=pa.string()),
+                         "dst": pa.array(df["dst"], type=pa.string()),
                          "pkey": pa.array(
                              mix_to_partition(h, num_partitions),
                              type=pa.int32())})
@@ -855,7 +877,12 @@ def host_pagerank_sql(table: str = "documents",
     rules, same distinct-edge + self-loop-drop graph, and ``iters``
     unrolled rounds of the identical integer recurrence (the
     ``d * s`` product runs through HUGEINT, then back to BIGINT —
-    value-equal to the engine's asserted-in-range int64)."""
+    value-equal to the engine's asserted-in-range int64).
+
+    Parity domain caveat: ``regexp_extract_all('href="([^"]*)"')``
+    and the engine's split scan diverge when an href VALUE contains
+    the literal ``href="`` (unclosed attribute) — see the KNOWN
+    DIVERGENCE note on :func:`host_pagerank`."""
     d = int(damping_ppm)
     base = 1_000_000 - d
     hu = _HOST_SQL.format(u="l.url")
@@ -912,7 +939,7 @@ def mirror_hosts(pages: "ray.data.Dataset", url_col: str = "url",
     partition emits capped host pairs; one pair-keyed count exchange.
     Payload text never moves.
     """
-    from apollo_ray.hashing import hash_utf8, mix_to_partition
+    from apollo_ray.hashing import mix_to_partition
     from apollo_ray.kernels.text import _md5_u64
 
     def emit(batch: pa.Table) -> pa.Table:
@@ -933,22 +960,48 @@ def mirror_hosts(pages: "ray.data.Dataset", url_col: str = "url",
                              mix_to_partition(ks, num_partitions),
                              type=pa.int32())})
 
+    _PAIRS_EMPTY = pa.table({"host_a": pa.array([], type=pa.string()),
+                             "host_b": pa.array([], type=pa.string()),
+                             "qkey": pa.array([], type=pa.int32())})
+
     def emit_pairs(group: pa.Table) -> pa.Table:
+        # ragged upper-triangle cross product per content key, fully
+        # vectorized (the segment/repeat/div-mod kernel of
+        # ``jaccard_join.emit_cross``): sort (k, host), cut segments
+        # on k, emit each surviving segment's n*n index grid and keep
+        # i < j — the cap bounds a segment's grid at 64*64 rows.
         import pandas as pd
-        df = group.select(["k", "host"]).to_pandas() \
-            .drop_duplicates()
-        out_a, out_b = [], []
-        for _, sub in df.groupby("k", sort=False):
-            hosts = sorted(sub["host"].tolist())
-            if len(hosts) < 2 or len(hosts) > max_hosts_per_text:
-                continue
-            for i in range(len(hosts)):
-                for j in range(i + 1, len(hosts)):
-                    out_a.append(hosts[i])
-                    out_b.append(hosts[j])
-        h = np.fromiter((hash_utf8(a + "\x00" + b)
-                         for a, b in zip(out_a, out_b)),
-                        dtype=np.int64, count=len(out_a))
+        df = group.select(["k", "host"]).to_pandas().drop_duplicates() \
+            .sort_values(["k", "host"], kind="mergesort",
+                         ignore_index=True)
+        k = df["k"].to_numpy(dtype=np.int64)
+        if len(k) == 0:
+            return _PAIRS_EMPTY
+        hosts = df["host"].to_numpy()
+        new_seg = np.empty(len(k), dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new_seg)
+        n = np.diff(np.append(starts, len(k)))
+        ok = (n >= 2) & (n <= max_hosts_per_text)
+        grid = np.where(ok, n * n, 0)
+        total = int(grid.sum())
+        if total == 0:
+            return _PAIRS_EMPTY
+        out_start = np.concatenate(([0], np.cumsum(grid)[:-1]))
+        live = np.flatnonzero(grid)
+        seg_row = np.repeat(live, grid[live])
+        pos = np.arange(total, dtype=np.int64) - out_start[seg_row]
+        i = pos // n[seg_row]
+        j = pos % n[seg_row]
+        tri = i < j
+        out_a = hosts[starts[seg_row[tri]] + i[tri]]
+        out_b = hosts[starts[seg_row[tri]] + j[tri]]
+        # qkey only routes; exact (host_a, host_b) grouping happens in
+        # count_pairs, so any deterministic vectorized hash works
+        comb = pd.Series(out_a, dtype=object) + "\x00" \
+            + pd.Series(out_b, dtype=object)
+        h = pd.util.hash_array(comb.to_numpy()).view(np.int64)
         return pa.table({"host_a": pa.array(out_a, type=pa.string()),
                          "host_b": pa.array(out_b, type=pa.string()),
                          "qkey": pa.array(

@@ -79,3 +79,18 @@ def test_pq_rejects_bad_split(ray_session):
     t = _emb(n=20, d=10)
     with pytest.raises(ValueError):
         pq_encode(ray.data.from_arrow(t), m=4, k=4).to_pandas()
+
+
+def test_pq_noncontiguous_ids_seed_full_codebook(ray_session):
+    """Seeding takes the k globally smallest ids, so offset /
+    non-contiguous id domains still train all k codewords and stay
+    value-equal to the SQL twin (which uses the same min-k rule)."""
+    t = _emb(n=60, d=8, seed=5)
+    ids = np.arange(60, dtype=np.int64) * 3 + 1000   # 1000, 1003, ...
+    t = t.set_column(0, "vec_id", pa.array(ids))
+    got = _run(t, m=2, k=4, iters=2)
+    exp = _oracle(t, m=2, k=4, iters=2, dim=8)
+    assert len(got) == 60 * 2
+    assert got.equals(exp[got.columns.tolist()])
+    # codeword ids ARE the seed vec_ids — all 4 smallest ids seeded
+    assert set(got["code"].unique()) == {1000, 1003, 1006, 1009}
