@@ -251,11 +251,15 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
         # the fused map emits the salted bucket pkey inline so the
         # edges stage skips one full pass over the band table
         bands_pre_keyed = True
+        # band_id only feeds the per-hashtable bucket_stats gates; the
+        # edge/CC/communities consumers key on the (band-folded)
+        # bucket alone, so skip the column unless stats asked for it
         bands, bands_hit = stage(
             "bands",
             lambda: fused_bands(reps, cfg, df=df, ndocs=ndocs,
                                 pkey=(num_partitions,
-                                      max(1, cfg.bucket_salt))),
+                                      max(1, cfg.bucket_salt)),
+                                emit_band_id=with_stats),
             reps_hit)
     else:
         # staged path: separate checkpoints per artifact (the reference

@@ -66,10 +66,18 @@ def _get_state(cfg: DedupConfig, params_ref, df_ref=None) -> dict:
 def fused_hash_batch(batch: pa.Table, cfg: DedupConfig, params_ref,
                      df_ref=None, ndocs: int = 0,
                      pkey_partitions: int = 0,
-                     pkey_salt: int = 1) -> pa.Table:
+                     pkey_salt: int = 1,
+                     emit_band_id: bool = True) -> pa.Table:
     """``pkey_partitions > 0`` additionally emits the salted bucket
     partition key (identical math to ``edges._add_salted_pkey``) so the
-    downstream bucket groupby needs no extra pass over the band table."""
+    downstream bucket groupby needs no extra pass over the band table.
+
+    ``emit_band_id=False`` drops the ``band_id`` column from the
+    emitted rows: the band index is already folded into the bucket key
+    (``bands.bucket_keys`` leading lane), so the edge/CC/communities
+    consumers never read it — only ``bucket_stats`` (per-hashtable
+    gates) does.  On the checkpoint-free flagship path that removes
+    4 of 24 bytes/row from the corpus-wide bucket shuffle."""
     st = _get_state(cfg, params_ref, df_ref)
     hasher = st["hasher"]
     htnum, band_size = st["band"]
@@ -121,9 +129,11 @@ def fused_hash_batch(batch: pa.Table, cfg: DedupConfig, params_ref,
             idx_flat = np.concatenate(idx_parts)
             w_flat = np.concatenate(w_parts)
     if len(keep_rows) == 0:
-        empty = {"band_id": pa.array([], type=pa.int32()),
-                 "bucket": pa.array([], type=pa.int64()),
-                 "doc_id": pa.array([], type=pa.int64())}
+        empty = {}
+        if emit_band_id:
+            empty["band_id"] = pa.array([], type=pa.int32())
+        empty["bucket"] = pa.array([], type=pa.int64())
+        empty["doc_id"] = pa.array([], type=pa.int64())
         if pkey_partitions > 0:
             empty["pkey"] = pa.array([], type=pa.int32())
         return pa.table(empty)
@@ -142,11 +152,12 @@ def fused_hash_batch(batch: pa.Table, cfg: DedupConfig, params_ref,
     n = len(ids)
     bucket_flat = buckets.T.ravel()
     id_flat = np.tile(ids, htnum)
-    cols = {
-        "band_id": pa.array(np.repeat(np.arange(htnum, dtype=np.int32), n)),
-        "bucket": pa.array(bucket_flat, type=pa.int64()),
-        "doc_id": pa.array(id_flat, type=pa.int64()),
-    }
+    cols = {}
+    if emit_band_id:
+        cols["band_id"] = pa.array(
+            np.repeat(np.arange(htnum, dtype=np.int32), n))
+    cols["bucket"] = pa.array(bucket_flat, type=pa.int64())
+    cols["doc_id"] = pa.array(id_flat, type=pa.int64())
     if pkey_partitions > 0:
         from apollo_ray.hashing import mix_to_partition, splitmix64
         if pkey_salt > 1:
@@ -162,12 +173,14 @@ def fused_hash_batch(batch: pa.Table, cfg: DedupConfig, params_ref,
 
 def fused_bands(reps: "ray.data.Dataset", cfg: DedupConfig,
                 df=None, ndocs: int = 0,
-                pkey: tuple[int, int] | None = None) -> "ray.data.Dataset":
+                pkey: tuple[int, int] | None = None,
+                emit_band_id: bool = True) -> "ray.data.Dataset":
     """``df``/``ndocs``: pass a precomputed docfreq array to avoid a
     second full-corpus scan when the caller already ran one (the
     pipeline computes it once and shares it with ``build_bags``).
     ``pkey=(num_partitions, salt)``: emit the salted bucket partition
-    key inline (see :func:`fused_hash_batch`)."""
+    key inline; ``emit_band_id=False`` drops the redundant band index
+    column (see :func:`fused_hash_batch`)."""
     from apollo_ray.stages.wmh_stage import params_object_ref
     params_ref = params_object_ref(cfg)
     df_ref = None
@@ -178,7 +191,8 @@ def fused_bands(reps: "ray.data.Dataset", cfg: DedupConfig,
             df, ndocs = compute_feature_docfreq(reps, cfg)
         df_ref = ray.put(df)
     kw = {"cfg": cfg, "params_ref": params_ref,
-          "df_ref": df_ref, "ndocs": ndocs}
+          "df_ref": df_ref, "ndocs": ndocs,
+          "emit_band_id": emit_band_id}
     if pkey is not None:
         kw["pkey_partitions"], kw["pkey_salt"] = pkey
     return reps.map_batches(
