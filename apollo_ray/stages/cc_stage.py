@@ -169,12 +169,15 @@ def _driver_union_find(edges: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 DRIVER_CC_MAX_EDGES = 5_000_000
+# assign_clusters' node->root broadcast fast path bound (star edges
+# are exactly the non-root duplicate docs; ~80 MB at the cap)
+LABEL_BROADCAST_MAX = 5_000_000
 
 
 def connected_components(edges: "ray.data.Dataset",
                          num_partitions: int = 64,
                          max_rounds: int = 50,
-                         driver_max_edges: int = DRIVER_CC_MAX_EDGES
+                         driver_max_edges: int | None = None
                          ) -> "ray.data.Dataset":
     """edges (u, v) -> star edges (node, cc_root) for every non-root node.
 
@@ -191,7 +194,13 @@ def connected_components(edges: "ray.data.Dataset",
     fails the ``y > x`` emit filter and cannot change ``min(N(x) ∪
     {x})``), so an orientation sweep before counting would be a pure
     extra pass + materialize over the edge table.
+
+    ``driver_max_edges=None`` reads the module constant at call time
+    (so the all-distributed bench mode can force every driver fast
+    path off by patching the constants — see bench.py).
     """
+    if driver_max_edges is None:
+        driver_max_edges = DRIVER_CC_MAX_EDGES
     cur = edges.materialize()
     n_edges = cur.count()
     if n_edges == 0:
@@ -276,7 +285,7 @@ def assign_clusters(all_docs: "ray.data.Dataset",
         n_labels = final_edges.count()
     except Exception:
         n_labels = None
-    if n_labels is not None and n_labels <= 5_000_000:
+    if n_labels is not None and n_labels <= LABEL_BROADCAST_MAX:
         import ray
         df = final_edges.to_pandas()
         if len(df):

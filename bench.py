@@ -67,10 +67,31 @@ def ensure_fixture(n_rows: int) -> str:
     return path
 
 
+def _maybe_force_distributed() -> bool:
+    """``GRAFT_FORCE_DISTRIBUTED=1``: zero every driver-side fast-path
+    cap so the pipeline runs the same all-distributed code it would on
+    a corpus too large for any driver-resident state — the membership
+    election becomes a groupby exchange, exact-collapse falls to the
+    full-payload shuffle, connected components runs the star rounds,
+    and cluster labeling goes through the union+groupby path.  Used to
+    measure the weak-scaling ratio WITHOUT the driver-serial metadata
+    Amdahl term (BENCH/BASELINE.md round-4 table)."""
+    if not os.environ.get("GRAFT_FORCE_DISTRIBUTED"):
+        return False
+    import apollo_ray.stages.bags as bags_mod
+    import apollo_ray.stages.cc_stage as cc_mod
+    bags_mod.DRIVER_MEMBERSHIP_MAX_ROWS = 0
+    bags_mod.BROADCAST_COLLAPSE_MAX_DUPS = 0
+    cc_mod.DRIVER_CC_MAX_EDGES = 0
+    cc_mod.LABEL_BROADCAST_MAX = 0
+    return True
+
+
 def bench_once() -> dict:
     import ray
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              logging_level="ERROR")
+    forced = _maybe_force_distributed()
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
@@ -161,6 +182,8 @@ def bench_once() -> dict:
             {k: v for k, v in out["metrics"].items()
              if k.endswith("_sec")}, communities_sec=communities_sec),
     }
+    if forced:
+        result["force_distributed"] = True
     ray.shutdown()
     return result
 
