@@ -31,6 +31,12 @@ from apollo_ray.config import DedupConfig
 from apollo_ray.kernels.communities import (build_linear_edges,
                                             build_quadratic_edges, detect)
 
+# cap on the broadcast (doc_id -> cc_id) label map in
+# detect_communities (80 MB at the cap); above it the attach runs as
+# a pkey hash join.  Module-level so the all-distributed bench mode
+# can zero it (bench._maybe_force_distributed).
+LABEL_BROADCAST_MAX = 5_000_000
+
 
 def detect_communities(clusters: "ray.data.Dataset",
                        memberships: "ray.data.Dataset",
@@ -38,7 +44,9 @@ def detect_communities(clusters: "ray.data.Dataset",
                        algorithm: str = "label_propagation",
                        edges: str = "linear",
                        num_partitions: int | None = None,
-                       max_quadratic_pairs: int = 200_000
+                       max_quadratic_pairs: int = 200_000,
+                       biclique_shortcut: bool = True,
+                       label_broadcast_max: int | None = None
                        ) -> "ray.data.Dataset":
     """clusters (doc_id, cc_id) x memberships (doc_id, bucket) ->
     (doc_id, cc_id, community_id).
@@ -48,13 +56,76 @@ def detect_communities(clusters: "ray.data.Dataset",
     ``linear`` builds the doc<->bucket bipartite graph with artificial
     bucket vertices (``apollo/graph.py:222-233``), ``quadratic``
     all-pairs-within-bucket doc edges (``apollo/graph.py:234-249``,
-    O(n^2) per bucket — capped at ``max_quadratic_pairs`` per CC)."""
+    O(n^2) per bucket — capped at ``max_quadratic_pairs`` per CC).
+
+    ``biclique_shortcut``: a CC whose every doc belongs to every one
+    of its buckets (membership rows == n_docs * n_buckets; rows are
+    structurally distinct — the band index is folded into the bucket
+    key, so one doc emits one row per band) is a complete biclique,
+    on which walktrap, LPA and the igraph algorithms all return ONE
+    community labeled min(doc_id) — the dominant shape for tight
+    near-dup clusters that agree on all bands.  The shortcut skips
+    graph construction + detection for those CCs; equivalence is
+    pinned by tests (kernel-level biclique pin + a stage-level
+    shortcut-on == shortcut-off comparison on mixed topologies)."""
     from apollo_ray.hashing import mix_to_partition
-    from apollo_ray.util import hash_join
-    non_trivial = clusters  # singletons drop out of the inner join below
-    mem = hash_join(memberships, non_trivial, on=("doc_id",),
-                    num_partitions=num_partitions)
     n_parts = num_partitions or 64
+    if label_broadcast_max is None:
+        label_broadcast_max = LABEL_BROADCAST_MAX
+
+    # Attach cc_id to the membership rows.  Below the broadcast cap
+    # the (doc_id -> cc_id) label map rides one ray.put and the
+    # attach+singleton-filter+pkey all fuse into ONE map pass over the
+    # band table — no join exchange, and rows of size-1 components
+    # (the vast majority of a dedup corpus) never enter the shuffle at
+    # all (per_partition would only drop them after the exchange).
+    # Above the cap: the pkey hash join, as before (the 100-TB route).
+    mem = None
+    try:
+        n_labels = clusters.count()
+    except Exception:
+        n_labels = None
+    if n_labels is not None and n_labels <= label_broadcast_max:
+        import pandas as pd
+        import ray as _ray
+        cdf = clusters.select_columns(["doc_id", "cc_id"]).to_pandas()
+        d_arr = cdf["doc_id"].to_numpy(dtype=np.int64)
+        c_arr = cdf["cc_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(d_arr, kind="mergesort")
+        d_sorted, c_sorted = d_arr[order], c_arr[order]
+        cc_counts = pd.Series(c_arr).value_counts()
+        fat_sorted = np.sort(
+            cc_counts.index.to_numpy(dtype=np.int64)[
+                cc_counts.to_numpy() >= 2])
+        ref = _ray.put((d_sorted, c_sorted, fat_sorted))
+
+        def attach_and_key(batch: pa.Table) -> pa.Table:
+            ds, cs, fat = _ray.get(ref)
+            d = np.asarray(batch.column("doc_id"), dtype=np.int64)
+            cc = d.copy()
+            if len(ds):
+                pos = np.minimum(np.searchsorted(ds, d), len(ds) - 1)
+                hit = ds[pos] == d
+                cc[hit] = cs[pos[hit]]
+            keep = np.zeros(len(cc), dtype=bool)
+            if len(fat):
+                fpos = np.minimum(np.searchsorted(fat, cc), len(fat) - 1)
+                keep = fat[fpos] == cc
+            sub = batch.filter(pa.array(keep))
+            cc_k = cc[keep]
+            return pa.table({
+                "doc_id": sub.column("doc_id").cast(pa.int64()),
+                "bucket": sub.column("bucket").cast(pa.int64()),
+                "cc_id": pa.array(cc_k, type=pa.int64()),
+                "pkey": pa.array(mix_to_partition(cc_k, n_parts),
+                                 type=pa.int32())})
+
+        keyed = memberships.map_batches(attach_and_key,
+                                        batch_format="pyarrow")
+    else:
+        from apollo_ray.util import hash_join
+        mem = hash_join(memberships, clusters, on=("doc_id",),
+                        num_partitions=num_partitions)
 
     def _one_cc(cc_id: int, docs: np.ndarray, buckets: np.ndarray,
                 out_d: list, out_c: list, out_m: list) -> None:
@@ -65,6 +136,13 @@ def detect_communities(clusters: "ray.data.Dataset",
             out_d.append(uniq.astype(np.int64))
             out_c.append(np.full(2, cc_id, dtype=np.int64))
             out_m.append(np.full(2, uniq.min(), dtype=np.int64))
+            return
+        if (biclique_shortcut and edges == "linear"
+                and len(docs) == len(uniq) * len(np.unique(buckets))):
+            # complete biclique -> one community labeled min doc
+            out_d.append(uniq.astype(np.int64))
+            out_c.append(np.full(len(uniq), cc_id, dtype=np.int64))
+            out_m.append(np.full(len(uniq), uniq.min(), dtype=np.int64))
             return
         if edges == "quadratic":
             eu, ev = build_quadratic_edges(docs, buckets,
@@ -122,8 +200,10 @@ def detect_communities(clusters: "ray.data.Dataset",
             "community_id": pa.array(np.concatenate(out_m), type=pa.int64()),
         })
 
-    return mem.map_batches(add_pkey, batch_format="pyarrow") \
-        .groupby("pkey").map_groups(per_partition, batch_format="pyarrow")
+    if mem is not None:   # hash-join route: key by cc after the join
+        keyed = mem.map_batches(add_pkey, batch_format="pyarrow")
+    return keyed.groupby("pkey").map_groups(per_partition,
+                                            batch_format="pyarrow")
 
 
 def community_size_stats(communities: "ray.data.Dataset") -> dict:

@@ -80,10 +80,12 @@ def _maybe_force_distributed() -> bool:
         return False
     import apollo_ray.stages.bags as bags_mod
     import apollo_ray.stages.cc_stage as cc_mod
+    import apollo_ray.stages.communities_stage as comm_mod
     bags_mod.DRIVER_MEMBERSHIP_MAX_ROWS = 0
     bags_mod.BROADCAST_COLLAPSE_MAX_DUPS = 0
     cc_mod.DRIVER_CC_MAX_EDGES = 0
     cc_mod.LABEL_BROADCAST_MAX = 0
+    comm_mod.LABEL_BROADCAST_MAX = 0
     return True
 
 

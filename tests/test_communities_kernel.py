@@ -157,3 +157,20 @@ def test_walktrap_weighted_bipartite_linear_mode():
     assert docs[1] == docs[2] == docs[3]
     assert docs[11] == docs[12] == docs[13]
     assert docs[1] != docs[11]
+
+
+def test_complete_biclique_is_one_min_labeled_community():
+    """Pin for the stage-level biclique shortcut: on a complete
+    doc<->bucket biclique, walktrap AND label propagation both return
+    exactly one doc community labeled min(doc_id)."""
+    import numpy as np
+    from apollo_ray.kernels.communities import build_linear_edges, detect
+    for nd in (3, 8, 33, 64):
+        for nb in (1, 2, 9):
+            docs = np.repeat(np.arange(100, 100 + nd, dtype=np.int64), nb)
+            bks = np.tile(np.arange(nb, dtype=np.int64), nd)
+            eu, ev, w = build_linear_edges(docs, bks)
+            for alg in ("walktrap", "label_propagation"):
+                labels = detect(eu, ev, w, algorithm=alg)
+                got = {l for d, l in labels.items() if 100 <= d < 100 + nd}
+                assert got == {100}, (alg, nd, nb, got)

@@ -364,3 +364,45 @@ def test_salted_bucket_edges_connectivity_equivalent(ray_session):
     b = salted["clusters"].to_pandas().sort_values("doc_id")
     assert (a["doc_id"].to_numpy() == b["doc_id"].to_numpy()).all()
     assert (a["cc_id"].to_numpy() == b["cc_id"].to_numpy()).all()
+
+
+def test_biclique_shortcut_equals_full_detection(small_run):
+    """The complete-biclique fast path must not change any community
+    assignment: run detect_communities with the shortcut on and off
+    over the real fixture (mixed tight/loose CC topologies) and
+    compare row-for-row."""
+    from apollo_ray.stages.communities_stage import detect_communities
+    pages_t, cfg, out = small_run
+    kw = dict(algorithm=cfg.community_algorithm)
+    on = detect_communities(
+        out["clusters"].materialize(),
+        out["bands"].select_columns(["doc_id", "bucket"]).materialize(),
+        cfg, biclique_shortcut=True, **kw).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    off = detect_communities(
+        out["clusters"].materialize(),
+        out["bands"].select_columns(["doc_id", "bucket"]).materialize(),
+        cfg, biclique_shortcut=False, **kw).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert on.equals(off)
+    assert len(on) > 0
+
+
+def test_communities_broadcast_equals_hashjoin(small_run):
+    """The broadcast label-attach fast path (one ray.put + fused
+    attach/filter/pkey map, singletons pre-filtered) must emit exactly
+    the hash-join route's communities."""
+    from apollo_ray.stages.communities_stage import detect_communities
+    pages_t, cfg, out = small_run
+    kw = dict(algorithm=cfg.community_algorithm)
+    bc = detect_communities(
+        out["clusters"].materialize(),
+        out["bands"].select_columns(["doc_id", "bucket"]).materialize(),
+        cfg, **kw).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    hj = detect_communities(
+        out["clusters"].materialize(),
+        out["bands"].select_columns(["doc_id", "bucket"]).materialize(),
+        cfg, label_broadcast_max=0, **kw).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert bc.equals(hj)
+    assert len(bc) > 0
