@@ -506,6 +506,21 @@ def _promo_revenue_sql_entry() -> str:
     return promo_revenue_sql()
 
 
+def _priority_dedup_sql_entry() -> str:
+    from apollo_ray.functions.merge import priority_dedup_sql
+    return priority_dedup_sql(priority=("src7", "src3"))
+
+
+def _normalized_exact_dedup_sql_entry() -> str:
+    from apollo_ray.functions.merge import normalized_exact_dedup_sql
+    return normalized_exact_dedup_sql()
+
+
+def _bbit_minhash_pairs_sql_entry() -> str:
+    from apollo_ray.functions.dedup_extras import bbit_minhash_pairs_sql
+    return bbit_minhash_pairs_sql()
+
+
 def _docs(sf_dir: str):
     import ray.data
     return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -1547,6 +1562,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from apollo_ray.functions.ann import pq_encode
         return pq_encode(_embeddings(sf_dir), m=4, k=8, iters=2)
 
+    def q_priority_dedup(sf_dir):
+        """Multi-source merge: per distinct text keep the copy from
+        the highest-priority source (listed best-first; unlisted rank
+        after, by source string), then min doc_id."""
+        from apollo_ray.functions.merge import priority_dedup
+        return priority_dedup(_docs(sf_dir), priority=("src7", "src3"))
+
+    def q_normalized_exact_dedup(sf_dir):
+        """ccnet-style normalize-then-hash exact dedup tier: groups by
+        canonicalized text (NFC + line endings + control strip +
+        whitespace collapse), reporting the distinct raw variants each
+        normalized group merged."""
+        from apollo_ray.functions.merge import normalized_exact_dedup
+        return normalized_exact_dedup(_docs(sf_dir))
+
+    def q_bbit_minhash_pairs(sf_dir):
+        """1-bit MinHash similarity estimates (Li & Koenig 2010) for
+        every LSH-co-bucketed pair — the 32x-compressed sketch tier,
+        integer-exact estimator."""
+        return dedup_extras.bbit_minhash_pairs(_docs(sf_dir))
+
     return {
         "paragraph_dedup": q_paragraph_dedup,
         "lang_budget_sample": q_lang_budget_sample,
@@ -1660,6 +1696,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_token_counts": q_cms_counts,
         "leakage_safe_splits": q_leakage_splits,
         "sliding_window_stats": q_sliding_window,
+        # round-4 additions: appended AFTER the frozen front-50 so the
+        # driver's CORRECTNESS window keeps covering the backlog
+        "priority_dedup": q_priority_dedup,
+        "normalized_exact_dedup": q_normalized_exact_dedup,
+        "bbit_minhash_pairs": q_bbit_minhash_pairs,
     }
 
 
@@ -2295,4 +2336,7 @@ def oracle_sql() -> dict[str, str]:
               AND round(CAST(list_cosine_similarity(a.embedding, b.embedding)
                              AS DOUBLE), 3) >= 0.3
         """,
+        "priority_dedup": _priority_dedup_sql_entry(),
+        "normalized_exact_dedup": _normalized_exact_dedup_sql_entry(),
+        "bbit_minhash_pairs": _bbit_minhash_pairs_sql_entry(),
     }

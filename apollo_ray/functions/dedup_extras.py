@@ -1283,3 +1283,179 @@ def source_overlap_sql(k: int = 3, group_col: str = "source",
         FROM sh a JOIN sh b ON a.s = b.s AND a.src <= b.src
         GROUP BY a.src, b.src
     """
+
+
+def bbit_minhash_pairs(docs: "ray.data.Dataset", k: int = 3,
+                       n_perm: int = 16, band_r: int = 4, seed: int = 42,
+                       max_bucket: int = 64, num_partitions: int = 32
+                       ) -> "ray.data.Dataset":
+    """(doc_a, doc_b, n_agree, est_ppm) — 1-bit MinHash similarity
+    estimates (Li & Koenig 2010, "b-Bit Minwise Hashing") for every
+    LSH-co-bucketed candidate pair: keep only the LOWEST bit of each
+    of the ``n_perm`` MinHash samples (a 32x signature compression at
+    sketch-storage scale) and estimate Jaccard from the bit-agreement
+    rate, ``est_ppm = max(0, (2*n_agree - n_perm) * 1e6 // n_perm)``
+    (the b=1 estimator with the C-correction dropped — negligible at a
+    2^32 hash universe).  Candidates come from the same exact-tuple
+    banding as :func:`minhash_lsh_clusters`; buckets larger than
+    ``max_bucket`` are skipped on both sides (skew rule).
+
+    Scale shape: the doc's packed ``n_perm``-bit mask rides each band
+    row (8 bytes), so pair emission computes the estimate LOCALLY from
+    the two masks — no second join against a signature table; one
+    pair-keyed exchange dedups pairs found by multiple bands.
+    All-integer, value-exact in SQL (:func:`bbit_minhash_pairs_sql`).
+    """
+    from apollo_ray.kernels.minhash import generate_minhash_params
+    if n_perm % band_r != 0:
+        raise ValueError("band_r must divide n_perm")
+    if n_perm > 63:
+        raise ValueError("n_perm must fit a packed int64 mask")
+    n_bands = n_perm // band_r
+    params = generate_minhash_params(n_perm, seed)
+    sig_cols = ["s%d" % i for i in range(band_r)]
+
+    def emit_bands(batch: pa.Table) -> pa.Table:
+        ids, sigs = _batch_minhash_sigs(batch, k, params)
+        if ids is None:
+            cols = {"doc_id": pa.array([], type=pa.int64()),
+                    "band": pa.array([], type=pa.int32()),
+                    "mask": pa.array([], type=pa.int64())}
+            for c in sig_cols:
+                cols[c] = pa.array([], type=pa.int64())
+            cols["pkey"] = pa.array([], type=pa.int32())
+            return pa.table(cols)
+        n = len(ids)
+        bits = (sigs & 1).astype(np.int64)
+        mask = (bits << np.arange(n_perm, dtype=np.int64)[None, :]) \
+            .sum(axis=1)
+        parts = []
+        for b in range(n_bands):
+            cols = {"doc_id": pa.array(ids, type=pa.int64()),
+                    "band": pa.array(np.full(n, b, dtype=np.int32),
+                                     type=pa.int32()),
+                    "mask": pa.array(mask, type=pa.int64())}
+            mix = np.full(n, b, dtype=np.uint64)
+            for i, c in enumerate(sig_cols):
+                s = sigs[:, b * band_r + i]
+                cols[c] = pa.array(s.astype(np.int64), type=pa.int64())
+                mix = pair_mix(mix, s)
+            cols["pkey"] = pa.array(
+                mix_to_partition(mix, num_partitions), type=pa.int32())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    _POP = np.unpackbits(
+        np.arange(256, dtype=np.uint8)[:, None].view(np.uint8),
+        axis=1).sum(axis=1).astype(np.int64)
+
+    def _popcount64(x: np.ndarray) -> np.ndarray:
+        v = x.view(np.uint64)
+        out = np.zeros(len(x), dtype=np.int64)
+        for sh in range(0, 64, 8):
+            out += _POP[((v >> np.uint64(sh)) & np.uint64(0xFF))
+                        .astype(np.int64)]
+        return out
+
+    _EMPTY = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                       "doc_b": pa.array([], type=pa.int64()),
+                       "n_agree": pa.array([], type=pa.int64()),
+                       "est_ppm": pa.array([], type=pa.int64()),
+                       "qkey": pa.array([], type=pa.int32())})
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        cols = [np.asarray(group.column(c), dtype=np.int64)
+                for c in ["band"] + sig_cols]
+        d = np.asarray(group.column("doc_id"), dtype=np.int64)
+        if len(d) == 0:
+            return _EMPTY
+        m = np.asarray(group.column("mask"), dtype=np.int64)
+        order = np.lexsort((d,) + tuple(reversed(cols)))
+        cs = [c[order] for c in cols]
+        ds, ms = d[order], m[order]
+        new = np.zeros(len(ds), dtype=bool)
+        new[0] = True
+        for c in cs:
+            new[1:] |= c[1:] != c[:-1]
+        starts = np.flatnonzero(new)
+        n = np.diff(np.append(starts, len(ds)))
+        ok = (n >= 2) & (n <= max_bucket)
+        grid = np.where(ok, n * n, 0)
+        total = int(grid.sum())
+        if total == 0:
+            return _EMPTY
+        out_start = np.concatenate(([0], np.cumsum(grid)[:-1]))
+        live = np.flatnonzero(grid)
+        seg_row = np.repeat(live, grid[live])
+        pos = np.arange(total, dtype=np.int64) - out_start[seg_row]
+        i = pos // n[seg_row]
+        j = pos % n[seg_row]
+        tri = i < j
+        ai = starts[seg_row[tri]] + i[tri]
+        bi = starts[seg_row[tri]] + j[tri]
+        u, v = ds[ai], ds[bi]
+        # doc ids within a bucket are sorted (lexsort tiebreak) -> u < v
+        agree = n_perm - _popcount64(ms[ai] ^ ms[bi])
+        est = np.maximum(0, (2 * agree - n_perm) * 1_000_000 // n_perm)
+        # same pair from different bands carries identical values;
+        # dedup locally then globally by pair key
+        key = pair_mix(u, v).astype(np.int64)
+        _, idx = np.unique(key, return_index=True)
+        return pa.table({
+            "doc_a": pa.array(u[idx], type=pa.int64()),
+            "doc_b": pa.array(v[idx], type=pa.int64()),
+            "n_agree": pa.array(agree[idx], type=pa.int64()),
+            "est_ppm": pa.array(est[idx], type=pa.int64()),
+            "qkey": pa.array(mix_to_partition(key[idx], num_partitions),
+                             type=pa.int32())})
+
+    def dedup_pairs(group: pa.Table) -> pa.Table:
+        u = np.asarray(group.column("doc_a"), dtype=np.int64)
+        if len(u) == 0:
+            return _EMPTY.drop_columns(["qkey"])
+        v = np.asarray(group.column("doc_b"), dtype=np.int64)
+        a = np.asarray(group.column("n_agree"), dtype=np.int64)
+        e = np.asarray(group.column("est_ppm"), dtype=np.int64)
+        _, idx = np.unique(pair_mix(u, v), return_index=True)
+        return pa.table({"doc_a": pa.array(u[idx], type=pa.int64()),
+                         "doc_b": pa.array(v[idx], type=pa.int64()),
+                         "n_agree": pa.array(a[idx], type=pa.int64()),
+                         "est_ppm": pa.array(e[idx], type=pa.int64())})
+
+    return docs.map_batches(emit_bands, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(emit_pairs, batch_format="pyarrow") \
+        .groupby("qkey").map_groups(dedup_pairs, batch_format="pyarrow")
+
+
+def bbit_minhash_pairs_sql(k: int = 3, n_perm: int = 16, band_r: int = 4,
+                           seed: int = 42, max_bucket: int = 64) -> str:
+    """DuckDB oracle for :func:`bbit_minhash_pairs`: shared signature
+    CTEs, exact-tuple banding via ordered ``string_agg``, co-bucket
+    pairs in the [2, max_bucket] band, then bit-agreement counts and
+    the identical integer estimator."""
+    body = _minhash_sig_ctes(k, n_perm, seed)
+    return f"""WITH {body},
+        bnd AS MATERIALIZED (
+          SELECT doc_id, j // {band_r} AS band,
+                 string_agg(CAST(sig AS VARCHAR), ',' ORDER BY j) AS key
+          FROM sig GROUP BY doc_id, j // {band_r}),
+        sized AS MATERIALIZED (
+          SELECT band, key, count(*) AS n FROM bnd GROUP BY band, key),
+        pr AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+          FROM bnd a JOIN bnd b ON a.band = b.band AND a.key = b.key
+                     AND a.doc_id < b.doc_id
+          JOIN sized s ON s.band = a.band AND s.key = a.key
+          WHERE s.n BETWEEN 2 AND {max_bucket})
+        SELECT p.u AS doc_a, p.v AS doc_b,
+               CAST(sum(CASE WHEN sa.sig % 2 = sb.sig % 2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+               CAST(greatest(0,
+                 (2 * sum(CASE WHEN sa.sig % 2 = sb.sig % 2
+                               THEN 1 ELSE 0 END) - {n_perm})
+                 * 1000000 // {n_perm}) AS BIGINT) AS est_ppm
+        FROM pr p
+        JOIN sig sa ON sa.doc_id = p.u
+        JOIN sig sb ON sb.doc_id = p.v AND sb.j = sa.j
+        GROUP BY p.u, p.v
+    """
