@@ -120,7 +120,9 @@ def cmd_curate(args) -> int:
         cut_winnow_w=args.winnow_w,
         redact_pii=args.redact_pii,
         drop_code=args.drop_code,
-        keep_rule=args.keep_rule)
+        keep_rule=args.keep_rule,
+        priority_hosts=tuple(h for h in args.priority_hosts.split(",") if h)
+        if getattr(args, "priority_hosts", "") else ())
     pages = read_pages(args.input)
     out = curate_corpus(pages, cfg, ccfg)
     curated = out["curated"]
@@ -461,8 +463,12 @@ def main(argv=None) -> int:
                     help="drop code-flagged docs (lexical code "
                          "detector) during the quality filter")
     sp.add_argument("--keep-rule", default="min_id",
-                    choices=("min_id", "longest"),
+                    choices=("min_id", "longest", "priority"),
                     help="representative election per near-dup cluster")
+    sp.add_argument("--priority-hosts", default="",
+                    help="comma list of hosts best-first for "
+                         "--keep-rule priority (unlisted hosts rank "
+                         "after every listed one)")
     sp.add_argument("--cut-substrings-min-len", type=int, default=0,
                     help="cut cross-doc duplicated substrings >= this length")
     sp.add_argument("--winnow-w", type=int, default=None)

@@ -82,10 +82,15 @@ class CurateConfig:
     # the prose-corpus routing decision; code goes to its own pile.
     drop_code: bool = False
     # representative election per near-dup cluster: "min_id" (the
-    # reference's deterministic choice) or "longest" (keep the doc
+    # reference's deterministic choice), "longest" (keep the doc
     # with the most characters — the usual production keep rule, so a
-    # truncated mirror never shadows the full page; doc_id ties).
+    # truncated mirror never shadows the full page; doc_id ties), or
+    # "priority" (keep the copy from the best-ranked HOST per
+    # ``priority_hosts``, listed best-first, unlisted hosts after —
+    # the best-provenance rule when curated domains mix with mirrors;
+    # doc_id ties).
     keep_rule: str = "min_id"
+    priority_hosts: tuple = ()
 
 
 def clean_filter_docs(docs: "ray.data.Dataset", ccfg: CurateConfig
@@ -275,9 +280,22 @@ def curate_corpus(pages: "ray.data.Dataset", cfg: DedupConfig,
                 "score": pc.utf8_length(batch.column("text")).cast(
                     pa.int64()).fill_null(0)})
         scores = kept.map_batches(score_of, batch_format="pyarrow")
+    elif ccfg.keep_rule == "priority":
+        from apollo_ray.functions.urls import _host_of
+        prio = {h: i for i, h in enumerate(ccfg.priority_hosts)}
+        n_listed = len(prio)
+
+        def prio_score(batch: pa.Table) -> pa.Table:
+            hosts = _host_of(batch.column("url")).to_pylist()
+            sc = [n_listed - prio.get(h, n_listed) for h in hosts]
+            return pa.table({
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "score": pa.array(sc, type=pa.int64())})
+
+        scores = kept.map_batches(prio_score, batch_format="pyarrow")
     elif ccfg.keep_rule != "min_id":
-        raise ValueError("keep_rule must be 'min_id' or 'longest', got %r"
-                         % (ccfg.keep_rule,))
+        raise ValueError("keep_rule must be 'min_id', 'longest' or "
+                         "'priority', got %r" % (ccfg.keep_rule,))
     reps = cluster_representatives(res["clusters"], num_partitions,
                                    scores=scores)
     n_reps = reps.count()

@@ -161,7 +161,8 @@ def bench_once() -> dict:
         "paragraph_dedup", "lang_budget_sample", "html_tag_stats",
         "quantile_filter", "term_blocklist", "feature_hash_embed",
         "snapshot_diff", "anchor_texts", "minhash_lsh_clusters",
-        "host_pagerank", "mirror_hosts", "pq_codes")
+        "host_pagerank", "mirror_hosts", "pq_codes",
+        "priority_dedup", "normalized_exact_dedup", "bbit_minhash_pairs")
     for name in qnames:
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

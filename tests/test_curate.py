@@ -269,3 +269,32 @@ def test_curate_drop_code(ray_session):
     ccfg2 = CurateConfig(clean_lines=False, min_tokens=1)
     out2 = clean_filter_docs(ray.data.from_arrow(docs), ccfg2).to_pandas()
     assert sorted(out2.doc_id.tolist()) == [1, 2]
+
+
+def test_priority_keep_rule(ray_session):
+    """keep_rule='priority': the near-dup cluster representative is
+    the doc from the best-ranked HOST (listed best-first), not the
+    min doc_id."""
+    import ray.data as rd
+    rng = np.random.default_rng(11)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    base = " ".join(rng.choice(words, 80))
+    pages = rd.from_arrow(pa.table({
+        # same content on a mirror host and on the curated host; the
+        # mirror's url hashes to whatever doc_id — priority must win
+        # regardless of id order
+        "url": pa.array(["http://mirror.example/a",
+                         "http://curated.example/a",
+                         "http://other.example/b"]),
+        "lang": pa.array(["en"] * 3),
+        "text": pa.array([base, base, " ".join(rng.choice(words, 60))]),
+    }))
+    cfg = DedupConfig(feature_dim_log2=12)
+    ccfg = CurateConfig(clean_lines=False, min_tokens=5,
+                        keep_rule="priority",
+                        priority_hosts=("curated.example",))
+    out = curate_corpus(pages, cfg, ccfg)
+    kept = out["curated"].to_pandas()
+    assert len(kept) == 2
+    hosts = {u.split("/")[2] for u in kept["url"]}
+    assert hosts == {"curated.example", "other.example"}
