@@ -380,6 +380,17 @@ def cmd_stats(args) -> int:
     out["code_docs"] = fold_counts(code_detect(docs), {
         "n": lambda b: pc.sum(pc.cast(b.column("is_code"), pa.int64()))
         .as_py() or 0})["n"]
+    # PII exposure counts (emails/phones/ips/ssn-like — what a
+    # redaction pass would touch) and the corpus's heavy-hitter
+    # tokens: the round-3 operators an ops user reads first
+    from apollo_ray.functions.pii import pii_stats
+    out["pii_docs"] = fold_counts(pii_stats(docs), {
+        "with_email": npos("n_email"), "with_phone": npos("n_phone"),
+        "with_ip": npos("n_ipv4")})
+    from apollo_ray.functions.sketch import heavy_hitters
+    hh = heavy_hitters(docs, phi_ppm=20_000).to_pandas()
+    hh = hh.sort_values(["n", "token"], ascending=[False, True]).head(10)
+    out["heavy_hitter_tokens"] = hh.to_dict("records")
     out["n_docs"] = docs.count()
     print(json.dumps(out, default=int))
     if owns:
