@@ -279,6 +279,26 @@ def cmd_report(args) -> int:
     return 0
 
 
+def cmd_dumpcc(args) -> int:
+    """Dump raw connected components to stdout, one line per CC of
+    space-joined member urls sorted by cc id — the ``dumpcc`` analog
+    (``apollo/graph.py:151-157``; the reference prints
+    ``id_to_element`` names per component the same way)."""
+    import ray
+    from apollo_ray.sources.io import read_stage
+    from apollo_ray.util import hash_join
+    owns = _init_ray(args.num_cpus, getattr(args, "address", "local"))
+    clusters = read_stage(args.ckpt, "clusters")
+    docs = read_stage(args.ckpt, "docs").select_columns(["doc_id", "url"])
+    df = hash_join(clusters, docs, on=("doc_id",)).to_pandas()
+    for _, grp in df.sort_values(["cc_id", "doc_id"]).groupby(
+            "cc_id", sort=True):
+        print(" ".join(grp["url"]))
+    if owns:
+        ray.shutdown()
+    return 0
+
+
 def cmd_evalcc(args) -> int:
     """Community fitness metrics over a checkpointed run — the
     reference's ``evalcc`` command (``apollo/__main__.py:194-207`` ->
@@ -569,6 +589,10 @@ def main(argv=None) -> int:
     sp = sub.add_parser("evalcc")
     common(sp)
     sp.set_defaults(handler=cmd_evalcc)
+
+    sp = sub.add_parser("dumpcc")
+    common(sp)
+    sp.set_defaults(handler=cmd_dumpcc)
 
     sp = sub.add_parser("stats")
     sp.add_argument("--input", required=True,

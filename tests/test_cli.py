@@ -129,3 +129,25 @@ def test_cli_evalcc(tmp_path, capsys, ray_session):
     assert 0.0 <= out["avg_normalized_misses"] <= 1.0
     # a missing communities ckpt is the documented clean error path
     assert main(["evalcc", "--ckpt", str(tmp_path / "nope")]) == 2
+
+
+def test_cli_dumpcc(tmp_path, capsys, ray_session):
+    """``dumpcc`` prints one line of space-joined member urls per CC
+    (``apollo/graph.py:151-157`` parity)."""
+    from apollo_ray.cli import main
+    from apollo_ray.fixtures import generate_pages
+
+    pages_dir = tmp_path / "pages"
+    pages_dir.mkdir()
+    pages_t, _ = generate_pages(200)
+    pq.write_table(pages_t, str(pages_dir / "part-0.parquet"))
+    ckpt = str(tmp_path / "ckpt")
+    assert main(["run", "--input", str(pages_dir), "--ckpt", ckpt,
+                 "--feature-dim-log2", "12"]) == 0
+    capsys.readouterr()
+    assert main(["dumpcc", "--ckpt", ckpt]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) >= 1
+    # every line is a CC: urls, space-joined
+    n_urls = sum(len(l.split()) for l in lines)
+    assert n_urls == 200
