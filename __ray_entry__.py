@@ -521,6 +521,12 @@ def _bbit_minhash_pairs_sql_entry() -> str:
     return bbit_minhash_pairs_sql()
 
 
+def _ivfpq_topk_sql_entry() -> str:
+    from apollo_ray.functions.ann import ivfpq_topk_sql
+    return ivfpq_topk_sql(query_ids=list(range(8)), k_out=5, n_coarse=8,
+                          m=4, k_pq=8, iters=1, nprobe=2, dim=64)
+
+
 def _docs(sf_dir: str):
     import ray.data
     return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -1583,6 +1589,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         integer-exact estimator."""
         return dedup_extras.bbit_minhash_pairs(_docs(sf_dir))
 
+    def q_ivfpq_topk(sf_dir):
+        """IVF-PQ approximate top-k (Jegou et al. 2011): coarse cells
+        + nprobe scan + ADC codebook lookups, all integer milli-unit
+        arithmetic — the billion-scale ANN index layout, value-exact
+        in SQL."""
+        from apollo_ray.functions.ann import ivfpq_topk
+        return ivfpq_topk(_embeddings(sf_dir), query_ids=list(range(8)),
+                          k_out=5, n_coarse=8, m=4, k_pq=8, iters=1,
+                          nprobe=2)
+
     return {
         "paragraph_dedup": q_paragraph_dedup,
         "lang_budget_sample": q_lang_budget_sample,
@@ -1640,6 +1656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_dedup": q_priority_dedup,
         "normalized_exact_dedup": q_normalized_exact_dedup,
         "bbit_minhash_pairs": q_bbit_minhash_pairs,
+        "ivfpq_topk": q_ivfpq_topk,
         "embedding_quantize": q_embedding_quantize,
         "encoding_quality": q_encoding_quality,
         "readability": q_readability,
@@ -2341,4 +2358,5 @@ def oracle_sql() -> dict[str, str]:
         "priority_dedup": _priority_dedup_sql_entry(),
         "normalized_exact_dedup": _normalized_exact_dedup_sql_entry(),
         "bbit_minhash_pairs": _bbit_minhash_pairs_sql_entry(),
+        "ivfpq_topk": _ivfpq_topk_sql_entry(),
     }

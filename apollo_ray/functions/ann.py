@@ -885,6 +885,92 @@ def _trunc_div(s: np.ndarray, n: np.ndarray) -> np.ndarray:
     return np.sign(s) * (np.abs(s) // np.maximum(n, 1))
 
 
+def _pq_assign_sub(q: np.ndarray, cent: np.ndarray) -> tuple:
+    """Integer squared-L2 argmin of subvectors vs one codebook;
+    first min == lowest code (ties)."""
+    d2 = ((q * q).sum(axis=1, keepdims=True)
+          + (cent * cent).sum(axis=1)[None, :]
+          - 2 * (q @ cent.T))
+    best = d2.argmin(axis=1)
+    return best, d2[np.arange(len(best)), best]
+
+
+def _pq_train(embeddings: "ray.data.Dataset", m: int, k: int, iters: int,
+              col: str = "embedding", id_col: str = "vec_id"):
+    """Train the product-quantization codebooks (shared by
+    :func:`pq_encode` and :func:`ivfpq_topk`): seeds = the k globally
+    SMALLEST vec_ids (per-batch partial min-k, then the global min-k
+    over the <= k-per-block survivors — works for any id domain),
+    then ``iters`` integer Lloyd rounds (per-batch partial sums,
+    truncating-division update, empty codewords keep their centroid).
+    Returns ``(cids, cents, ds)`` or None on an empty input."""
+    def seed_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows > k:
+            ids = np.asarray(batch.column(id_col).cast(pa.int64()))
+            batch = batch.take(pa.array(np.argsort(ids)[:k]))
+        return batch
+
+    seeds = embeddings.map_batches(seed_rows,
+                                   batch_format="pyarrow").take_all()
+    if not seeds:
+        return None
+    seeds.sort(key=lambda r: r[id_col])
+    seeds = seeds[:k]
+    smat = np.floor(np.asarray(
+        [np.asarray(r[col], dtype=np.float64) for r in seeds])
+        * 1000.0 + 0.5).astype(np.int64)
+    cids = np.asarray([r[id_col] for r in seeds], dtype=np.int64)
+    d = smat.shape[1]
+    if d % m != 0:
+        raise ValueError("m must divide the embedding dim")
+    ds = d // m
+    # cents[j]: (k, ds) codebook of subspace j
+    cents = np.stack([smat[:, j * ds:(j + 1) * ds] for j in range(m)])
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+            c = _ray.get(ref)
+            cols = {"sub": [], "cid": [], "sdim": [], "s": [], "n": []}
+            if batch.num_rows:
+                x = _batch_matrix(batch, col)
+                q = np.floor(x * 1000.0 + 0.5).astype(np.int64)
+                for j in range(m):
+                    qj = q[:, j * ds:(j + 1) * ds]
+                    best, _d = _pq_assign_sub(qj, c[j])
+                    for ci in range(k):
+                        rows = qj[best == ci]
+                        if not len(rows):
+                            continue
+                        cols["sub"].extend([j] * ds)
+                        cols["cid"].extend([ci] * ds)
+                        cols["sdim"].extend(range(ds))
+                        cols["s"].extend(rows.sum(axis=0).tolist())
+                        cols["n"].extend([len(rows)] * ds)
+            return pa.table({
+                "sub": pa.array(cols["sub"], type=pa.int64()),
+                "cid": pa.array(cols["cid"], type=pa.int64()),
+                "sdim": pa.array(cols["sdim"], type=pa.int64()),
+                "s": pa.array(cols["s"], type=pa.int64()),
+                "n": pa.array(cols["n"], type=pa.int64())})
+
+        pr = embeddings.map_batches(partial,
+                                    batch_format="pyarrow").to_pandas()
+        new = cents.copy()
+        if len(pr):
+            agg = pr.groupby(["sub", "cid", "sdim"], sort=False) \
+                .agg(s=("s", "sum"), n=("n", "sum")).reset_index()
+            # n is constant across sdim within (sub, cid); trunc-div
+            v = _trunc_div(agg["s"].to_numpy(dtype=np.int64),
+                           agg["n"].to_numpy(dtype=np.int64))
+            new[agg["sub"].to_numpy(), agg["cid"].to_numpy(),
+                agg["sdim"].to_numpy()] = v
+        cents = new
+    return cids, cents, ds
+
+
 def pq_encode(embeddings: "ray.data.Dataset", m: int = 4, k: int = 8,
               iters: int = 2, col: str = "embedding",
               id_col: str = "vec_id") -> "ray.data.Dataset":
@@ -915,85 +1001,14 @@ def pq_encode(embeddings: "ray.data.Dataset", m: int = 4, k: int = 8,
     the driver exactly like ``semdedup``'s streaming float32 Lloyd;
     the final encode is a pure map.
     """
-    # seeds = the k globally SMALLEST vec_ids (works for any id
-    # domain, not just 0-based contiguous): per-batch partial min-k,
-    # then the global min-k over the <= k-per-block survivors
-    def seed_rows(batch: pa.Table) -> pa.Table:
-        if batch.num_rows > k:
-            ids = np.asarray(batch.column(id_col).cast(pa.int64()))
-            batch = batch.take(pa.array(np.argsort(ids)[:k]))
-        return batch
-
-    seeds = embeddings.map_batches(seed_rows,
-                                   batch_format="pyarrow").take_all()
+    trained = _pq_train(embeddings, m, k, iters, col=col, id_col=id_col)
     empty = pa.table({id_col: pa.array([], type=pa.int64()),
                       "subspace": pa.array([], type=pa.int64()),
                       "code": pa.array([], type=pa.int64()),
                       "dist_mu2": pa.array([], type=pa.int64())})
-    if not seeds:
+    if trained is None:
         return ray.data.from_arrow(empty)
-    seeds.sort(key=lambda r: r[id_col])
-    seeds = seeds[:k]
-    smat = np.floor(np.asarray(
-        [np.asarray(r[col], dtype=np.float64) for r in seeds])
-        * 1000.0 + 0.5).astype(np.int64)
-    cids = np.asarray([r[id_col] for r in seeds], dtype=np.int64)
-    d = smat.shape[1]
-    if d % m != 0:
-        raise ValueError("m must divide the embedding dim")
-    ds = d // m
-    # cents[j]: (k, ds) codebook of subspace j
-    cents = np.stack([smat[:, j * ds:(j + 1) * ds] for j in range(m)])
-
-    def _assign_sub(q: np.ndarray, cent: np.ndarray) -> tuple:
-        d2 = ((q * q).sum(axis=1, keepdims=True)
-              + (cent * cent).sum(axis=1)[None, :]
-              - 2 * (q @ cent.T))
-        best = d2.argmin(axis=1)       # first min == lowest code
-        return best, d2[np.arange(len(best)), best]
-
-    for _ in range(iters):
-        ref = ray.put(cents)
-
-        def partial(batch: pa.Table) -> pa.Table:
-            import ray as _ray
-            c = _ray.get(ref)
-            cols = {"sub": [], "cid": [], "sdim": [], "s": [], "n": []}
-            if batch.num_rows:
-                x = _batch_matrix(batch, col)
-                q = np.floor(x * 1000.0 + 0.5).astype(np.int64)
-                for j in range(m):
-                    qj = q[:, j * ds:(j + 1) * ds]
-                    best, _d = _assign_sub(qj, c[j])
-                    for ci in range(k):
-                        rows = qj[best == ci]
-                        if not len(rows):
-                            continue
-                        cols["sub"].extend([j] * ds)
-                        cols["cid"].extend([ci] * ds)
-                        cols["sdim"].extend(range(ds))
-                        cols["s"].extend(rows.sum(axis=0).tolist())
-                        cols["n"].extend([len(rows)] * ds)
-            return pa.table({
-                "sub": pa.array(cols["sub"], type=pa.int64()),
-                "cid": pa.array(cols["cid"], type=pa.int64()),
-                "sdim": pa.array(cols["sdim"], type=pa.int64()),
-                "s": pa.array(cols["s"], type=pa.int64()),
-                "n": pa.array(cols["n"], type=pa.int64())})
-
-        pr = embeddings.map_batches(partial,
-                                    batch_format="pyarrow").to_pandas()
-        new = cents.copy()
-        if len(pr):
-            agg = pr.groupby(["sub", "cid", "sdim"], sort=False) \
-                .agg(s=("s", "sum"), n=("n", "sum")).reset_index()
-            # n is constant across sdim within (sub, cid); trunc-div
-            v = _trunc_div(agg["s"].to_numpy(dtype=np.int64),
-                           agg["n"].to_numpy(dtype=np.int64))
-            new[agg["sub"].to_numpy(), agg["cid"].to_numpy(),
-                agg["sdim"].to_numpy()] = v
-        cents = new
-
+    cids, cents, ds = trained
     ref = ray.put(cents)
 
     def encode(batch: pa.Table) -> pa.Table:
@@ -1007,7 +1022,7 @@ def pq_encode(embeddings: "ray.data.Dataset", m: int = 4, k: int = 8,
             zero_copy_only=False)
         parts = []
         for j in range(m):
-            best, dist = _assign_sub(q[:, j * ds:(j + 1) * ds], c[j])
+            best, dist = _pq_assign_sub(q[:, j * ds:(j + 1) * ds], c[j])
             parts.append(pa.table({
                 id_col: pa.array(ids, type=pa.int64()),
                 "subspace": pa.array(np.full(len(ids), j, np.int64),
@@ -1031,6 +1046,28 @@ def pq_encode_sql(m: int = 4, k: int = 8, iters: int = 2,
     CTEs — unrolled fixpoints explode exponentially otherwise).
     ``dim`` is the embedding width (the engine reads it off the
     batch; SQL needs it literal to compute the subspace split)."""
+    pieces = _pq_sql_pieces(m, k, iters, dim, table)
+    fin = """
+    df AS MATERIALIZED (
+      SELECT t.vec_id, t.sub, c.cid,
+             sum((t.v - c.v) * (t.v - c.v)) AS dist
+      FROM q t JOIN c%d c ON c.sub = t.sub AND c.sdim = t.sdim
+      GROUP BY t.vec_id, t.sub, c.cid)
+    SELECT vec_id, sub AS subspace, cid AS code,
+           CAST(dist AS BIGINT) AS dist_mu2
+    FROM (SELECT vec_id, sub, cid, dist,
+                 row_number() OVER (PARTITION BY vec_id, sub
+                                    ORDER BY dist, cid) AS rn
+          FROM df) WHERE rn = 1""" % iters
+    return "WITH " + ",".join(pieces) + "," + fin
+
+
+def _pq_sql_pieces(m: int, k: int, iters: int, dim: int,
+                   table: str) -> list:
+    """The shared PQ WITH-body pieces (milli-unit ``q``, seed ``c0``,
+    Lloyd rounds up to ``c{iters}``) used by :func:`pq_encode_sql`
+    and :func:`ivfpq_topk_sql` — single source of truth for the
+    oracle text."""
     if dim % m != 0:
         raise ValueError("m must divide dim")
     ds = dim // m
@@ -1067,16 +1104,199 @@ def pq_encode_sql(m: int = 4, k: int = 8, iters: int = 2,
       ON u.sub = c.sub AND u.cid = c.cid AND u.sdim = c.sdim)"""
     for i in range(1, iters + 1):
         pieces.append(step % {"i": i, "p": i - 1})
-    fin = """
-    df AS MATERIALIZED (
-      SELECT t.vec_id, t.sub, c.cid,
-             sum((t.v - c.v) * (t.v - c.v)) AS dist
-      FROM q t JOIN c%d c ON c.sub = t.sub AND c.sdim = t.sdim
-      GROUP BY t.vec_id, t.sub, c.cid)
-    SELECT vec_id, sub AS subspace, cid AS code,
-           CAST(dist AS BIGINT) AS dist_mu2
-    FROM (SELECT vec_id, sub, cid, dist,
-                 row_number() OVER (PARTITION BY vec_id, sub
-                                    ORDER BY dist, cid) AS rn
-          FROM df) WHERE rn = 1""" % iters
-    return "WITH " + ",".join(pieces) + "," + fin
+    return pieces
+
+
+def ivfpq_topk(embeddings: "ray.data.Dataset", query_ids: list[int],
+               k_out: int = 5, n_coarse: int = 8, m: int = 4,
+               k_pq: int = 8, iters: int = 1, nprobe: int = 2,
+               col: str = "embedding", id_col: str = "vec_id"
+               ) -> "ray.data.Dataset":
+    """(query_id, vec_id, adc_mu2, rank) — IVF-PQ approximate top-k
+    (Jegou et al. 2011): coarse quantizer buckets the corpus, each
+    query scans only its ``nprobe`` closest cells, and candidate
+    distances are Asymmetric Distance Computation (ADC) lookups into
+    the query's precomputed (m x k_pq) squared-L2 table against the
+    trained PQ codebooks — the memory-flat billion-scale ANN index
+    layout (m bytes + 1 coarse id per vector).
+
+    Simplification vs the paper, documented: codes quantize RAW
+    vectors, not residuals (residual encoding needs per-cell
+    codebooks or a shared rotation; the raw variant keeps every
+    quantity integer-exact in SQL).  Coarse centroids follow the
+    ``kmeans_assign`` seed rule (the ``n_coarse`` smallest-id
+    vectors, one exact assignment step); PQ codebooks are
+    :func:`_pq_train`'s integer Lloyd.  Everything is int64
+    milli-unit arithmetic, so :func:`ivfpq_topk_sql` reproduces the
+    result value-exactly (rank ties broken by vec_id).
+
+    Scale shape: coarse cents + codebooks + per-query LUTs are one
+    tiny ``ray.put`` broadcast; the scan is a single map pass
+    emitting per-batch partial top-k rows per query (<= Q*k_out per
+    BLOCK); one Q-group exchange finishes the exact global top-k.
+    """
+    import ray as _ray
+    coarse = _pq_train(embeddings, 1, n_coarse, 0, col=col, id_col=id_col)
+    pq = _pq_train(embeddings, m, k_pq, iters, col=col, id_col=id_col)
+    empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                      "vec_id": pa.array([], type=pa.int64()),
+                      "adc_mu2": pa.array([], type=pa.int64()),
+                      "rank": pa.array([], type=pa.int64())})
+    if coarse is None or pq is None or not query_ids:
+        return ray.data.from_arrow(empty)
+    ccids, ccents, _d = coarse          # ccents: (1, n_coarse, dim)
+    cmat = ccents[0]                    # (n_coarse, dim)
+    pqids, pqcents, ds = pq             # pqcents: (m, k_pq, ds)
+
+    qwant = np.asarray(sorted(int(q) for q in query_ids), dtype=np.int64)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col).cast(pa.int64()))
+        return batch.filter(pa.array(np.isin(ids, qwant)))
+
+    qrows = embeddings.map_batches(pick, batch_format="pyarrow").take_all()
+    qrows.sort(key=lambda r: r[id_col])
+    if not qrows:
+        return ray.data.from_arrow(empty)
+    qmat = np.floor(np.asarray(
+        [np.asarray(r[col], dtype=np.float64) for r in qrows])
+        * 1000.0 + 0.5).astype(np.int64)
+    qid_arr = np.asarray([r[id_col] for r in qrows], dtype=np.int64)
+    nq = len(qid_arr)
+    # probe cells per query: top-nprobe coarse centroids by (d2, cid)
+    qd2 = ((qmat * qmat).sum(axis=1, keepdims=True)
+           + (cmat * cmat).sum(axis=1)[None, :] - 2 * (qmat @ cmat.T))
+    probes = np.empty((nq, min(nprobe, len(ccids))), dtype=np.int64)
+    for qi in range(nq):
+        o = sorted(range(len(ccids)), key=lambda c: (qd2[qi, c], ccids[c]))
+        probes[qi] = [o[i] for i in range(probes.shape[1])]
+    # ADC lookup tables: lut[qi, j, ci] = d2(q_sub_j, pqcents[j, ci])
+    lut = np.empty((nq, m, pqcents.shape[1]), dtype=np.int64)
+    for j in range(m):
+        qj = qmat[:, j * ds:(j + 1) * ds]
+        cj = pqcents[j]
+        lut[:, j, :] = ((qj * qj).sum(axis=1, keepdims=True)
+                        + (cj * cj).sum(axis=1)[None, :]
+                        - 2 * (qj @ cj.T))
+    ref = _ray.put((qid_arr, probes, lut, cmat, ccids, pqcents))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        qids_, probes_, lut_, cmat_, ccids_, cents_ = _ray.get(ref)
+        if batch.num_rows == 0:
+            return empty
+        x = _batch_matrix(batch, col)
+        v = np.floor(x * 1000.0 + 0.5).astype(np.int64)
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        # coarse cell index per vector (argmin d2, lowest cid ties —
+        # ccids ascending so argmin index == lowest-cid tie-break)
+        cd2 = ((v * v).sum(axis=1, keepdims=True)
+               + (cmat_ * cmat_).sum(axis=1)[None, :] - 2 * (v @ cmat_.T))
+        cell = cd2.argmin(axis=1)
+        # PQ code index per (vector, subspace)
+        codes = np.empty((len(ids), lut_.shape[1]), dtype=np.int64)
+        for j in range(lut_.shape[1]):
+            codes[:, j], _ = _pq_assign_sub(
+                v[:, j * ds:(j + 1) * ds], cents_[j])
+        out_q, out_v, out_a = [], [], []
+        for qi in range(len(qids_)):
+            cand = np.isin(cell, probes_[qi]) & (ids != qids_[qi])
+            if not cand.any():
+                continue
+            adc = lut_[qi][np.arange(lut_.shape[1])[None, :],
+                           codes[cand]].sum(axis=1)
+            cid_c = ids[cand]
+            top = np.lexsort((cid_c, adc))[:k_out]    # partial top-k
+            out_q.append(np.full(len(top), qids_[qi], dtype=np.int64))
+            out_v.append(cid_c[top])
+            out_a.append(adc[top])
+        if not out_q:
+            return empty
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+            "adc_mu2": pa.array(np.concatenate(out_a), type=pa.int64()),
+            "rank": pa.array(np.zeros(sum(len(o) for o in out_q),
+                                      dtype=np.int64), type=pa.int64())})
+
+    def finish(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        q = np.asarray(group.column("query_id"), dtype=np.int64)
+        vid = np.asarray(group.column("vec_id"), dtype=np.int64)
+        adc = np.asarray(group.column("adc_mu2"), dtype=np.int64)
+        top = np.lexsort((vid, adc))[:k_out]
+        return pa.table({
+            "query_id": pa.array(q[top], type=pa.int64()),
+            "vec_id": pa.array(vid[top], type=pa.int64()),
+            "adc_mu2": pa.array(adc[top], type=pa.int64()),
+            "rank": pa.array(np.arange(1, len(top) + 1), type=pa.int64())})
+
+    return embeddings.map_batches(scan, batch_format="pyarrow") \
+        .groupby("query_id").map_groups(finish, batch_format="pyarrow")
+
+
+def ivfpq_topk_sql(query_ids: list[int], k_out: int = 5,
+                   n_coarse: int = 8, m: int = 4, k_pq: int = 8,
+                   iters: int = 1, nprobe: int = 2, dim: int = 64,
+                   table: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`ivfpq_topk`: shared PQ CTE pieces
+    (:func:`_pq_sql_pieces` — single source of truth), a coarse
+    seed-assignment CTE chain (the ``kmeans_assign_sql`` rule over
+    full vectors), per-query probe sets and ADC lookup tables, and
+    the identical (adc, vec_id) rank."""
+    qids = ", ".join(str(int(q)) for q in sorted(query_ids))
+    pieces = _pq_sql_pieces(m, k_pq, iters, dim, table)
+    extra = f"""
+    cs AS MATERIALIZED (
+      SELECT vec_id AS ccid, sub, sdim, v FROM q
+      WHERE vec_id IN (SELECT DISTINCT vec_id FROM q
+                       ORDER BY vec_id LIMIT {n_coarse})),
+    celld AS MATERIALIZED (
+      SELECT t.vec_id, s.ccid,
+             sum((t.v - s.v) * (t.v - s.v)) AS dist
+      FROM q t JOIN cs s ON s.sub = t.sub AND s.sdim = t.sdim
+      GROUP BY t.vec_id, s.ccid),
+    cell AS MATERIALIZED (
+      SELECT vec_id, ccid FROM (
+        SELECT vec_id, ccid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, ccid) AS rn
+        FROM celld) WHERE rn = 1),
+    probe AS MATERIALIZED (
+      SELECT vec_id AS query_id, ccid FROM (
+        SELECT vec_id, ccid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, ccid) AS rn
+        FROM celld WHERE vec_id IN ({qids}))
+      WHERE rn <= {nprobe}),
+    pcode AS MATERIALIZED (
+      SELECT vec_id, sub, cid FROM (
+        SELECT t.vec_id, t.sub, c.cid,
+               row_number() OVER (PARTITION BY t.vec_id, t.sub
+                                  ORDER BY sum((t.v - c.v) * (t.v - c.v)),
+                                           c.cid) AS rn
+        FROM q t JOIN c{iters} c ON c.sub = t.sub AND c.sdim = t.sdim
+        GROUP BY t.vec_id, t.sub, c.cid) WHERE rn = 1),
+    lut AS MATERIALIZED (
+      SELECT t.vec_id AS query_id, c.sub, c.cid,
+             sum((t.v - c.v) * (t.v - c.v)) AS d
+      FROM q t JOIN c{iters} c ON c.sub = t.sub AND c.sdim = t.sdim
+      WHERE t.vec_id IN ({qids})
+      GROUP BY t.vec_id, c.sub, c.cid),
+    adc AS MATERIALIZED (
+      SELECT l.query_id, pc.vec_id, sum(l.d) AS adc
+      FROM pcode pc
+      JOIN lut l ON l.sub = pc.sub AND l.cid = pc.cid
+      JOIN cell ce ON ce.vec_id = pc.vec_id
+      JOIN probe pr ON pr.query_id = l.query_id AND pr.ccid = ce.ccid
+      WHERE pc.vec_id <> l.query_id
+      GROUP BY l.query_id, pc.vec_id)
+    SELECT query_id, vec_id, CAST(adc AS BIGINT) AS adc_mu2,
+           CAST(rn AS BIGINT) AS rank
+    FROM (SELECT query_id, vec_id, adc,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc, vec_id) AS rn
+          FROM adc)
+    WHERE rn <= {k_out}"""
+    return "WITH " + ",".join(pieces) + "," + extra

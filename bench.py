@@ -162,7 +162,8 @@ def bench_once() -> dict:
         "quantile_filter", "term_blocklist", "feature_hash_embed",
         "snapshot_diff", "anchor_texts", "minhash_lsh_clusters",
         "host_pagerank", "mirror_hosts", "pq_codes",
-        "priority_dedup", "normalized_exact_dedup", "bbit_minhash_pairs")
+        "priority_dedup", "normalized_exact_dedup", "bbit_minhash_pairs",
+        "ivfpq_topk")
     for name in qnames:
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

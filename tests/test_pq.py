@@ -94,3 +94,50 @@ def test_pq_noncontiguous_ids_seed_full_codebook(ray_session):
     assert got.equals(exp[got.columns.tolist()])
     # codeword ids ARE the seed vec_ids — all 4 smallest ids seeded
     assert set(got["code"].unique()) == {1000, 1003, 1006, 1009}
+
+
+def _ivfpq_oracle(t: pa.Table, **kw) -> pd.DataFrame:
+    from apollo_ray.functions.ann import ivfpq_topk_sql
+    con = duckdb.connect()
+    con.register("embeddings", t.to_pandas())
+    df = con.execute(ivfpq_topk_sql(**kw)).fetchdf()
+    con.close()
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def test_ivfpq_matches_oracle(ray_session):
+    import ray.data
+    from apollo_ray.functions.ann import ivfpq_topk
+    t = _emb(n=150, d=16, seed=9)
+    kw = dict(k_out=5, n_coarse=6, m=4, k_pq=4, iters=1, nprobe=2)
+    got = ivfpq_topk(ray.data.from_arrow(t), [0, 3, 50, 77], **kw) \
+        .to_pandas().sort_values(["query_id", "rank"]) \
+        .reset_index(drop=True)
+    exp = _ivfpq_oracle(t, query_ids=[0, 3, 50, 77], dim=16, **kw)
+    assert len(got) == 4 * 5
+    assert got.astype("int64").equals(exp[got.columns.tolist()]
+                                      .astype("int64"))
+    # ranks are 1..k per query, adc non-decreasing within a query
+    for _, g in got.groupby("query_id"):
+        assert list(g["rank"]) == list(range(1, 6))
+        assert (np.diff(g["adc_mu2"].to_numpy()) >= 0).all()
+
+
+def test_ivfpq_nprobe_all_matches_flat_pq_order(ray_session):
+    """With nprobe == n_coarse (scan everything) the result is the
+    exact PQ-ADC ranking — IVF pruning only ever REMOVES candidates."""
+    import ray.data
+    from apollo_ray.functions.ann import ivfpq_topk
+    t = _emb(n=80, d=8, seed=2)
+    full = ivfpq_topk(ray.data.from_arrow(t), [5], k_out=10, n_coarse=4,
+                      m=2, k_pq=4, iters=1, nprobe=4).to_pandas()
+    pruned = ivfpq_topk(ray.data.from_arrow(t), [5], k_out=10, n_coarse=4,
+                        m=2, k_pq=4, iters=1, nprobe=1).to_pandas()
+    assert len(full) == 10 and 0 < len(pruned) <= 10
+    # wherever a candidate appears in both lists its ADC distance is
+    # identical (pruning changes the candidate set, never the metric)
+    m = pruned.merge(full, on=["query_id", "vec_id"], suffixes=("_p", "_f"))
+    assert len(m) > 0
+    assert (m["adc_mu2_p"] == m["adc_mu2_f"]).all()
+    # and the full-probe top-1 can only improve (smaller or equal adc)
+    assert full["adc_mu2"].min() <= pruned["adc_mu2"].min()
