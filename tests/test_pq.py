@@ -141,3 +141,21 @@ def test_ivfpq_nprobe_all_matches_flat_pq_order(ray_session):
     assert (m["adc_mu2_p"] == m["adc_mu2_f"]).all()
     # and the full-probe top-1 can only improve (smaller or equal adc)
     assert full["adc_mu2"].min() <= pruned["adc_mu2"].min()
+
+
+def test_ivfpq_edge_cases(ray_session):
+    import ray.data
+    from apollo_ray.functions.ann import ivfpq_topk
+    t = _emb(n=10, d=8, seed=4)
+    # corpus smaller than n_coarse and k_pq: codebooks clamp to n
+    got = ivfpq_topk(ray.data.from_arrow(t), [0], k_out=3, n_coarse=16,
+                     m=2, k_pq=16, iters=1, nprobe=16).to_pandas()
+    assert 1 <= len(got) <= 3
+    assert (got.vec_id != 0).all()          # self excluded
+    # absent query id -> no rows for it, no crash
+    got2 = ivfpq_topk(ray.data.from_arrow(t), [999], k_out=3,
+                      n_coarse=4, m=2, k_pq=4, iters=1).to_pandas()
+    assert len(got2) == 0
+    # empty query list
+    got3 = ivfpq_topk(ray.data.from_arrow(t), [], k_out=3).to_pandas()
+    assert len(got3) == 0
