@@ -1245,7 +1245,10 @@ def ivfpq_topk_sql(query_ids: list[int], k_out: int = 5,
     seed-assignment CTE chain (the ``kmeans_assign_sql`` rule over
     full vectors), per-query probe sets and ADC lookup tables, and
     the identical (adc, vec_id) rank."""
-    qids = ", ".join(str(int(q)) for q in sorted(query_ids))
+    # "IN (NULL)" matches no rows — keeps an empty query list a valid
+    # empty-result query, mirroring the engine twin
+    qids = (", ".join(str(int(q)) for q in sorted(query_ids))
+            if query_ids else "NULL")
     pieces = _pq_sql_pieces(m, k_pq, iters, dim, table)
     extra = f"""
     cs AS MATERIALIZED (

@@ -514,6 +514,17 @@ def normalize_text(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+def normalize_expr_sql(text_expr: str) -> str:
+    """The SQL expression reproducing :func:`normalize_text_array`
+    byte-for-byte over ``text_expr`` — the single source of truth for
+    every oracle that normalizes (``normalize_text_sql``,
+    ``merge.normalized_exact_dedup_sql``)."""
+    return (f"regexp_replace(regexp_replace(regexp_replace("
+            f"regexp_replace(nfc_normalize({text_expr}), '\\r\\n?', "
+            f"chr(10), 'g'), '{_CTRL_RE}', '', 'g'), "
+            f"'{_SPACE_RUN_RE}', ' ', 'g'), '{_OUTER_WS_RE}', '', 'g')")
+
+
 def normalize_text_sql(table: str = "documents",
                        text_sql: str = "text") -> str:
     """DuckDB oracle reproducing :func:`normalize_text`
@@ -523,13 +534,7 @@ def normalize_text_sql(table: str = "documents",
         WITH raw AS (SELECT doc_id, {text_sql} AS t0 FROM {table}),
         n AS (
           SELECT doc_id, t0,
-            regexp_replace(
-              regexp_replace(
-                regexp_replace(
-                  regexp_replace(nfc_normalize(t0), '\\r\\n?', chr(10), 'g'),
-                  '{_CTRL_RE}', '', 'g'),
-                '{_SPACE_RUN_RE}', ' ', 'g'),
-              '{_OUTER_WS_RE}', '', 'g') AS norm_text
+            {normalize_expr_sql('t0')} AS norm_text
           FROM raw)
         SELECT doc_id, norm_text, norm_text <> t0 AS changed FROM n
     """

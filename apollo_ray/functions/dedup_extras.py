@@ -733,8 +733,11 @@ def minhash_lsh_clusters_sql(k: int = 3, n_perm: int = 16,
     # convergence guard: the unrolled horizon covers diameter < 2**iters;
     # on a (hypothetical) wider component the last round would still be
     # moving labels and the oracle would silently mislabel — make that
-    # loud instead: error() unless the final round was a fixpoint
-    parts.append("""
+    # loud instead: error() unless the final round was a fixpoint.
+    # iters=0 has no previous round to compare against (the guard
+    # would reference l-1) — emit a constant-true guard there.
+    if iters >= 1:
+        parts.append("""
             conv AS MATERIALIZED (
               SELECT CASE WHEN (SELECT count(*) FROM l%d a
                                 JOIN l%d b ON a.node = b.node
@@ -743,6 +746,8 @@ def minhash_lsh_clusters_sql(k: int = 3, n_perm: int = 16,
                        'minhash_lsh_clusters oracle: label propagation '
                        'not converged after %d rounds; raise iters')
                        AS INT) END AS ok)""" % (iters, iters - 1, iters))
+    else:
+        parts.append("\n            conv AS (SELECT 1 AS ok)")
     return ("WITH %s SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS "
             "cluster_id FROM documents d LEFT JOIN l%d l ON "
             "l.node = d.doc_id CROSS JOIN conv WHERE conv.ok = 1" % (
@@ -1379,20 +1384,11 @@ def bbit_minhash_pairs(docs: "ray.data.Dataset", k: int = 3,
             new[1:] |= c[1:] != c[:-1]
         starts = np.flatnonzero(new)
         n = np.diff(np.append(starts, len(ds)))
-        ok = (n >= 2) & (n <= max_bucket)
-        grid = np.where(ok, n * n, 0)
-        total = int(grid.sum())
-        if total == 0:
+        from apollo_ray.kernels.segments import ragged_triangle_pairs
+        ai, bi = ragged_triangle_pairs(starts, n,
+                                       (n >= 2) & (n <= max_bucket))
+        if len(ai) == 0:
             return _EMPTY
-        out_start = np.concatenate(([0], np.cumsum(grid)[:-1]))
-        live = np.flatnonzero(grid)
-        seg_row = np.repeat(live, grid[live])
-        pos = np.arange(total, dtype=np.int64) - out_start[seg_row]
-        i = pos // n[seg_row]
-        j = pos % n[seg_row]
-        tri = i < j
-        ai = starts[seg_row[tri]] + i[tri]
-        bi = starts[seg_row[tri]] + j[tri]
         u, v = ds[ai], ds[bi]
         # doc ids within a bucket are sorted (lexsort tiebreak) -> u < v
         agree = n_perm - _popcount64(ms[ai] ^ ms[bi])

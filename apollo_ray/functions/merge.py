@@ -188,16 +188,13 @@ def normalized_exact_dedup(docs: "ray.data.Dataset",
 
 
 def normalized_exact_dedup_sql(table: str = "documents") -> str:
-    """DuckDB oracle for :func:`normalized_exact_dedup` — same
-    normalization chain as :func:`clean.normalize_text_sql` (single
-    source of truth for the regexes), grouped by the normalized
-    string itself (equivalent to grouping by its md5)."""
-    from apollo_ray.functions.clean import (_CTRL_RE, _OUTER_WS_RE,
-                                            _SPACE_RUN_RE)
-    norm = (f"regexp_replace(regexp_replace(regexp_replace("
-            f"regexp_replace(nfc_normalize(text), '\\r\\n?', chr(10), "
-            f"'g'), '{_CTRL_RE}', '', 'g'), '{_SPACE_RUN_RE}', ' ', "
-            f"'g'), '{_OUTER_WS_RE}', '', 'g')")
+    """DuckDB oracle for :func:`normalized_exact_dedup` — the
+    normalization expression comes from
+    :func:`clean.normalize_expr_sql` (single source of truth),
+    grouped by the normalized string itself (equivalent to grouping
+    by its md5)."""
+    from apollo_ray.functions.clean import normalize_expr_sql
+    norm = normalize_expr_sql("text")
     return f"""
         SELECT min(doc_id) AS rep_id,
                CAST(count(*) AS BIGINT) AS n_members,

@@ -983,20 +983,13 @@ def mirror_hosts(pages: "ray.data.Dataset", url_col: str = "url",
         new_seg[1:] = k[1:] != k[:-1]
         starts = np.flatnonzero(new_seg)
         n = np.diff(np.append(starts, len(k)))
-        ok = (n >= 2) & (n <= max_hosts_per_text)
-        grid = np.where(ok, n * n, 0)
-        total = int(grid.sum())
-        if total == 0:
+        from apollo_ray.kernels.segments import ragged_triangle_pairs
+        ai, bi = ragged_triangle_pairs(
+            starts, n, (n >= 2) & (n <= max_hosts_per_text))
+        if len(ai) == 0:
             return _PAIRS_EMPTY
-        out_start = np.concatenate(([0], np.cumsum(grid)[:-1]))
-        live = np.flatnonzero(grid)
-        seg_row = np.repeat(live, grid[live])
-        pos = np.arange(total, dtype=np.int64) - out_start[seg_row]
-        i = pos // n[seg_row]
-        j = pos % n[seg_row]
-        tri = i < j
-        out_a = hosts[starts[seg_row[tri]] + i[tri]]
-        out_b = hosts[starts[seg_row[tri]] + j[tri]]
+        out_a = hosts[ai]
+        out_b = hosts[bi]
         # qkey only routes; exact (host_a, host_b) grouping happens in
         # count_pairs, so any deterministic vectorized hash works
         comb = pd.Series(out_a, dtype=object) + "\x00" \

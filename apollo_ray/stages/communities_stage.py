@@ -37,6 +37,12 @@ from apollo_ray.kernels.communities import (build_linear_edges,
 # can zero it (bench._maybe_force_distributed).
 LABEL_BROADCAST_MAX = 5_000_000
 
+# the complete-biclique shortcut only fires at sizes where the
+# kernel test pins walktrap/LPA equivalence (tests/
+# test_communities_kernel.py biclique pin); larger bicliques run the
+# real detector instead of extrapolating symmetry
+_BICLIQUE_MAX_DOCS = 64
+
 
 def detect_communities(clusters: "ray.data.Dataset",
                        memberships: "ray.data.Dataset",
@@ -65,9 +71,11 @@ def detect_communities(clusters: "ray.data.Dataset",
     on which walktrap, LPA and the igraph algorithms all return ONE
     community labeled min(doc_id) — the dominant shape for tight
     near-dup clusters that agree on all bands.  The shortcut skips
-    graph construction + detection for those CCs; equivalence is
+    graph construction + detection for those CCs, and only fires at
+    ``<= _BICLIQUE_MAX_DOCS`` docs — the regime where equivalence is
     pinned by tests (kernel-level biclique pin + a stage-level
-    shortcut-on == shortcut-off comparison on mixed topologies)."""
+    shortcut-on == shortcut-off comparison on mixed topologies);
+    larger bicliques run the real detector."""
     from apollo_ray.hashing import mix_to_partition
     n_parts = num_partitions or 64
     if label_broadcast_max is None:
@@ -138,8 +146,13 @@ def detect_communities(clusters: "ray.data.Dataset",
             out_m.append(np.full(2, uniq.min(), dtype=np.int64))
             return
         if (biclique_shortcut and edges == "linear"
+                and len(uniq) <= _BICLIQUE_MAX_DOCS
                 and len(docs) == len(uniq) * len(np.unique(buckets))):
-            # complete biclique -> one community labeled min doc
+            # complete biclique -> one community labeled min doc.
+            # Bounded to the regime the kernel test pins equivalence
+            # for (walktrap AND label propagation both return exactly
+            # this partition at <= _BICLIQUE_MAX_DOCS docs); larger
+            # bicliques run real detection rather than extrapolate.
             out_d.append(uniq.astype(np.int64))
             out_c.append(np.full(len(uniq), cc_id, dtype=np.int64))
             out_m.append(np.full(len(uniq), uniq.min(), dtype=np.int64))
