@@ -128,6 +128,18 @@ def bench_once() -> dict:
     n_clusters = out["clusters"].to_pandas()["cc_id"].nunique()
     queries["dedup_pipeline"] = round(headline, 3)
 
+    # steady-state run: identical pipeline immediately re-run on warm
+    # worker processes (per-worker state caches populated, imports
+    # done).  The headline above keeps the cold-ish series recorded
+    # since round 2; this entry is what a resident service measures —
+    # ~0.5-0.8 s faster (worker spawn + first-touch state).
+    t0 = time.monotonic()
+    out2 = run_dedup(rd.read_parquet(part_files,
+                                     override_num_blocks=len(part_files)),
+                     cfg, num_partitions=max(16, NUM_CPUS * 2))
+    out2["clusters"].count()
+    queries["dedup_pipeline_warm"] = round(time.monotonic() - t0, 3)
+
     # communities tier over the flagship output (untimed by the
     # headline: with_communities changes the e2e number series kept
     # since round 2, so it gets its own entry)
