@@ -132,13 +132,16 @@ def bench_once() -> dict:
     # worker processes (per-worker state caches populated, imports
     # done).  The headline above keeps the cold-ish series recorded
     # since round 2; this entry is what a resident service measures —
-    # ~0.5-0.8 s faster (worker spawn + first-touch state).
-    t0 = time.monotonic()
-    out2 = run_dedup(rd.read_parquet(part_files,
-                                     override_num_blocks=len(part_files)),
-                     cfg, num_partitions=max(16, NUM_CPUS * 2))
-    out2["clusters"].count()
-    queries["dedup_pipeline_warm"] = round(time.monotonic() - t0, 3)
+    # ~0.7-1.0 s faster (worker spawn + first-touch state).  Scaling
+    # legs skip it (GRAFT_SKIP_WARM): their ratio reads the cold
+    # headline, so the second run would only double leg wall time.
+    if not os.environ.get("GRAFT_SKIP_WARM"):
+        t0 = time.monotonic()
+        out2 = run_dedup(rd.read_parquet(part_files,
+                                         override_num_blocks=len(part_files)),
+                         cfg, num_partitions=max(16, NUM_CPUS * 2))
+        out2["clusters"].count()
+        queries["dedup_pipeline_warm"] = round(time.monotonic() - t0, 3)
 
     # communities tier over the flagship output (untimed by the
     # headline: with_communities changes the e2e number series kept
@@ -212,7 +215,7 @@ def _run_leg(ncpu: int, rows: int | None = None) -> dict:
     best = None
     for _ in range(repeats):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_SKIP_QUERIES="1")
+                   GRAFT_SKIP_QUERIES="1", GRAFT_SKIP_WARM="1")
         if rows is not None:
             env["GRAFT_BENCH_ROWS"] = str(rows)
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
