@@ -521,6 +521,11 @@ def _bbit_minhash_pairs_sql_entry() -> str:
     return bbit_minhash_pairs_sql()
 
 
+def _oph_signatures_sql_entry() -> str:
+    from apollo_ray.functions.dedup_extras import oph_signatures_sql
+    return oph_signatures_sql()
+
+
 def _ivfpq_topk_sql_entry() -> str:
     from apollo_ray.functions.ann import ivfpq_topk_sql
     return ivfpq_topk_sql(query_ids=list(range(8)), k_out=5, n_coarse=8,
@@ -1589,6 +1594,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         integer-exact estimator."""
         return dedup_extras.bbit_minhash_pairs(_docs(sf_dir))
 
+    def q_oph_signatures(sf_dir):
+        """One-Permutation-Hashing MinHash with rotation densification
+        (Li et al. 2012; Shrivastava & Li 2014): one hash per shingle
+        instead of n_perm permutations — the hash-bound signature
+        path for 10^12-doc sketching, value-exact in SQL."""
+        return dedup_extras.oph_signatures(_docs(sf_dir))
+
     def q_ivfpq_topk(sf_dir):
         """IVF-PQ approximate top-k (Jegou et al. 2011): coarse cells
         + nprobe scan + ADC codebook lookups, all integer milli-unit
@@ -1660,6 +1672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_exact_dedup": q_normalized_exact_dedup,
         "bbit_minhash_pairs": q_bbit_minhash_pairs,
         "ivfpq_topk": q_ivfpq_topk,
+        "oph_signatures": q_oph_signatures,
         "minhash_dedup_invariants": q_minhash_invariants,
         "minhash_cluster_stats": q_minhash_cluster_stats,
         "embedding_quantize": q_embedding_quantize,
@@ -2364,4 +2377,5 @@ def oracle_sql() -> dict[str, str]:
         "normalized_exact_dedup": _normalized_exact_dedup_sql_entry(),
         "bbit_minhash_pairs": _bbit_minhash_pairs_sql_entry(),
         "ivfpq_topk": _ivfpq_topk_sql_entry(),
+        "oph_signatures": _oph_signatures_sql_entry(),
     }

@@ -1455,3 +1455,135 @@ def bbit_minhash_pairs_sql(k: int = 3, n_perm: int = 16, band_r: int = 4,
         JOIN sig sb ON sb.doc_id = p.v AND sb.j = sa.j
         GROUP BY p.u, p.v
     """
+
+
+def oph_signatures(docs: "ray.data.Dataset", k: int = 3,
+                   n_bins: int = 16,
+                   dense_c: int = 1_000_003) -> "ray.data.Dataset":
+    """(doc_id, j, sig, densified) — One-Permutation Hashing MinHash
+    (Li, Owen & Zhang 2012) with rotation densification (Shrivastava
+    & Li 2014, "Improved Densification of One Permutation Hashing"):
+    ONE md5 hash per shingle instead of ``n_bins`` permutations — the
+    sketch that makes 10^12-doc signature computation hash-bound
+    rather than permutation-bound (classic k-permutation MinHash does
+    ``n_perm`` multiply-mod passes per shingle;
+    cf. :func:`minhash_signatures`).
+
+    Semantics, fully integer and SQL-exact
+    (:func:`oph_signatures_sql`):
+
+    - each DISTINCT k-shingle hashes once to ``u = md5 % 2**32``;
+    - bin ``j = u * n_bins // 2**32`` (range partitioning keeps the
+      within-bin min uniform);
+    - ``sig[j] = min(u in bin j)`` for non-empty bins;
+    - an EMPTY bin borrows clockwise: ``sig[j] = sig[j'] + s *
+      dense_c`` where ``j' = (j + s) % n_bins`` is the nearest
+      non-empty bin at distance ``s >= 1`` (the rotation rule; the
+      ``s * dense_c`` offset breaks ties between bins borrowing from
+      the same donor).  ``densified`` flags borrowed bins.
+
+    Docs with < k tokens emit no rows.  Map-only: streams at any
+    corpus size, no shuffle, no state.
+    """
+    from apollo_ray.kernels.text import _md5_u64
+
+    _E = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                   "j": pa.array([], type=pa.int64()),
+                   "sig": pa.array([], type=pa.int64()),
+                   "densified": pa.array([], type=pa.int64())})
+
+    def f(batch: pa.Table) -> pa.Table:
+        memo: dict = {}
+        rows_d: list[np.ndarray] = []
+        rows_sig: list[np.ndarray] = []
+        rows_dense: list[np.ndarray] = []
+        SENT = np.int64(1 << 62)
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            toks = t.split()
+            if len(toks) < k:
+                continue
+            shingles = {" ".join(toks[i:i + k])
+                        for i in range(len(toks) - k + 1)}
+            us = np.empty(len(shingles), dtype=np.int64)
+            for i, s in enumerate(shingles):
+                v = memo.get(s)
+                if v is None:
+                    v = _md5_u64(s) & 0xFFFFFFFF
+                    memo[s] = v
+                us[i] = v
+            bins = (us * n_bins) >> 32
+            sig = np.full(n_bins, SENT, dtype=np.int64)
+            np.minimum.at(sig, bins, us)
+            empty = sig == SENT
+            if empty.any():
+                # clockwise borrow, vectorized: over the doubled bin
+                # axis, distance to the nearest non-empty bin at or
+                # after each position
+                order = np.concatenate([np.arange(n_bins),
+                                        np.arange(n_bins)])
+                nonempty2 = ~empty[order]
+                idx2 = np.arange(2 * n_bins)
+                # last non-empty at-or-before each doubled position of
+                # the REVERSED axis == next non-empty at-or-after
+                nxt = np.where(nonempty2, idx2, 2 * n_bins)
+                nxt = np.minimum.accumulate(nxt[::-1])[::-1]
+                take = nxt[:n_bins]          # donor doubled-index per bin
+                s_dist = (take - np.arange(n_bins)).astype(np.int64)
+                donor = sig[order[take]]
+                sig = np.where(empty, donor + s_dist * dense_c, sig)
+            rows_d.append(np.full(n_bins, did, dtype=np.int64))
+            rows_sig.append(sig)
+            rows_dense.append(empty.astype(np.int64))
+        if not rows_d:
+            return _E
+        nd = len(rows_d)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(rows_d), type=pa.int64()),
+            "j": pa.array(np.tile(np.arange(n_bins, dtype=np.int64), nd),
+                          type=pa.int64()),
+            "sig": pa.array(np.concatenate(rows_sig), type=pa.int64()),
+            "densified": pa.array(np.concatenate(rows_dense),
+                                  type=pa.int64())})
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def oph_signatures_sql(k: int = 3, n_bins: int = 16,
+                       dense_c: int = 1_000_003,
+                       table: str = "documents") -> str:
+    """DuckDB oracle for :func:`oph_signatures`: same md5 shingle
+    hash, same range binning, same min-per-bin, and the identical
+    clockwise rotation densification (nearest non-empty bin at
+    distance s, borrowed value + s*dense_c)."""
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM {table} WHERE length(trim(text)) > 0),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 md5_number_lower(array_to_string(toks[i:i+{k - 1}], ' '))
+                   % 4294967296::UBIGINT AS u
+          FROM tok,
+               LATERAL (SELECT unnest(range(1,
+                   greatest(len(toks) - {k - 1}, 0) + 1)) AS i)
+          WHERE len(toks) >= {k}),
+        bm AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST(u * {n_bins} // 4294967296::UBIGINT AS BIGINT) AS j,
+                 CAST(min(u) AS BIGINT) AS v
+          FROM sh GROUP BY doc_id, j),
+        grid AS (
+          SELECT d.doc_id, g.j
+          FROM (SELECT DISTINCT doc_id FROM bm) d,
+               (SELECT unnest(range(0, {n_bins})) AS j) g)
+        SELECT g.doc_id, g.j,
+               CASE WHEN bm.v IS NOT NULL THEN bm.v ELSE (
+                 SELECT b2.v + s.s * {dense_c}
+                 FROM (SELECT unnest(range(1, {n_bins})) AS s) s
+                 JOIN bm b2 ON b2.doc_id = g.doc_id
+                           AND b2.j = (g.j + s.s) % {n_bins}
+                 ORDER BY s.s LIMIT 1) END AS sig,
+               CAST(bm.v IS NULL AS BIGINT) AS densified
+        FROM grid g LEFT JOIN bm ON bm.doc_id = g.doc_id AND bm.j = g.j
+    """

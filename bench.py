@@ -178,7 +178,7 @@ def bench_once() -> dict:
         "snapshot_diff", "anchor_texts", "minhash_lsh_clusters",
         "host_pagerank", "mirror_hosts", "pq_codes",
         "priority_dedup", "normalized_exact_dedup", "bbit_minhash_pairs",
-        "ivfpq_topk")
+        "ivfpq_topk", "oph_signatures")
     for name in qnames:
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

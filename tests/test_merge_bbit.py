@@ -140,3 +140,38 @@ def test_bbit_bucket_cap_applies_both_sides(ray_session):
     assert got.astype(str).equals(exp.astype(str))
     # the 10-doc bucket is skipped; only the 2-doc bucket pairs remain
     assert set(zip(got.doc_a, got.doc_b)) == {(10, 11)}
+
+
+def test_oph_signatures_oracle_and_properties(ray_session):
+    """OPH + rotation densification == SQL oracle, including
+    wrap-around borrows; non-densified bins equal the true per-bin
+    minima; identical docs share identical signatures."""
+    import ray.data as rd
+    from apollo_ray.functions.dedup_extras import (oph_signatures,
+                                                   oph_signatures_sql)
+    rng = np.random.default_rng(6)
+    vocab = ["w%d" % i for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=n))
+             for n in (3, 4, 6, 10, 30, 80, 2, 0)]
+    texts += [texts[4]]                     # exact dup of doc 4
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                  "text": pa.array(texts), "source": pa.array(["s"] * 9)})
+    got = oph_signatures(rd.from_arrow(t)).to_pandas() \
+        .sort_values(["doc_id", "j"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    exp = con.execute(oph_signatures_sql()).fetchdf() \
+        .sort_values(["doc_id", "j"]).reset_index(drop=True)
+    con.close()
+    assert got.astype("int64").equals(exp[got.columns.tolist()]
+                                      .astype("int64"))
+    # docs with < 3 tokens emit nothing
+    assert not set(got.doc_id) & {6, 7}
+    # each emitting doc has exactly n_bins rows
+    assert (got.groupby("doc_id").size() == 16).all()
+    # exact dup -> identical signature vector
+    a = got[got.doc_id == 4].sig.to_numpy()
+    b = got[got.doc_id == 8].sig.to_numpy()
+    assert (a == b).all()
+    # the short docs force empty bins -> densification exercised
+    assert got.densified.sum() > 0
