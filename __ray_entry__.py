@@ -1612,6 +1612,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           nprobe=2)
 
     return {
+        # Round-5 rotation (VERDICT r4 task 1): ivfpq_topk and
+        # oph_signatures are the only registry entries with no driver
+        # CORRECTNESS record in any round (they sat at positions 51-52,
+        # past the ~50-row window).  They lead this round; everything
+        # else keeps its frozen r4 relative order so cumulative union
+        # coverage stays 117/117.
+        "ivfpq_topk": q_ivfpq_topk,
+        "oph_signatures": q_oph_signatures,
         "paragraph_dedup": q_paragraph_dedup,
         "lang_budget_sample": q_lang_budget_sample,
         "html_tag_stats": q_html_tag_stats,
@@ -1659,20 +1667,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_score": q_bigram_score,
         "communities_invariants": q_communities_invariants,
         "minhash_dedup_clusters": q_minhash_clusters,
-        # never-driver-recorded entries get window priority: positions
-        # 48-51 are the four round-4 operators (ivfpq_topk, position
-        # 51, is the one entry that may fall just outside a strict
-        # 50-row window — it is the only registry entry, besides the
-        # documented rows-only flagship, without a shot at a driver
-        # record this round; the local sweep covers it).  The two
-        # flagship invariant bundles that follow already hold GREEN
-        # driver records (r02+r03 / r03), so union coverage across
-        # rounds keeps them checked even when they sit past the edge.
         "priority_dedup": q_priority_dedup,
         "normalized_exact_dedup": q_normalized_exact_dedup,
         "bbit_minhash_pairs": q_bbit_minhash_pairs,
-        "ivfpq_topk": q_ivfpq_topk,
-        "oph_signatures": q_oph_signatures,
         "minhash_dedup_invariants": q_minhash_invariants,
         "minhash_cluster_stats": q_minhash_cluster_stats,
         "embedding_quantize": q_embedding_quantize,
