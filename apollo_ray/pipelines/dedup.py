@@ -115,7 +115,23 @@ def run_dedup(pages: "ray.data.Dataset", cfg: DedupConfig,
                     and docs_ds is None)
     meta = None
     if fold_extract:
+        # Pre-warm the fused hashing state WHILE the metadata pass
+        # scans the corpus: the first fused task on each worker would
+        # otherwise pay the params plasma read + work-buffer
+        # first-touch on the critical path of the bands stage.  The
+        # metadata pass already runs on every worker, and its per-task
+        # work is IO-bound, so building the state there overlaps it
+        # for free.  Only valid when the fused pass needs no docfreq
+        # side input (df changes the cached-state contents).
+        warm_ref = None
+        if not cfg.needs_docfreq:
+            from apollo_ray.stages.wmh_stage import params_object_ref
+            warm_ref = params_object_ref(cfg)
+
         def ids_meta(batch):
+            if warm_ref is not None:
+                from apollo_ray.stages.fused import _get_state
+                _get_state(cfg, warm_ref)
             return batch.select(["doc_id", "text_hash"])
 
         def pruned_source(with_lang: bool, prefer_text: bool = False):

