@@ -45,35 +45,99 @@ def build_linear_edges(doc_ids: np.ndarray, bucket_ids: np.ndarray
     return edges_u, edges_v, weights
 
 
+def _first_distinct_pairs(pairs_u: np.ndarray, pairs_v: np.ndarray
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct (u, v) pairs keeping the FIRST occurrence of each, in
+    original emission order (lexsort + adjacent-equal mask — the same
+    value-pair dedup discipline as ``edges.bucket_pair_edges``)."""
+    seq = np.arange(len(pairs_u), dtype=np.int64)
+    o = np.lexsort((seq, pairs_v, pairs_u))
+    su, sv = pairs_u[o], pairs_v[o]
+    first = np.ones(len(o), dtype=bool)
+    first[1:] = (su[1:] != su[:-1]) | (sv[1:] != sv[:-1])
+    keep = np.sort(o[first])
+    return pairs_u[keep], pairs_v[keep]
+
+
 def build_quadratic_edges(doc_ids: np.ndarray, bucket_ids: np.ndarray,
                           max_pairs: int = 200_000
                           ) -> tuple[np.ndarray, np.ndarray]:
     """All-pairs-within-bucket doc<->doc edges for one CC (the
     reference's quadratic mode, ``apollo/graph.py:234-249``), distinct
-    pairs, capped at ``max_pairs`` emitted edges."""
+    pairs, capped at ``max_pairs`` edges.
+
+    Vectorized: per bucket segment the upper triangle is emitted with
+    the ``np.repeat`` ragged-row pattern (same family as
+    ``edges.bucket_pair_edges`` / ``kernels.segments``); the cap keeps
+    exactly the first ``max_pairs`` DISTINCT pairs in the original
+    per-pair insertion order (buckets ascending, members lexicographic
+    within a bucket — pinned identical to the previous set-based loop).
+    Memory stays bounded under the cap: a bucket emits at most
+    ``max_pairs + <previously emitted>`` rows, because duplicates can
+    only repeat previously-seen pairs, so that prefix is guaranteed to
+    contain the distinct pairs still needed.
+    """
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     bucket_ids = np.asarray(bucket_ids, dtype=np.int64)
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    if len(doc_ids) == 0:
+        return empty
     order = np.lexsort((doc_ids, bucket_ids))
     b_s, d_s = bucket_ids[order], doc_ids[order]
-    pairs: set[tuple[int, int]] = set()
-    start = 0
-    for i in range(1, len(b_s) + 1):
-        if i == len(b_s) or b_s[i] != b_s[start]:
-            members = np.unique(d_s[start:i])
-            for a in range(len(members)):
-                for b in range(a + 1, len(members)):
-                    pairs.add((int(members[a]), int(members[b])))
-                    if len(pairs) >= max_pairs:
-                        break
-                if len(pairs) >= max_pairs:
-                    break
-            start = i
-        if len(pairs) >= max_pairs:
-            break
-    if not pairs:
-        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
-    arr = np.asarray(sorted(pairs), dtype=np.int64)
-    return arr[:, 0], arr[:, 1]
+    n = len(b_s)
+    new_seg = np.ones(n, dtype=bool)
+    new_seg[1:] = b_s[1:] != b_s[:-1]
+    seg_start = np.flatnonzero(new_seg)
+    seg_end = np.concatenate((seg_start[1:], [n]))
+
+    acc_u = np.empty(0, dtype=np.int64)
+    acc_v = np.empty(0, dtype=np.int64)
+    chunks_u: list[np.ndarray] = []
+    chunks_v: list[np.ndarray] = []
+    pending = 0
+    capped = False
+    for s, e in zip(seg_start.tolist(), seg_end.tolist()):
+        members = d_s[s:e]
+        m_first = np.ones(e - s, dtype=bool)
+        m_first[1:] = members[1:] != members[:-1]
+        members = members[m_first]          # sorted unique (d_s sorted)
+        m = len(members)
+        if m < 2:
+            continue
+        budget = max_pairs + len(acc_u) + pending
+        row_len = np.arange(m - 1, 0, -1, dtype=np.int64)
+        cum = np.cumsum(row_len)
+        total = int(cum[-1])
+        n_rows = (m - 1 if total <= budget
+                  else int(np.searchsorted(cum, budget)) + 1)
+        counts = row_len[:n_rows]
+        tot = int(counts.sum())
+        a_idx = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+        offs = np.zeros(n_rows, dtype=np.int64)
+        np.cumsum(counts[:-1], out=offs[1:])
+        b_idx = (np.arange(tot, dtype=np.int64) - offs[a_idx]) + a_idx + 1
+        chunks_u.append(members[a_idx][:budget])
+        chunks_v.append(members[b_idx][:budget])
+        pending += len(chunks_u[-1])
+        if len(acc_u) + pending >= max_pairs:
+            acc_u, acc_v = _first_distinct_pairs(
+                np.concatenate([acc_u] + chunks_u),
+                np.concatenate([acc_v] + chunks_v))
+            chunks_u, chunks_v = [], []
+            pending = 0
+            if len(acc_u) >= max_pairs:
+                acc_u, acc_v = acc_u[:max_pairs], acc_v[:max_pairs]
+                capped = True
+                break
+    if not capped and pending:
+        acc_u, acc_v = _first_distinct_pairs(
+            np.concatenate([acc_u] + chunks_u),
+            np.concatenate([acc_v] + chunks_v))
+        acc_u, acc_v = acc_u[:max_pairs], acc_v[:max_pairs]
+    if len(acc_u) == 0:
+        return empty
+    o = np.lexsort((acc_v, acc_u))
+    return acc_u[o], acc_v[o]
 
 
 def label_propagation(edges_u: np.ndarray, edges_v: np.ndarray,

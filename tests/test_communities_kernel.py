@@ -174,3 +174,61 @@ def test_complete_biclique_is_one_min_labeled_community():
                 labels = detect(eu, ev, w, algorithm=alg)
                 got = {l for d, l in labels.items() if 100 <= d < 100 + nd}
                 assert got == {100}, (alg, nd, nb, got)
+
+
+def test_quadratic_edges_matches_per_pair_loop():
+    """Differential pin for the vectorized ``build_quadratic_edges``
+    (np.repeat ragged triu emit) against the original per-pair
+    set-insertion loop — identical distinct pairs, identical cap
+    semantics (first ``max_pairs`` distinct pairs in bucket-ascending,
+    member-lexicographic insertion order; apollo/graph.py:234-249)."""
+    import numpy as np
+    from apollo_ray.kernels.communities import build_quadratic_edges
+
+    def per_pair_loop(doc_ids, bucket_ids, max_pairs):
+        doc_ids = np.asarray(doc_ids, dtype=np.int64)
+        bucket_ids = np.asarray(bucket_ids, dtype=np.int64)
+        order = np.lexsort((doc_ids, bucket_ids))
+        b_s, d_s = bucket_ids[order], doc_ids[order]
+        pairs = set()
+        start = 0
+        for i in range(1, len(b_s) + 1):
+            if i == len(b_s) or b_s[i] != b_s[start]:
+                members = np.unique(d_s[start:i])
+                for a in range(len(members)):
+                    for b in range(a + 1, len(members)):
+                        pairs.add((int(members[a]), int(members[b])))
+                        if len(pairs) >= max_pairs:
+                            break
+                    if len(pairs) >= max_pairs:
+                        break
+                start = i
+            if len(pairs) >= max_pairs:
+                break
+        if not pairs:
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        arr = np.asarray(sorted(pairs), dtype=np.int64)
+        return arr[:, 0], arr[:, 1]
+
+    rng = np.random.default_rng(7)
+    for trial in range(60):
+        rows = int(rng.integers(0, 60))
+        d = rng.integers(0, 20, rows)
+        b = rng.integers(0, 8, rows)
+        mp = int(rng.choice([3, 5, 10, 50, 200000]))
+        ru, rv = per_pair_loop(d, b, mp)
+        gu, gv = build_quadratic_edges(d, b, mp)
+        assert (ru == gu).all() and (rv == gv).all(), (trial, mp)
+    # cross-bucket duplicates straddling the cap boundary
+    d = np.concatenate([np.arange(50)] * 4)
+    b = np.repeat(np.arange(4), 50)
+    for mp in (100, 1224, 1225, 1226, 5000):
+        ru, rv = per_pair_loop(d, b, mp)
+        gu, gv = build_quadratic_edges(d, b, mp)
+        assert (ru == gu).all() and (rv == gv).all(), mp
+    # fat single bucket hits the cap without emitting the full triangle
+    d = np.arange(3000)
+    b = np.zeros(3000, dtype=np.int64)
+    gu, gv = build_quadratic_edges(d, b, 10_000)
+    ru, rv = per_pair_loop(d, b, 10_000)
+    assert len(gu) == 10_000 and (ru == gu).all() and (rv == gv).all()
