@@ -267,7 +267,8 @@ def embedding_dup_pairs_lsh(embeddings: "ray.data.Dataset", threshold: float,
     planes = rng.standard_normal((n_tables, dim, n_planes))
     weights = (1 << np.arange(n_planes)).astype(np.int64)
     planes_ref = ray.put(planes)
-    from apollo_ray.hashing import mix_to_partition, pair_mix, splitmix64
+    from apollo_ray.hashing import (distinct_pair_idx, mix_to_partition,
+                                    pair_mix, splitmix64)
 
     def explode_tables(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
@@ -330,8 +331,9 @@ def embedding_dup_pairs_lsh(embeddings: "ray.data.Dataset", threshold: float,
         u = np.concatenate(us)
         v = np.concatenate(vs)
         c = np.concatenate(cs)
-        # dedup within the partition (same pair from several buckets)
-        _, idx = np.unique(pair_mix(u, v), return_index=True)
+        # dedup within the partition (same pair from several buckets;
+        # value-exact — see hashing.distinct_pair_idx)
+        idx = distinct_pair_idx(u, v)
         return pa.table({"u": pa.array(u[idx], type=pa.int64()),
                          "v": pa.array(v[idx], type=pa.int64()),
                          "cos_r3": pa.array(c[idx], type=pa.float64())})
@@ -354,7 +356,7 @@ def embedding_dup_pairs_lsh(embeddings: "ray.data.Dataset", threshold: float,
         c = np.asarray(group.column("cos_r3"), dtype=np.float64)
         if len(u) == 0:
             return group.select(["u", "v", "cos_r3"])
-        _, idx = np.unique(pair_mix(u, v), return_index=True)
+        idx = distinct_pair_idx(u, v)
         return pa.table({"u": pa.array(u[idx], type=pa.int64()),
                          "v": pa.array(v[idx], type=pa.int64()),
                          "cos_r3": pa.array(c[idx], type=pa.float64())})

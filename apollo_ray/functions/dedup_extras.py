@@ -16,7 +16,8 @@ import pyarrow as pa
 
 import ray.data
 
-from apollo_ray.hashing import (TokenHasher, hash_utf8, mix_to_partition,
+from apollo_ray.hashing import (TokenHasher, distinct_pair_idx,
+                                hash_utf8, mix_to_partition,
                                 pair_mix)
 
 
@@ -895,8 +896,9 @@ def simhash_pairs(docs: "ray.data.Dataset", k: int = 3, bands: int = 4,
         hd = hamming64(a, b)
         keep = (hd <= max_hamming) & (u != v)
         lo = np.minimum(u[keep], v[keep]); hi = np.maximum(u[keep], v[keep])
-        # dedup pairs found via multiple bands
-        _, idx = np.unique(pair_mix(lo, hi), return_index=True)
+        # dedup pairs found via multiple bands (value-exact, not by
+        # the 64-bit mix — see hashing.distinct_pair_idx)
+        idx = distinct_pair_idx(lo, hi)
         return pa.table({"u": pa.array(lo[idx], type=pa.int64()),
                          "v": pa.array(hi[idx], type=pa.int64()),
                          "hamming": pa.array(hd[keep][idx], type=pa.int64())})
@@ -1394,15 +1396,19 @@ def bbit_minhash_pairs(docs: "ray.data.Dataset", k: int = 3,
         agree = n_perm - _popcount64(ms[ai] ^ ms[bi])
         est = np.maximum(0, (2 * agree - n_perm) * 1_000_000 // n_perm)
         # same pair from different bands carries identical values;
-        # dedup locally then globally by pair key
-        key = pair_mix(u, v).astype(np.int64)
-        _, idx = np.unique(key, return_index=True)
+        # dedup locally then globally ON THE (doc_a, doc_b) VALUE PAIR
+        # (lexsort + adjacent-equal mask, matching the SQL oracle's
+        # exact DISTINCT — a 64-bit pair_mix collision between two
+        # distinct pairs must not drop one); pair_mix is kept for
+        # qkey ROUTING only, where a collision just co-partitions
+        idx = distinct_pair_idx(u, v)
+        key = pair_mix(u[idx], v[idx]).astype(np.int64)
         return pa.table({
             "doc_a": pa.array(u[idx], type=pa.int64()),
             "doc_b": pa.array(v[idx], type=pa.int64()),
             "n_agree": pa.array(agree[idx], type=pa.int64()),
             "est_ppm": pa.array(est[idx], type=pa.int64()),
-            "qkey": pa.array(mix_to_partition(key[idx], num_partitions),
+            "qkey": pa.array(mix_to_partition(key, num_partitions),
                              type=pa.int32())})
 
     def dedup_pairs(group: pa.Table) -> pa.Table:
@@ -1412,7 +1418,7 @@ def bbit_minhash_pairs(docs: "ray.data.Dataset", k: int = 3,
         v = np.asarray(group.column("doc_b"), dtype=np.int64)
         a = np.asarray(group.column("n_agree"), dtype=np.int64)
         e = np.asarray(group.column("est_ppm"), dtype=np.int64)
-        _, idx = np.unique(pair_mix(u, v), return_index=True)
+        idx = distinct_pair_idx(u, v)
         return pa.table({"doc_a": pa.array(u[idx], type=pa.int64()),
                          "doc_b": pa.array(v[idx], type=pa.int64()),
                          "n_agree": pa.array(a[idx], type=pa.int64()),

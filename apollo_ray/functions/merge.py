@@ -40,6 +40,14 @@ def priority_dedup(docs: "ray.data.Dataset",
     not listed rank after every listed one, ordered among themselves by
     source string (so the rule is total and deterministic without
     requiring a complete list).  SQL twin: :func:`priority_dedup_sql`.
+
+    Hash-key parity caveat (the repo-wide convention documented on
+    ``hash_utf8``): content groups key on the 64-bit view of
+    ``md5(text)`` while the SQL twin partitions by the raw text — a
+    64-bit collision between two distinct texts would merge their
+    groups and drop a document the oracle keeps (~1e-10 probability
+    at 1M distinct texts; the production upgrade path is the 128-bit
+    split-key described in ``hashing.hash_utf8``).
     """
     from apollo_ray.kernels.text import _md5_u64
     prio = {s: i for i, s in enumerate(priority)}

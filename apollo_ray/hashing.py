@@ -108,9 +108,34 @@ def mix_to_partition(ids: np.ndarray, num_partitions: int) -> np.ndarray:
 
 
 def pair_mix(u: np.ndarray, v: np.ndarray) -> np.ndarray:
-    """Order-sensitive uint64 mix of two int64 id columns (dedup keys)."""
+    """Order-sensitive uint64 mix of two int64 id columns.
+
+    Use for partition ROUTING only (a collision just co-partitions two
+    pairs — harmless); for pair DEDUP use :func:`distinct_pair_idx`,
+    which compares the actual values and cannot drop a distinct pair
+    on a 64-bit key collision."""
     return splitmix64(splitmix64(np.asarray(u).astype(np.uint64))
                       ^ np.asarray(v).astype(np.uint64))
+
+
+def distinct_pair_idx(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Indices of the FIRST occurrence of each distinct (u, v) value
+    pair (lexsort + adjacent-equal mask) — the exact-DISTINCT analog
+    of ``np.unique(pair_mix(u, v), return_index=True)`` without the
+    hash-collision failure mode (two distinct pairs colliding on the
+    64-bit mix would silently drop one, diverging from the SQL
+    oracles' DISTINCT on the id columns)."""
+    u = np.asarray(u)
+    v = np.asarray(v)
+    n = len(u)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    seq = np.arange(n, dtype=np.int64)
+    o = np.lexsort((seq, v, u))
+    su, sv = u[o], v[o]
+    first = np.ones(n, dtype=bool)
+    first[1:] = (su[1:] != su[:-1]) | (sv[1:] != sv[:-1])
+    return o[first]
 
 
 class TokenHasher:

@@ -31,7 +31,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import AggregateFn
 
-from apollo_ray.hashing import mix_to_partition, pair_mix
+from apollo_ray.hashing import distinct_pair_idx, mix_to_partition, pair_mix
 
 
 def _vec_table(u: np.ndarray, v: np.ndarray) -> pa.Table:
@@ -42,7 +42,7 @@ def _vec_table(u: np.ndarray, v: np.ndarray) -> pa.Table:
 def _dedup_pairs(u: np.ndarray, v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     if len(u) == 0:
         return u, v
-    _, idx = np.unique(pair_mix(u, v), return_index=True)
+    idx = distinct_pair_idx(u, v)
     return u[idx], v[idx]
 
 

@@ -111,6 +111,7 @@ def detect_communities(clusters: "ray.data.Dataset",
             ds, cs, fat = _ray.get(ref)
             d = np.asarray(batch.column("doc_id"), dtype=np.int64)
             cc = d.copy()
+            hit = np.zeros(len(d), dtype=bool)
             if len(ds):
                 pos = np.minimum(np.searchsorted(ds, d), len(ds) - 1)
                 hit = ds[pos] == d
@@ -119,6 +120,11 @@ def detect_communities(clusters: "ray.data.Dataset",
             if len(fat):
                 fpos = np.minimum(np.searchsorted(fat, cc), len(fat) - 1)
                 keep = fat[fpos] == cc
+                # membership docs absent from `clusters` are dropped —
+                # the hash-join route's inner join does the same, so
+                # both routes agree for arbitrary caller inputs (not
+                # only under the memberships ⊆ clusters invariant)
+                keep &= hit
             sub = batch.filter(pa.array(keep))
             cc_k = cc[keep]
             return pa.table({

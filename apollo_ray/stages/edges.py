@@ -32,7 +32,8 @@ import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min
 
 from apollo_ray.config import DedupConfig
-from apollo_ray.hashing import mix_to_partition, pair_mix, splitmix64
+from apollo_ray.hashing import (distinct_pair_idx, mix_to_partition,
+                                pair_mix, splitmix64)
 
 
 def _add_salted_pkey(batch: pa.Table, num_partitions: int, salt: int
@@ -74,7 +75,8 @@ def _star_edges_in_partition(group: pa.Table, emit_reps: bool) -> pa.Table:
     keep = u != v                    # doc repeated in one bucket is impossible,
     u, v = u[keep], v[keep]          # but keep the guard cheap and explicit
     # dedup identical (u, v) pairs emitted by different buckets/bands
-    _, first_idx = np.unique(pair_mix(u, v), return_index=True)
+    # (value-exact — see hashing.distinct_pair_idx)
+    first_idx = distinct_pair_idx(u, v)
     u, v = u[first_idx], v[first_idx]
     rb = np.full(len(u), -1, dtype=np.int64)
     if emit_reps:
@@ -202,7 +204,7 @@ def bucket_pair_edges(bands: "ray.data.Dataset", cfg: DedupConfig,
         u = np.concatenate(us); v = np.concatenate(vs)
         keep = u != v
         u, v = u[keep], v[keep]
-        _, first_idx = np.unique(pair_mix(u, v), return_index=True)
+        first_idx = distinct_pair_idx(u, v)
         return pa.table({"u": pa.array(u[first_idx], type=pa.int64()),
                          "v": pa.array(v[first_idx], type=pa.int64())})
 

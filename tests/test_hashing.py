@@ -75,3 +75,27 @@ def test_splitmix_accepts_int64():
     a = splitmix64(np.array([5, 6], dtype=np.int64))
     b = splitmix64(np.array([5, 6], dtype=np.uint64))
     np.testing.assert_array_equal(a, b)
+
+
+def test_distinct_pair_idx_first_occurrence():
+    """Value-exact pair dedup helper: same selection as
+    np.unique(pair_mix) on collision-free input (first occurrence of
+    each distinct (u, v)), by construction collision-immune."""
+    import numpy as np
+    from apollo_ray.hashing import distinct_pair_idx, pair_mix
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        n = int(rng.integers(0, 200))
+        u = rng.integers(0, 12, n)
+        v = rng.integers(0, 12, n)
+        idx = distinct_pair_idx(u, v)
+        # distinct pairs, each at its first position
+        seen = {}
+        expect = []
+        for i, (a, b) in enumerate(zip(u.tolist(), v.tolist())):
+            if (a, b) not in seen:
+                seen[(a, b)] = i
+                expect.append(i)
+        assert sorted(idx.tolist()) == sorted(expect)
+        _, ref = np.unique(pair_mix(u, v), return_index=True)
+        assert set(idx.tolist()) == set(ref.tolist())

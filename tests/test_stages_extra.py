@@ -406,3 +406,44 @@ def test_communities_broadcast_equals_hashjoin(small_run):
         .sort_values("doc_id").reset_index(drop=True)
     assert bc.equals(hj)
     assert len(bc) > 0
+
+
+def test_communities_routes_agree_on_foreign_membership_docs(ray_session):
+    """Membership rows whose doc_id is absent from ``clusters`` must be
+    DROPPED by both attach routes (the hash-join inner join does this
+    naturally; the broadcast path requires a lookup hit before keeping
+    a row).  Adversarial input: a foreign doc whose id equals a fat
+    cc_id — the old broadcast path self-labeled it cc=doc_id and kept
+    it."""
+    import pandas as pd
+    import ray.data as rd
+    from apollo_ray.config import DedupConfig
+    from apollo_ray.stages.communities_stage import detect_communities
+
+    cfg = DedupConfig()
+    # fat cc 100 with docs {100, 101, 102}; foreign doc 100 appears in
+    # memberships only via a doc id NOT in clusters: use id 300 == no
+    # cluster row, and id 100 itself is clustered (normal).  Also a
+    # foreign doc whose id equals the fat cc_id: id 100 is in clusters,
+    # so use cc_id 500 with members {500, 501} and foreign doc 500?
+    # -> foreign means NOT in clusters; so clusters omit 500 while a
+    # membership row for 500 exists, and 500 is also a cc label of the
+    # fat cc {501, 502} (min-labeled 501? labels are arbitrary ints
+    # here — use explicit cc ids).
+    clusters = rd.from_pandas(pd.DataFrame({
+        "doc_id": [100, 101, 102, 501, 502],
+        "cc_id":  [100, 100, 100, 500, 500]}))
+    memberships = rd.from_pandas(pd.DataFrame({
+        "doc_id": [100, 101, 102, 501, 502, 500, 300],
+        "bucket": [7,   7,   7,   8,   8,   8,   7]}))
+    # doc 500: NOT in clusters, but its id equals fat cc label 500
+    # doc 300: NOT in clusters, plain foreign row
+    kw = dict(algorithm="label_propagation")
+    bc = detect_communities(clusters, memberships, cfg, **kw) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    hj = detect_communities(clusters, memberships, cfg,
+                            label_broadcast_max=0, **kw) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert bc.equals(hj), (bc, hj)
+    assert 500 not in set(bc["doc_id"])
+    assert 300 not in set(bc["doc_id"])
