@@ -182,9 +182,14 @@ def _score_block_pair(ta: pa.Table, tb: pa.Table, threshold: float,
     })
 
 
+EXACT_DUP_PAIRS_MAX_ROWS = 2_000_000
+
+
 def embedding_dup_pairs(embeddings: "ray.data.Dataset", threshold: float,
                         id_col: str = "vec_id", col: str = "embedding",
-                        block_rows: int = 65_536) -> "ray.data.Dataset":
+                        block_rows: int = 65_536,
+                        exact_max_rows: int | None = None
+                        ) -> "ray.data.Dataset":
     """(u, v, cos_r3) pairs with round(cosine, 3) >= threshold —
     embedding-cosine near-duplicate detection, exact.
 
@@ -198,11 +203,22 @@ def embedding_dup_pairs(embeddings: "ray.data.Dataset", threshold: float,
     because a block cross-join is the one shape ``Dataset`` can't
     express (SURVEY §2 custom-operator rule (c)).
 
-    For corpora where N^2 is infeasible use the sub-quadratic
-    ``embedding_dup_pairs_lsh`` (hyperplane-bucketed, recall measured
-    in tests) and fall back to this exact path below a size threshold.
+    Guard rail (cost-ordered routing, same discipline as
+    ``tiers.py``): above ``exact_max_rows`` (default
+    ``EXACT_DUP_PAIRS_MAX_ROWS``) the corpus auto-routes to the
+    sub-quadratic ``embedding_dup_pairs_lsh`` (hyperplane-bucketed,
+    recall measured in tests), so the O(N^2) exact path cannot be
+    invoked accidentally at scale; the exact path is the small-N
+    fallback only.
     """
+    if exact_max_rows is None:
+        exact_max_rows = EXACT_DUP_PAIRS_MAX_ROWS
     n = embeddings.count()
+    if n > exact_max_rows:
+        first = embeddings.select_columns([col]).limit(1).take(1)
+        dim = len(first[0][col])
+        return embedding_dup_pairs_lsh(embeddings, threshold, dim,
+                                       id_col=id_col, col=col)
     num_blocks = max(1, -(-n // block_rows))
     mat = embeddings.select_columns([id_col, col]) \
         .repartition(num_blocks).materialize()

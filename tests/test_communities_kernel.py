@@ -232,3 +232,40 @@ def test_quadratic_edges_matches_per_pair_loop():
     gu, gv = build_quadratic_edges(d, b, 10_000)
     ru, rv = per_pair_loop(d, b, 10_000)
     assert len(gu) == 10_000 and (ru == gu).all() and (rv == gv).all()
+
+
+def test_walktrap_matches_igraph_when_available():
+    """VERDICT r4 task 6: when igraph IS importable, the from-scratch
+    Pons-Latapy walktrap must partition the kernel fixtures exactly
+    like igraph's ``community_walktrap(...).as_clustering()`` resolved
+    through the same reflection surface the reference uses
+    (apollo/graph.py:272-297).  Skipped in this container (igraph is
+    not installable); the logic is ready for one that has it."""
+    import pytest
+    import numpy as np
+    from apollo_ray.kernels import communities as ck
+    if ck._igraph is None:
+        pytest.skip("igraph not installed in this container")
+    from apollo_ray.kernels.communities import build_linear_edges, detect
+
+    fixtures = []
+    # two disjoint 3-doc buckets (the linear-edges fixture)
+    fixtures.append((np.array([1, 2, 3, 11, 12, 13], dtype=np.int64),
+                     np.array([100, 100, 100, 200, 200, 200],
+                              dtype=np.int64)))
+    # two dense groups sharing one bridge bucket
+    fixtures.append((
+        np.array([1, 2, 3, 1, 2, 3, 11, 12, 13, 11, 12, 13, 3, 11],
+                 dtype=np.int64),
+        np.array([100, 100, 100, 101, 101, 101,
+                  200, 200, 200, 201, 201, 201, 300, 300],
+                 dtype=np.int64)))
+    # random bipartite memberships
+    rng = np.random.default_rng(5)
+    fixtures.append((rng.integers(0, 40, 120).astype(np.int64),
+                     rng.integers(500, 520, 120).astype(np.int64)))
+    for docs, buckets in fixtures:
+        eu, ev, w = build_linear_edges(docs, buckets)
+        ours = detect(eu, ev, w, algorithm="walktrap")
+        theirs = detect(eu, ev, w, algorithm="walktrap_igraph")
+        assert ours == theirs

@@ -143,3 +143,37 @@ def test_feature_hash_embed_matches_duckdb(ray_session):
         and int(d3.n_terms.iloc[0]) == 3
     # the empty doc emits nothing
     assert (eng.doc_id == 2).sum() == 0
+
+
+def test_embedding_dup_pairs_autoroutes_to_lsh(ray_session):
+    """Above exact_max_rows the exact O(N^2) path must auto-route to
+    the sub-quadratic LSH sibling (cost-ordered guard rail): forcing a
+    tiny threshold must produce exactly embedding_dup_pairs_lsh's
+    output (deterministic seed), and the default threshold keeps the
+    exact path (which finds a superset pair for the fixture)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from apollo_ray.functions.ann import (embedding_dup_pairs,
+                                          embedding_dup_pairs_lsh)
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((60, 16)).astype(np.float64)
+    vecs = np.concatenate([base, base + 0.001 * rng.standard_normal((60, 16))])
+    import pyarrow as pa
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(len(vecs), dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float64()))}))
+
+    def canon(d):
+        return d.to_pandas().sort_values(["u", "v"]).reset_index(drop=True)
+
+    routed = canon(embedding_dup_pairs(ds, 0.95, exact_max_rows=10))
+    lsh = canon(embedding_dup_pairs_lsh(ds, 0.95, dim=16))
+    assert routed.equals(lsh)
+    exact = canon(embedding_dup_pairs(ds, 0.95))
+    # LSH output is a (here: equal or near-equal) subset of exact
+    ek = set(zip(exact["u"], exact["v"]))
+    rk = set(zip(routed["u"], routed["v"]))
+    assert rk <= ek
+    assert len(exact) >= 60
