@@ -159,10 +159,9 @@ def label_propagation(edges_u: np.ndarray, edges_v: np.ndarray,
     if weights is None:
         weights = np.ones(len(edges_u), dtype=np.float64)
     verts = np.unique(np.concatenate([edges_u, edges_v]))
-    vmap = {int(x): i for i, x in enumerate(verts)}
     n = len(verts)
-    u = np.fromiter((vmap[int(x)] for x in edges_u), dtype=np.int64, count=len(edges_u))
-    v = np.fromiter((vmap[int(x)] for x in edges_v), dtype=np.int64, count=len(edges_v))
+    u = np.searchsorted(verts, edges_u)
+    v = np.searchsorted(verts, edges_v)
     labels = np.arange(n, dtype=np.int64)
     # symmetric CSR adjacency
     src = np.concatenate([u, v])
@@ -188,16 +187,11 @@ def label_propagation(edges_u: np.ndarray, edges_v: np.ndarray,
         if not changed:
             break
     # normalize labels to the min original vertex id per community
-    out: dict[int, int] = {}
-    lab_to_min: dict[int, int] = {}
-    for i in range(n):
-        lab = int(labels[i])
-        vid = int(verts[i])
-        if lab not in lab_to_min or vid < lab_to_min[lab]:
-            lab_to_min[lab] = vid
-    for i in range(n):
-        out[int(verts[i])] = lab_to_min[int(labels[i])]
-    return out
+    # (vectorized: one minimum.at scatter instead of per-vertex dicts)
+    minv = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(minv, labels, verts)
+    final = minv[labels]
+    return {int(verts[i]): int(final[i]) for i in range(n)}
 
 
 def detect(edges_u: np.ndarray, edges_v: np.ndarray,

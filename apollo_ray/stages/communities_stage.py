@@ -43,6 +43,17 @@ LABEL_BROADCAST_MAX = 5_000_000
 # real detector instead of extrapolating symmetry
 _BICLIQUE_MAX_DOCS = 64
 
+# Mega-CC scale boundary (documented divergence): a CC above this many
+# docs — a boilerplate blob where huge page populations share a band —
+# would serialize ONE detection task for hours (walktrap falls back to
+# LPA above 1000 vertices, but LPA itself is a sequential per-vertex
+# sweep).  Such a CC is emitted as a single min-doc-labeled community
+# instead of running detection.  The reference would hand the same CC
+# to igraph walktrap per fat CC (apollo/graph.py:213-219) and stall
+# identically; fixture/bench CCs sit far below the bound, so
+# communities_invariants pins the in-bound semantics unchanged.
+FAT_CC_MAX_DOCS = 200_000
+
 
 def detect_communities(clusters: "ray.data.Dataset",
                        memberships: "ray.data.Dataset",
@@ -52,7 +63,8 @@ def detect_communities(clusters: "ray.data.Dataset",
                        num_partitions: int | None = None,
                        max_quadratic_pairs: int = 200_000,
                        biclique_shortcut: bool = True,
-                       label_broadcast_max: int | None = None
+                       label_broadcast_max: int | None = None,
+                       fat_cc_max_docs: int | None = None
                        ) -> "ray.data.Dataset":
     """clusters (doc_id, cc_id) x memberships (doc_id, bucket) ->
     (doc_id, cc_id, community_id).
@@ -80,6 +92,8 @@ def detect_communities(clusters: "ray.data.Dataset",
     n_parts = num_partitions or 64
     if label_broadcast_max is None:
         label_broadcast_max = LABEL_BROADCAST_MAX
+    if fat_cc_max_docs is None:
+        fat_cc_max_docs = FAT_CC_MAX_DOCS
 
     # Attach cc_id to the membership rows.  Below the broadcast cap
     # the (doc_id -> cc_id) label map rides one ray.put and the
@@ -151,6 +165,12 @@ def detect_communities(clusters: "ray.data.Dataset",
             out_c.append(np.full(2, cc_id, dtype=np.int64))
             out_m.append(np.full(2, uniq.min(), dtype=np.int64))
             return
+        if len(uniq) > fat_cc_max_docs:
+            # mega-CC boundary (see FAT_CC_MAX_DOCS): one community
+            out_d.append(uniq.astype(np.int64))
+            out_c.append(np.full(len(uniq), cc_id, dtype=np.int64))
+            out_m.append(np.full(len(uniq), uniq.min(), dtype=np.int64))
+            return
         if (biclique_shortcut and edges == "linear"
                 and len(uniq) <= _BICLIQUE_MAX_DOCS
                 and len(docs) == len(uniq) * len(np.unique(buckets))):
@@ -172,13 +192,19 @@ def detect_communities(clusters: "ray.data.Dataset",
         else:
             eu, ev, w = build_linear_edges(docs, buckets)
         labels = detect(eu, ev, w, algorithm=algorithm)
-        doc_set = set(int(d) for d in uniq)
-        pairs = [(d, lab) for d, lab in labels.items() if d in doc_set]
-        out_d.append(np.fromiter((p[0] for p in pairs), dtype=np.int64,
-                                 count=len(pairs)))
-        out_c.append(np.full(len(pairs), cc_id, dtype=np.int64))
-        out_m.append(np.fromiter((p[1] for p in pairs), dtype=np.int64,
-                                 count=len(pairs)))
+        # keep doc vertices only (linear mode adds artificial bucket
+        # vertices) — vectorized membership test against the sorted
+        # uniq array instead of a per-vertex Python set loop
+        keys = np.fromiter(labels.keys(), dtype=np.int64, count=len(labels))
+        vals = np.fromiter(labels.values(), dtype=np.int64,
+                           count=len(labels))
+        pos = np.searchsorted(uniq, keys)
+        is_doc = np.zeros(len(keys), dtype=bool)
+        inb = pos < len(uniq)
+        is_doc[inb] = uniq[pos[inb]] == keys[inb]
+        out_d.append(keys[is_doc])
+        out_c.append(np.full(int(is_doc.sum()), cc_id, dtype=np.int64))
+        out_m.append(vals[is_doc])
 
     def add_pkey(batch: pa.Table) -> pa.Table:
         cc = np.asarray(batch.column("cc_id"), dtype=np.int64)

@@ -114,6 +114,13 @@ def bench_once() -> dict:
                                                   "weighted"))
     queries: dict[str, float] = {}
 
+    # GRAFT_WITH_COMMUNITIES=1: fold the communities tier INTO the
+    # timed headline (run_dedup(with_communities=True) + count) so the
+    # --scaling/--weak-scaling ratios cover the 100 TB communities
+    # path — combine with GRAFT_FORCE_DISTRIBUTED=1 for the above-cap
+    # hash-join attach route (VERDICT r4 task 3 evidence).
+    with_comms = bool(os.environ.get("GRAFT_WITH_COMMUNITIES"))
+
     from apollo_ray.stages.wmh_stage import params_object_ref
     params_object_ref(cfg)   # one-time model artifact, built untimed
     t0 = time.monotonic()
@@ -122,8 +129,11 @@ def bench_once() -> dict:
     # the 2M extract at 32 CPUs when asking for 2 blocks per file
     pages_ds = rd.read_parquet(part_files,
                                override_num_blocks=len(part_files))
-    out = run_dedup(pages_ds, cfg, num_partitions=max(16, NUM_CPUS * 2))
+    out = run_dedup(pages_ds, cfg, num_partitions=max(16, NUM_CPUS * 2),
+                    with_communities=with_comms)
     n_rows = out["clusters"].count()
+    if with_comms:
+        out["communities"].count()
     headline = time.monotonic() - t0
     n_clusters = out["clusters"].to_pandas()["cc_id"].nunique()
     queries["dedup_pipeline"] = round(headline, 3)
@@ -145,15 +155,20 @@ def bench_once() -> dict:
 
     # communities tier over the flagship output (untimed by the
     # headline: with_communities changes the e2e number series kept
-    # since round 2, so it gets its own entry)
-    from apollo_ray.stages.communities_stage import detect_communities
-    t0 = time.monotonic()
-    comms = detect_communities(
-        out["clusters"], out["bands"].select_columns(["doc_id", "bucket"]),
-        cfg, algorithm=cfg.community_algorithm,
-        num_partitions=max(16, NUM_CPUS * 2))
-    comms.count()
-    communities_sec = round(time.monotonic() - t0, 3)
+    # since round 2, so it gets its own entry).  Skipped when the
+    # tier is already folded into the headline (GRAFT_WITH_COMMUNITIES).
+    if with_comms:
+        communities_sec = out["metrics"].get("communities_sec", 0.0)
+    else:
+        from apollo_ray.stages.communities_stage import detect_communities
+        t0 = time.monotonic()
+        comms = detect_communities(
+            out["clusters"],
+            out["bands"].select_columns(["doc_id", "bucket"]),
+            cfg, algorithm=cfg.community_algorithm,
+            num_partitions=max(16, NUM_CPUS * 2))
+        comms.count()
+        communities_sec = round(time.monotonic() - t0, 3)
     queries["communities"] = communities_sec
 
     # representative operator queries over the driver testdata
@@ -203,6 +218,8 @@ def bench_once() -> dict:
     }
     if forced:
         result["force_distributed"] = True
+    if with_comms:
+        result["with_communities"] = True
     ray.shutdown()
     return result
 

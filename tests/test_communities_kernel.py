@@ -269,3 +269,21 @@ def test_walktrap_matches_igraph_when_available():
         ours = detect(eu, ev, w, algorithm="walktrap")
         theirs = detect(eu, ev, w, algorithm="walktrap_igraph")
         assert ours == theirs
+
+
+def test_walktrap_fat_cc_falls_back_to_lpa():
+    """The dense walktrap is the small-component tool; above
+    max_vertices it must return exactly label_propagation's partition
+    (the documented fallback actually triggers)."""
+    import numpy as np
+    from apollo_ray.kernels.communities import (build_linear_edges,
+                                                label_propagation, walktrap)
+    rng = np.random.default_rng(9)
+    docs = rng.integers(0, 2000, 4000).astype(np.int64)
+    buckets = rng.integers(10_000, 10_080, 4000).astype(np.int64)
+    eu, ev, w = build_linear_edges(docs, buckets)
+    n_verts = len(np.unique(np.concatenate([eu, ev])))
+    assert n_verts > 1000          # above the DEFAULT cap
+    ref = label_propagation(eu, ev, w)
+    assert walktrap(eu, ev, w) == ref              # default cap routes
+    assert walktrap(eu, ev, w, max_vertices=100) == ref

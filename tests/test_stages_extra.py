@@ -447,3 +447,45 @@ def test_communities_routes_agree_on_foreign_membership_docs(ray_session):
     assert bc.equals(hj), (bc, hj)
     assert 500 not in set(bc["doc_id"])
     assert 300 not in set(bc["doc_id"])
+
+
+def test_mega_cc_bound_emits_single_community(ray_session):
+    """CCs above fat_cc_max_docs skip detection and come back as one
+    min-doc-labeled community (the documented mega-CC scale boundary);
+    in-bound CCs are unaffected."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from apollo_ray.config import DedupConfig
+    from apollo_ray.stages.communities_stage import detect_communities
+
+    cfg = DedupConfig()
+    # fat CC 1: 40 docs across two disjoint bucket groups (would split
+    # into 2 communities when detection runs); CC 2: small control
+    docs1 = np.arange(100, 140, dtype=np.int64)
+    rows = []
+    for d in docs1[:20]:
+        rows.append((int(d), 7))
+    for d in docs1[20:]:
+        rows.append((int(d), 8))
+    rows += [(500, 20), (501, 20)]
+    mem = pd.DataFrame(rows, columns=["doc_id", "bucket"])
+    clusters = pd.DataFrame({
+        "doc_id": list(docs1) + [500, 501],
+        "cc_id": [100] * 40 + [500, 500]})
+    kw = dict(algorithm="label_propagation", biclique_shortcut=False)
+    bounded = detect_communities(rd.from_pandas(clusters),
+                                 rd.from_pandas(mem), cfg,
+                                 fat_cc_max_docs=30, **kw).to_pandas()
+    fat = bounded[bounded["cc_id"] == 100]
+    assert len(fat) == 40 and set(fat["community_id"]) == {100}
+    unbounded = detect_communities(rd.from_pandas(clusters),
+                                   rd.from_pandas(mem), cfg,
+                                   **kw).to_pandas()
+    fat_u = unbounded[unbounded["cc_id"] == 100]
+    assert set(fat_u["community_id"]) == {100, 120}
+    # the small CC is identical under both
+    small_b = bounded[bounded["cc_id"] == 500].sort_values("doc_id")
+    small_u = unbounded[unbounded["cc_id"] == 500].sort_values("doc_id")
+    assert small_b.reset_index(drop=True).equals(
+        small_u.reset_index(drop=True))
