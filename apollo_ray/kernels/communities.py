@@ -170,17 +170,31 @@ def label_propagation(edges_u: np.ndarray, edges_v: np.ndarray,
     order = np.argsort(src, kind="stable")
     src_s, dst_s, w_s = src[order], dst[order], w[order]
     indptr = np.searchsorted(src_s, np.arange(n + 1))
+    # Per-vertex best-label pick.  Small graphs (the per-CC regime)
+    # use ONE bincount + argmax per vertex: labels are vertex indices,
+    # so argmax over the dense weight-sum array returns the smallest
+    # label among max-sum ties — exactly the lexsort((uniq, -sums))
+    # selection, in 2 C calls instead of 5 (measured ~3x on the
+    # communities tier).  Large graphs keep the sparse unique path
+    # (bincount's O(n) allocation per vertex would be O(n²)/round).
+    iptr = indptr.tolist()
+    dense = n <= 4096
     for _ in range(max_rounds):
         changed = False
         for i in range(n):
-            s, e = indptr[i], indptr[i + 1]
+            s, e = iptr[i], iptr[i + 1]
             if s == e:
                 continue
-            nbr_labels = labels[dst_s[s:e]]
-            uniq, inv = np.unique(nbr_labels, return_inverse=True)
-            sums = np.zeros(len(uniq))
-            np.add.at(sums, inv, w_s[s:e])
-            best = uniq[np.lexsort((uniq, -sums))[0]]
+            if dense:
+                sums = np.bincount(labels[dst_s[s:e]], weights=w_s[s:e],
+                                   minlength=n)
+                best = int(np.argmax(sums))
+            else:
+                nbr_labels = labels[dst_s[s:e]]
+                uniq, inv = np.unique(nbr_labels, return_inverse=True)
+                sums = np.zeros(len(uniq))
+                np.add.at(sums, inv, w_s[s:e])
+                best = uniq[np.lexsort((uniq, -sums))[0]]
             if best != labels[i]:
                 labels[i] = best
                 changed = True

@@ -287,3 +287,29 @@ def test_walktrap_fat_cc_falls_back_to_lpa():
     ref = label_propagation(eu, ev, w)
     assert walktrap(eu, ev, w) == ref              # default cap routes
     assert walktrap(eu, ev, w, max_vertices=100) == ref
+
+
+def test_lpa_dense_path_matches_sparse_path():
+    """The small-graph bincount+argmax label pick must select exactly
+    what the sparse unique+lexsort path selects (smallest label among
+    max-weight ties, exact float compare).  Padding isolated vertices
+    pushes the same subgraph over the dense cutoff, forcing the sparse
+    path on an identical neighborhood structure."""
+    import numpy as np
+    from apollo_ray.kernels.communities import label_propagation
+    rng = np.random.default_rng(1)
+    for trial in range(40):
+        nv = int(rng.integers(2, 60))
+        ne = int(rng.integers(1, 200))
+        eu = rng.integers(0, nv, ne).astype(np.int64)
+        ev = rng.integers(0, nv, ne).astype(np.int64)
+        w = rng.uniform(0.5, 3.0, ne)
+        if trial % 3 == 0:   # integer weights force exact float ties
+            w = rng.integers(1, 4, ne).astype(np.float64)
+        a = label_propagation(eu, ev, w)
+        pad = 4200           # isolated self-loop pads with higher ids:
+        eu2 = np.concatenate([eu, np.arange(nv, nv + pad)])
+        ev2 = np.concatenate([ev, np.arange(nv, nv + pad)])
+        w2 = np.concatenate([w, np.full(pad, 0.1)])
+        b = label_propagation(eu2, ev2, w2)
+        assert all(b[k] == v for k, v in a.items()), trial
