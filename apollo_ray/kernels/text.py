@@ -251,8 +251,14 @@ def batch_token_hashes(texts_arr, hasher: TokenHasher,
     import pyarrow.compute as pc
     if not isinstance(texts_arr, (pa.Array, pa.ChunkedArray)):
         texts_arr = pa.array(texts_arr, type=pa.string())
+    if tokenizer == "bpe_ish":
+        return _batch_token_hashes_bpe_ish(texts_arr, hasher)
     if tokenizer != "whitespace":
-        raise NotImplementedError("batch path supports whitespace tokenizer")
+        # 'words' (\w+) cannot be replicated at byte level: Python's
+        # \w matches unicode word characters, which a per-byte class
+        # table cannot express — per-doc fallback stays the only path
+        raise NotImplementedError(
+            "batch path supports whitespace and bpe_ish tokenizers")
     toks = pc.utf8_split_whitespace(texts_arr)
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
@@ -276,6 +282,96 @@ def batch_token_hashes(texts_arr, hasher: TokenHasher,
     offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
     return vocab_hashes[idx], offsets
+
+
+# byte -> bpe_ish character class: 0 separator (ASCII whitespace),
+# 1 letter, 2 digit, 3 other.  Every non-ASCII byte is class 3, and a
+# multibyte utf-8 character's bytes are ALL >= 0x80, so byte-level
+# class runs segment text exactly like the BPE_ISH_PATTERN regex over
+# characters (unicode whitespace is "other" in both — the pattern's
+# whitespace set is explicit ASCII).
+_BPE_CLS = np.full(256, 3, dtype=np.uint8)
+for _c in b" \t\n\r\x0b\x0c":
+    _BPE_CLS[_c] = 0
+for _c in range(ord("A"), ord("Z") + 1):
+    _BPE_CLS[_c] = 1
+for _c in range(ord("a"), ord("z") + 1):
+    _BPE_CLS[_c] = 1
+for _c in range(ord("0"), ord("9") + 1):
+    _BPE_CLS[_c] = 2
+
+
+def _batch_token_hashes_bpe_ish(texts_arr, hasher: TokenHasher
+                                ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized bpe_ish tokenization straight over the utf-8 bytes.
+
+    One LUT pass classifies every byte; token runs are maximal
+    same-class non-separator byte ranges cut at document boundaries —
+    elementwise identical to ``_BPE_ISH_RE.findall`` per doc (the
+    classes are disjoint and ASCII, see ``_BPE_CLS``; differential-
+    pinned in tests incl. unicode).  Token bytes are gathered into one
+    contiguous Arrow string array, dictionary-encoded, and hashed once
+    per DISTINCT token through the same memoized hasher as the
+    whitespace path.
+
+    Returns (flat uint64 token hashes in document order, int64 doc
+    offsets)."""
+    import pyarrow as pa
+    col = texts_arr
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n_docs = len(col)
+    if col.null_count:
+        raise ValueError("bpe_ish batch tokenizer: column contains nulls")
+    if n_docs == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(1, dtype=np.int64)
+    off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    offs = np.frombuffer(col.buffers()[1], dtype=off_dtype,
+                         count=n_docs + 1 + col.offset)[col.offset:]         .astype(np.int64)
+    base, end = int(offs[0]), int(offs[-1])
+    buf = col.buffers()[2]
+    if buf is None or end == base:
+        return np.empty(0, dtype=np.uint64), np.zeros(n_docs + 1,
+                                                      dtype=np.int64)
+    data = np.frombuffer(buf, dtype=np.uint8, count=end)[base:]
+    m = len(data)
+    cls = _BPE_CLS[data]
+    # run starts: position 0, any class change, any doc boundary
+    rs_mask = np.empty(m, dtype=bool)
+    rs_mask[0] = True
+    np.not_equal(cls[1:], cls[:-1], out=rs_mask[1:])
+    rs_mask[offs[:-1] - base] = True
+    run_starts = np.flatnonzero(rs_mask)
+    run_ends = np.append(run_starts[1:], m)
+    tokmask = cls[run_starts] != 0
+    t_s = run_starts[tokmask]
+    t_e = run_ends[tokmask]
+    n_tok = len(t_s)
+    if n_tok == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(n_docs + 1,
+                                                      dtype=np.int64)
+    # per-doc token counts (token start -> owning doc)
+    doc_of = np.searchsorted(offs, t_s + base, side="right") - 1
+    counts = np.bincount(doc_of, minlength=n_docs)
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    # ragged gather of token bytes into one contiguous buffer
+    lens = t_e - t_s
+    tok_off = np.zeros(n_tok + 1, dtype=np.int64)
+    np.cumsum(lens, out=tok_off[1:])
+    total = int(tok_off[-1])
+    idx = (np.arange(total, dtype=np.int64)
+           - np.repeat(tok_off[:-1], lens) + np.repeat(t_s, lens))
+    vals = data[idx]
+    arr = pa.Array.from_buffers(
+        pa.utf8(), n_tok,
+        [None, pa.py_buffer(tok_off.astype(np.int32)), pa.py_buffer(vals)])
+    enc = arr.dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    vocab_hashes = hasher.hash_tokens(enc.dictionary.to_pylist())
+    tok_idx = np.asarray(enc.indices, dtype=np.int64)
+    return vocab_hashes[tok_idx], offsets
 
 
 def effective_min_df(df: np.ndarray, cfg) -> int:

@@ -404,12 +404,14 @@ class BagBuilder:
         cfg = self.cfg
         bag_kwargs = dict(cfg.bag_kwargs)
         tokenizer = bag_kwargs.pop("tokenizer")
-        if tokenizer == "whitespace" and not bag_kwargs.get("extra_ks"):
+        if (tokenizer in ("whitespace", "bpe_ish")
+            and not bag_kwargs.get("extra_ks")):
             # single-family fast path: whole-batch vectorized bags
             # (elementwise identical to the per-doc loop; empty docs
             # keep their empty-list rows, dropped later by WmhHasher)
             th_flat, offs = batch_token_hashes(batch.column("text"),
-                                               self.hasher)
+                                               self.hasher,
+                                               tokenizer=tokenizer)
             fw = bag_kwargs.get("family_weights")
             counts, all_idx, all_w = batch_bags_from_token_hashes(
                 th_flat, offs, cfg.shingle_k, cfg.feature_dim_log2,
@@ -425,9 +427,10 @@ class BagBuilder:
                 pa.array(offsets, type=pa.int32()),
                 pa.array(all_w, type=pa.float32()))
         else:
-            if tokenizer == "whitespace":
+            if tokenizer in ("whitespace", "bpe_ish"):
                 th_flat, offs = batch_token_hashes(batch.column("text"),
-                                                   self.hasher)
+                                                   self.hasher,
+                                                   tokenizer=tokenizer)
                 th_of = [th_flat[offs[i]:offs[i + 1]]
                          for i in range(batch.num_rows)]
             else:

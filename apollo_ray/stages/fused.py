@@ -84,12 +84,14 @@ def fused_hash_batch(batch: pa.Table, cfg: DedupConfig, params_ref,
     doc_ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
     bag_kwargs = dict(cfg.bag_kwargs)
     tokenizer = bag_kwargs.pop("tokenizer")
-    if tokenizer == "whitespace" and not bag_kwargs.get("extra_ks"):
+    if (tokenizer in ("whitespace", "bpe_ish")
+            and not bag_kwargs.get("extra_ks")):
         # single-family fast path: whole-batch vectorized shingling +
         # one np.unique (kernels/text.batch_bags_from_token_hashes,
         # elementwise identical to the per-doc loop below)
         from apollo_ray.kernels.text import batch_bags_from_token_hashes
-        th_flat, offs = batch_token_hashes(batch.column("text"), hasher)
+        th_flat, offs = batch_token_hashes(batch.column("text"), hasher,
+                                           tokenizer=tokenizer)
         fw = bag_kwargs.get("family_weights")
         counts, all_idx, all_w = batch_bags_from_token_hashes(
             th_flat, offs, cfg.shingle_k, cfg.feature_dim_log2,
@@ -101,8 +103,9 @@ def fused_hash_batch(batch: pa.Table, cfg: DedupConfig, params_ref,
         np.cumsum(counts[keep_rows], out=indptr_np[1:])
         idx_flat, w_flat = all_idx, all_w
     else:
-        if tokenizer == "whitespace":
-            th_flat, offs = batch_token_hashes(batch.column("text"), hasher)
+        if tokenizer in ("whitespace", "bpe_ish"):
+            th_flat, offs = batch_token_hashes(batch.column("text"), hasher,
+                                               tokenizer=tokenizer)
             th_of = [th_flat[offs[i]:offs[i + 1]]
                      for i in range(batch.num_rows)]
         else:

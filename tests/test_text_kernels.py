@@ -180,3 +180,72 @@ def test_bpe_ish_arrow_count_matches_re():
     arr = pa.array(texts)
     counts = pc.count_substring_regex(arr, BPE_ISH_PATTERN).to_pylist()
     assert counts == [len(tokenize(t, "bpe_ish")) for t in texts]
+
+
+def test_bpe_ish_batch_tokenizer_matches_regex():
+    """The byte-LUT vectorized bpe_ish tokenizer must produce the
+    exact token-hash stream of the per-doc regex path — the classes
+    are disjoint ASCII byte classes and every non-ASCII byte is
+    'other', so byte runs segment exactly like the char regex
+    (unicode whitespace included: 'other' in both)."""
+    import random
+    import numpy as np
+    import pyarrow as pa
+    from apollo_ray.hashing import TokenHasher
+    from apollo_ray.kernels.text import batch_token_hashes, tokenize
+
+    texts = ["hello world42 foo-bar", "", "   ",
+             "tabs\tand\nnewlines\x0b\x0cend",
+             "héllo wörld — daß 日本語42abc", "a1b2c3",
+             "!!!...??? mixed123abc#tag", "\xa0nbsp\xa0inside",
+             "trailing space ", "x", "42"]
+    rng = random.Random(3)
+    alphabet = "ab1 2\t\n!.é日\xa0-Z"
+    texts += ["".join(rng.choice(alphabet)
+                      for _ in range(rng.randrange(0, 60)))
+              for _ in range(100)]
+    h1, h2 = TokenHasher(seed=7), TokenHasher(seed=7)
+    ref_flat: list = []
+    ref_offs = [0]
+    for t in texts:
+        ref_flat.extend(h1.hash_tokens(tokenize(t, "bpe_ish")).tolist())
+        ref_offs.append(len(ref_flat))
+    flat, offs = batch_token_hashes(pa.array(texts, type=pa.string()), h2,
+                                    tokenizer="bpe_ish")
+    assert offs.tolist() == ref_offs
+    assert flat.tolist() == ref_flat
+    # sliced-array offsets handled
+    sl = pa.array(texts, type=pa.string()).slice(3, 5)
+    h3, h4 = TokenHasher(seed=7), TokenHasher(seed=7)
+    rf, ro = [], [0]
+    for t in texts[3:8]:
+        rf.extend(h3.hash_tokens(tokenize(t, "bpe_ish")).tolist())
+        ro.append(len(rf))
+    f2, o2 = batch_token_hashes(sl, h4, tokenizer="bpe_ish")
+    assert o2.tolist() == ro and f2.tolist() == rf
+
+
+def test_fused_bands_bpe_ish_tokenizer_end_to_end(ray_session):
+    """DedupConfig(tokenizer='bpe_ish') must run the vectorized fused
+    path and produce the same bands as the per-doc staged path."""
+    import pyarrow as pa
+    import ray.data as rd
+    from apollo_ray.config import DedupConfig
+    from apollo_ray.stages.bags import build_bags
+    from apollo_ray.stages.bands import explode_bands
+    from apollo_ray.stages.fused import fused_bands
+    from apollo_ray.stages.wmh_stage import compute_signatures
+    from apollo_ray.fixtures import generate_pages
+    from apollo_ray.stages.extract import extract_docs
+
+    pages, _ = generate_pages(200)
+    cfg = DedupConfig(feature_dim_log2=12, tokenizer="bpe_ish",
+                      wmh_concurrency=2, batch_size=64)
+    docs = extract_docs(rd.from_arrow(pages), cfg)
+    fused = fused_bands(docs, cfg).to_pandas() \
+        .sort_values(["band_id", "bucket", "doc_id"]).reset_index(drop=True)
+    staged = explode_bands(
+        compute_signatures(build_bags(docs, cfg), cfg), cfg).to_pandas() \
+        .sort_values(["band_id", "bucket", "doc_id"]).reset_index(drop=True)
+    assert fused.equals(staged)
+    assert len(fused) > 0
