@@ -49,7 +49,7 @@ def _cfg_from_args(args) -> "DedupConfig":
     cfg = DedupConfig()
     over = {}
     for f in ("shingle_k", "size", "threshold", "seed", "feature_dim_log2",
-              "minhash_mode", "community_algorithm"):
+              "minhash_mode", "community_algorithm", "tokenizer"):
         v = getattr(args, f, None)
         if v is not None:
             over[f] = v
@@ -434,6 +434,13 @@ def main(argv=None) -> int:
         sp.add_argument("--threshold", type=float)
         sp.add_argument("--seed", type=int)
         sp.add_argument("--feature-dim-log2", dest="feature_dim_log2", type=int)
+        sp.add_argument("--tokenizer",
+                        choices=("whitespace", "bpe_ish", "words"),
+                        default=None,
+                        help="token stream feeding the shingles: "
+                             "whitespace (default) and bpe_ish run the "
+                             "vectorized batch path; words (\\w+) is the "
+                             "per-doc fallback")
         sp.add_argument("--community-algorithm",
                         dest="community_algorithm", default=None,
                         help="walktrap (default, built-in) | "

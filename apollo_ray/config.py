@@ -26,7 +26,9 @@ class DedupConfig:
     extra_shingle_ks: tuple = ()  # additional shingle families (the multi-extractor -f analog)
     family_weights: tuple = ()    # per-family weight multipliers (M7 --<ex>-weight); () => all 1.0
     feature_dim_log2: int = 16    # feature-hash into D = 2**k columns (vocab cap analog)
-    tokenizer: str = "whitespace"  # "whitespace" | "words"
+    tokenizer: str = "whitespace"  # "whitespace" | "bpe_ish" | "words"
+    # (whitespace and bpe_ish run the vectorized batch path;
+    #  words falls back per-doc — unicode \w is not byte-classable)
     weighting: str = "logtf"      # "logtf" | "tf" | "logtf_logidf" (idf needs docfreq pass)
     min_docfreq: int = 1          # drop features seen in fewer docs (--min-docfreq)
     vocabulary_size: int = 0      # keep only the top-N features by df (0 = all; --vocabulary-size analog)
