@@ -244,3 +244,29 @@ def test_fold_path_above_cap_shuffle_fallback(ray_session, monkeypatch):
                        num_partitions=8)["clusters"].to_pandas()
     assert clusters(base) == clusters(forced)
     assert base["cc_id"].nunique() < len(base)  # fixture has dups
+
+
+def test_fold_path_streaming_overflow_fallback(ray_session, monkeypatch):
+    """When the metadata stream overflows DRIVER_MEMBERSHIP_MAX_ROWS
+    mid-iteration, run_dedup abandons the driver pull, re-materializes
+    the metadata pass, and runs the distributed election + labeling —
+    clusters must be identical to the driver path's."""
+    import ray.data as rd
+    from apollo_ray import stages
+    from apollo_ray.config import DedupConfig
+    from apollo_ray.fixtures import generate_pages
+    from apollo_ray.pipelines.dedup import run_dedup
+    pages_t, _ = generate_pages(300)
+    cfg = DedupConfig(feature_dim_log2=12)
+
+    def clusters(df):
+        return sorted(map(tuple, df[["doc_id", "cc_id"]].to_numpy()))
+
+    base = run_dedup(rd.from_arrow(pages_t), cfg,
+                     num_partitions=8)["clusters"].to_pandas()
+    # cap > 0 (so streaming starts) but far below 300 rows (overflow)
+    monkeypatch.setattr(stages.bags, "DRIVER_MEMBERSHIP_MAX_ROWS", 10)
+    over = run_dedup(rd.from_arrow(pages_t), cfg,
+                     num_partitions=8)["clusters"].to_pandas()
+    assert clusters(base) == clusters(over)
+    assert base["cc_id"].nunique() < len(base)
