@@ -142,7 +142,11 @@ def nb_classify(docs: "ray.data.Dataset", label_col: str = "source",
     ct = _label_token_counts(docs, label_col, num_partitions)
 
     if vocab_cap is not None:
-        # distributed top-V by corpus term frequency (n DESC, token ASC)
+        # distributed top-V by corpus term frequency (n DESC, token ASC).
+        # Materialize the (small) count table first — it is consumed
+        # twice below and a lazy Dataset re-runs its corpus pass per
+        # consumer.
+        ct = ct.materialize()
         tf = ct.groupby("token").aggregate(Sum("n", alias_name="tn"))
         vocab_rows = tf.sort(["tn", "token"], descending=[True, False]) \
             .limit(vocab_cap).take_all()

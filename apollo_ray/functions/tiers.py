@@ -51,8 +51,10 @@ def _meta_pass(docs: "ray.data.Dataset", url_col: str, text_col: str
     from apollo_ray.functions.urls import canonicalize_url_array
 
     def f(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        th = pa.array([hash_utf8(t or "") for t in texts], type=pa.int64())
+        import pyarrow.compute as pc
+        from apollo_ray.hashing import hash_utf8_batch
+        filled = pc.fill_null(batch.column(text_col), "")
+        th = pa.array(hash_utf8_batch(filled), type=pa.int64())
         canon, _host = canonicalize_url_array(batch.column(url_col))
         return pa.table({"doc_id": batch.column("doc_id").cast(pa.int64()),
                          "text_hash": th, "url_canon": canon})
@@ -73,8 +75,9 @@ def _winners(meta: "ray.data.Dataset", key_col: str, num_partitions: int
         if pa.types.is_integer(col.type):
             k = np.asarray(col, dtype=np.int64)
         else:
-            k = np.fromiter((hash_utf8(x or "") for x in col.to_pylist()),
-                            dtype=np.int64, count=batch.num_rows)
+            import pyarrow.compute as pc
+            from apollo_ray.hashing import hash_utf8_batch
+            k = hash_utf8_batch(pc.fill_null(col, ""))
         return batch.append_column(
             "pkey", pa.array(mix_to_partition(k, num_partitions),
                              type=pa.int32()))
@@ -193,19 +196,21 @@ def tiered_dedup(docs: "ray.data.Dataset", cfg=None,
     surv2 = _filter_to_ids(docs, w2, num_partitions, rep_broadcast_max)
 
     def as_docs_schema(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        from apollo_ray.hashing import hash_utf8_batch
         names = set(batch.column_names)
         n = batch.num_rows
-        texts = batch.column(text_col).to_pylist()
+        text_a = batch.column(text_col)
         cols = {
             "doc_id": batch.column("doc_id").cast(pa.int64()),
             "url": (batch.column(url_col) if url_col in names else
-                    pa.array([str(d) for d in
-                              batch.column("doc_id").to_pylist()])),
+                    batch.column("doc_id").cast(pa.string())),
             "lang": (batch.column("lang") if "lang" in names
                      else pa.array(["und"] * n, type=pa.string())),
-            "text": pa.array(texts, type=pa.string()),
-            "text_hash": pa.array([hash_utf8(t or "") for t in texts],
-                                  type=pa.int64()),
+            "text": text_a.cast(pa.string()),
+            "text_hash": pa.array(
+                hash_utf8_batch(pc.fill_null(text_a, "")),
+                type=pa.int64()),
         }
         return pa.table(cols)
 
