@@ -1138,7 +1138,9 @@ def order_priority_counts(orders: "ray.data.Dataset",
         return pa.table({"k": pa.array(k, type=pa.int64())})
 
     keys_ds = lineitem.map_batches(matching_keys, batch_format="pyarrow") \
-        .groupby("pkey").map_groups(distinct_part, batch_format="pyarrow")
+        .groupby("pkey").map_groups(distinct_part, batch_format="pyarrow") \
+        .materialize()   # consumed 2x below (count + pull/semi-join);
+    # lazy would re-scan lineitem per consumer
     lo = np.datetime64(f"{year}-01-01", "us").astype(np.int64)
     hi = np.datetime64(f"{year + 1}-01-01", "us").astype(np.int64)
     if method == "hashjoin":

@@ -415,7 +415,9 @@ def bigram_score(docs: "ray.data.Dataset", backoff: float = 0.4,
     """
     from ray.data.aggregate import Sum
 
-    tf = token_term_freqs(docs, num_partitions)
+    # materialize: consumed 1-2 times below; a lazy count table re-runs
+    # its corpus pass per consumer
+    tf = token_term_freqs(docs, num_partitions).materialize()
     if vocab_cap is not None:
         total = int(tf.aggregate(Sum("n"))["sum(n)"] or 0)
         uni_rows = tf.sort(["n", "token"], descending=[True, False]) \
@@ -430,6 +432,7 @@ def bigram_score(docs: "ray.data.Dataset", backoff: float = 0.4,
             "avg_lp_r4": pa.array([], type=pa.float64())}))
     bg = bigram_counts(docs, num_partitions)
     if bigram_cap is not None:
+        bg = bg.materialize()
         bg_rows = bg.sort(["n", "t1", "t2"],
                           descending=[True, False, False]) \
             .limit(bigram_cap).take_all()
