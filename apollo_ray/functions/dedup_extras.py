@@ -23,7 +23,8 @@ from apollo_ray.hashing import (TokenHasher, distinct_pair_idx,
 
 def add_text_hash(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     def f(batch: pa.Table) -> pa.Table:
-        th = [hash_utf8(t) for t in batch.column("text").to_pylist()]
+        from apollo_ray.hashing import hash_utf8_batch
+        th = hash_utf8_batch(batch.column("text"))
         return pa.table({"doc_id": batch.column("doc_id").cast(pa.int64()),
                          "text_hash": pa.array(th, type=pa.int64())})
     return docs.map_batches(f, batch_format="pyarrow")

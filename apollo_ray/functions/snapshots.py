@@ -58,9 +58,8 @@ def snapshot_diff(old: "ray.data.Dataset", new: "ray.data.Dataset",
                 zero_copy_only=False)
             i = batch.column(id_col).cast(pa.int64()).to_numpy(
                 zero_copy_only=False)
-            th = np.fromiter(
-                (hash_utf8(t) for t in batch.column(text_col).to_pylist()),
-                dtype=np.int64, count=len(k))
+            from apollo_ray.hashing import hash_utf8_batch
+            th = hash_utf8_batch(batch.column(text_col))
             return pa.table({
                 "k": pa.array(k, type=pa.int64()),
                 "i": pa.array(i, type=pa.int64()),
