@@ -363,9 +363,15 @@ def _batch_token_hashes_bpe_ish(texts_arr, hasher: TokenHasher
     idx = (np.arange(total, dtype=np.int64)
            - np.repeat(tok_off[:-1], lens) + np.repeat(t_s, lens))
     vals = data[idx]
-    arr = pa.Array.from_buffers(
-        pa.utf8(), n_tok,
-        [None, pa.py_buffer(tok_off.astype(np.int32)), pa.py_buffer(vals)])
+    if total < (1 << 31):
+        arr = pa.Array.from_buffers(
+            pa.utf8(), n_tok,
+            [None, pa.py_buffer(tok_off.astype(np.int32)),
+             pa.py_buffer(vals)])
+    else:   # >2 GiB of token bytes in one batch: 64-bit offsets
+        arr = pa.Array.from_buffers(
+            pa.large_utf8(), n_tok,
+            [None, pa.py_buffer(tok_off), pa.py_buffer(vals)])
     enc = arr.dictionary_encode()
     if isinstance(enc, pa.ChunkedArray):
         enc = enc.combine_chunks()
