@@ -249,3 +249,23 @@ def test_fused_bands_bpe_ish_tokenizer_end_to_end(ray_session):
         .sort_values(["band_id", "bucket", "doc_id"]).reset_index(drop=True)
     assert fused.equals(staged)
     assert len(fused) > 0
+
+
+def test_whitespace_batch_split_matches_python_split():
+    """The whole batch path rests on Arrow's utf8_split_whitespace
+    segmenting exactly like Python str.split; pin it across every
+    whitespace-adjacent codepoint (so a pyarrow upgrade cannot
+    silently fork the fused and per-doc tokenizations)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    candidates = [0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x1C, 0x1D, 0x1E, 0x1F,
+                  0x20, 0x85, 0xA0, 0x1680, 0x180E, 0x2000, 0x2001,
+                  0x2002, 0x2003, 0x2004, 0x2005, 0x2006, 0x2007, 0x2008,
+                  0x2009, 0x200A, 0x200B, 0x2028, 0x2029, 0x202F, 0x205F,
+                  0x3000, 0xFEFF]
+    for cp in candidates:
+        t = "a" + chr(cp) + "b"
+        py = t.split()
+        ar = [x for x in
+              pc.utf8_split_whitespace(pa.array([t]))[0].as_py() if x]
+        assert py == ar, (hex(cp), py, ar)
