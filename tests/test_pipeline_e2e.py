@@ -270,3 +270,21 @@ def test_fold_path_streaming_overflow_fallback(ray_session, monkeypatch):
                      num_partitions=8)["clusters"].to_pandas()
     assert clusters(base) == clusters(over)
     assert base["cc_id"].nunique() < len(base)
+
+
+def test_cluster_count_pinned_on_5k_fixture(ray_session):
+    """Absolute pin of the flagship output on the deterministic 5k
+    fixture at default config: 5000 labeled docs, exactly 3230
+    clusters.  Catches any silent semantic drift (hashing, shingling,
+    banding, collapse, CC) that the relative invariant tests might
+    individually tolerate — the bench-series analog of this pin is
+    n_clusters 320,057 at 500k (BENCH/BASELINE.md)."""
+    import ray.data as rd
+    from apollo_ray.config import DedupConfig
+    from apollo_ray.fixtures import generate_pages
+    from apollo_ray.pipelines.dedup import run_dedup
+    pages, _ = generate_pages(5000)
+    out = run_dedup(rd.from_arrow(pages), DedupConfig(), num_partitions=16)
+    df = out["clusters"].to_pandas()
+    assert len(df) == 5000
+    assert df["cc_id"].nunique() == 3230
