@@ -288,3 +288,26 @@ def test_cluster_count_pinned_on_5k_fixture(ray_session):
     df = out["clusters"].to_pandas()
     assert len(df) == 5000
     assert df["cc_id"].nunique() == 3230
+
+
+def test_sharded_election_matches_global_lexsort():
+    """exact_membership_arrays_parallel (thread-sharded by hash bits,
+    the >=1M-row driver election) must produce the exact pair SET of
+    the single global lexsort — forced below the row threshold."""
+    import numpy as np
+    from apollo_ray.stages.bags import (exact_membership_arrays,
+                                        exact_membership_arrays_parallel)
+    rng = np.random.default_rng(4)
+    for trial in range(20):
+        n = int(rng.integers(0, 5000))
+        n_groups = max(1, n // 3)
+        th = rng.integers(0, 1 << 62, n_groups)[
+            rng.integers(0, n_groups, n)]
+        ids = rng.integers(0, 1 << 62, n)
+        g = exact_membership_arrays(th, ids)
+        p = exact_membership_arrays_parallel(th, ids, min_rows=0)
+        a = set(zip(g.column("rep_id").to_pylist(),
+                    g.column("member_id").to_pylist()))
+        b = set(zip(p.column("rep_id").to_pylist(),
+                    p.column("member_id").to_pylist()))
+        assert a == b, trial
