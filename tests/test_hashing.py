@@ -99,3 +99,32 @@ def test_distinct_pair_idx_first_occurrence():
         assert sorted(idx.tolist()) == sorted(expect)
         _, ref = np.unique(pair_mix(u, v), return_index=True)
         assert set(idx.tolist()) == set(ref.tolist())
+
+
+def test_hash_utf8_batch_matches_per_row():
+    """The Arrow-buffer batch hasher must be byte-identical to
+    hash_utf8 per row — unicode, empty strings, long strings, sliced
+    arrays, binary columns, and the null rejection contract."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    from apollo_ray.hashing import hash_utf8, hash_utf8_batch
+    vals = ["", "héllo wörld", "日本語テキスト", "a" * 10000, "x",
+            "tab\tand\nnewline", " nbsp", "mixed日本abc42"]
+    arr = pa.array(vals, type=pa.string())
+    assert hash_utf8_batch(arr).tolist() == [hash_utf8(s) for s in vals]
+    sl = arr.slice(2, 4)
+    assert hash_utf8_batch(sl).tolist() == [hash_utf8(s)
+                                            for s in vals[2:6]]
+    # seeded
+    assert hash_utf8_batch(arr, seed=7).tolist() == \
+        [hash_utf8(s, seed=7) for s in vals]
+    # large_string + chunked
+    la = pa.array(vals, type=pa.large_string())
+    assert hash_utf8_batch(la).tolist() == [hash_utf8(s) for s in vals]
+    ch = pa.chunked_array([arr.slice(0, 3), arr.slice(3)])
+    assert hash_utf8_batch(ch).tolist() == [hash_utf8(s) for s in vals]
+    # empty column and null rejection
+    assert len(hash_utf8_batch(pa.array([], type=pa.string()))) == 0
+    with pytest.raises(ValueError):
+        hash_utf8_batch(pa.array(["a", None], type=pa.string()))
