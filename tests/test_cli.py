@@ -151,3 +151,27 @@ def test_cli_dumpcc(tmp_path, capsys, ray_session):
     # every line is a CC: urls, space-joined
     n_urls = sum(len(l.split()) for l in lines)
     assert n_urls == 200
+
+
+def test_cli_tokenizer_flag(tmp_path, capsys, ray_session):
+    """--tokenizer bpe_ish flows into the config (distinct config
+    hash -> fresh stages, not cache hits from a whitespace run) and
+    the pipeline completes end-to-end."""
+    from apollo_ray.cli import main
+    from apollo_ray.fixtures import generate_pages
+
+    pages_dir = tmp_path / "pages"
+    pages_dir.mkdir()
+    pages_t, _ = generate_pages(120)
+    pq.write_table(pages_t, str(pages_dir / "part-0.parquet"))
+    ckpt = str(tmp_path / "ckpt")
+    assert main(["run", "--input", str(pages_dir), "--ckpt", ckpt,
+                 "--feature-dim-log2", "12"]) == 0
+    capsys.readouterr()
+    # different tokenizer => different config hash => stages rebuild
+    assert main(["run", "--input", str(pages_dir), "--ckpt", ckpt,
+                 "--feature-dim-log2", "12",
+                 "--tokenizer", "bpe_ish"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["docs"] == 120
+    assert "clusters_cached" not in out["metrics"]
